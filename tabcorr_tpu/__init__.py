@@ -1,0 +1,19 @@
+"""tabcorr_tpu: TPU-native tabulated galaxy correlation functions.
+
+A ground-up JAX/TPU re-design of the halo tabulation method of
+Zheng & Guo (2016) with the full capability surface of the reference
+``tabcorr`` package (johannesulf/TabCorr v1.2.0): tabulation of halo
+correlation functions (wp, xi(s, mu) multipoles, delta sigma), millisecond
+HOD predictions, parameter-grid interpolation, and the published-table
+database layer — plus what the reference never had: jit/vmap/grad-able
+prediction kernels, device-mesh sharding, and on-device MCMC.
+"""
+
+from . import cosmology, database
+from .interpolator import Interpolator
+from .models import AssembiasZheng07Model, HodModel, Zheng07Model
+from .table import TabCorr
+
+__version__ = "0.1.0"
+__all__ = ["TabCorr", "Interpolator", "HodModel", "Zheng07Model",
+           "AssembiasZheng07Model", "cosmology", "database"]

@@ -1,0 +1,99 @@
+"""Heaviside assembly-bias ("decorated HOD") occupation decoration.
+
+The reference supports assembly bias through halotools' decorated models:
+the tabulation bins halos by secondary-property percentile
+(``sec_haloprop_percentile_bins``) and the prediction path passes the bin's
+percentile midpoint into ``mean_occupation_*`` (reference:
+tabcorr/tabcorr.py:550-563).  This module provides the decoration itself,
+modeled on halotools' ``HeavisideAssembias``: halos above the percentile
+split get their occupation perturbed by ``+delta`` and halos below by
+``-delta * (1 - split) / split``, so the mass-conditioned mean occupation is
+exactly preserved.  The perturbation amplitude is
+
+    delta = A * min(upper_bound - base, split/(1-split) * (base - lower_bound))    (A >= 0)
+    delta = A * min(base - lower_bound, split/(1-split) * (upper_bound - base))    (A < 0)
+
+which keeps the occupation of both populations inside
+[lower_bound, upper_bound] for |A| <= 1.  Centrals are bounded by [0, 1],
+satellites by [0, inf).
+"""
+
+from __future__ import annotations
+
+import jax.numpy as jnp
+
+from .protocol import CENTRALS, HodModel
+from .zheng07 import Zheng07Model
+
+
+def heaviside_assembias(base, strength, sec_haloprop_percentile, split=0.5,
+                        lower_bound=0.0, upper_bound=None):
+    """Apply the Heaviside assembly-bias perturbation to a baseline occupation.
+
+    Parameters
+    ----------
+    base : jnp.ndarray
+        Baseline mean occupation.
+    strength : float or jnp.ndarray
+        Assembly-bias strength A in [-1, 1].
+    sec_haloprop_percentile : jnp.ndarray
+        Secondary-property percentile of each halo (bin midpoint for
+        tabulated bins).
+    split : float, optional
+        Percentile split between the two populations. Default is 0.5.
+    lower_bound, upper_bound : float, optional
+        Physical bounds on the occupation. ``upper_bound=None`` means
+        unbounded above (satellites).
+
+    Returns
+    -------
+    jnp.ndarray
+        Decorated mean occupation.
+    """
+    strength = jnp.clip(strength, -1.0, 1.0)
+    frac_above = 1.0 - split
+    ratio = split / frac_above
+
+    head = base - lower_bound
+    if upper_bound is None:
+        room_up = ratio * head
+        room_down = head
+    else:
+        room_up = jnp.minimum(upper_bound - base, ratio * head)
+        room_down = jnp.minimum(head, ratio * (upper_bound - base))
+
+    delta = jnp.where(strength >= 0, strength * room_up, strength * room_down)
+    above = sec_haloprop_percentile >= split
+    return jnp.where(above, base + delta,
+                     base - delta * frac_above / split)
+
+
+class AssembiasZheng07Model(Zheng07Model):
+    """Zheng07 model with Heaviside assembly bias on centrals and satellites.
+
+    Adds the parameters ``mean_occupation_centrals_assembias_param1`` and
+    ``mean_occupation_satellites_assembias_param1`` (names chosen for
+    compatibility with halotools' decorated zheng07 models).
+    """
+
+    def __init__(self, split=0.5, sec_haloprop_key="halo_nfw_conc", **kwargs):
+        self.split = split
+        super().__init__(sec_haloprop_key=sec_haloprop_key, **kwargs)
+        self.param_dict.setdefault(
+            "mean_occupation_centrals_assembias_param1", 0.0)
+        self.param_dict.setdefault(
+            "mean_occupation_satellites_assembias_param1", 0.0)
+
+    def occupation(self, params, gal_type, log_prim_haloprop,
+                   sec_haloprop_percentile):
+        base = super().occupation(params, gal_type, log_prim_haloprop,
+                                  sec_haloprop_percentile)
+        if gal_type == CENTRALS:
+            strength = params["mean_occupation_centrals_assembias_param1"]
+            return heaviside_assembias(
+                base, strength, sec_haloprop_percentile, split=self.split,
+                lower_bound=0.0, upper_bound=1.0)
+        strength = params["mean_occupation_satellites_assembias_param1"]
+        return heaviside_assembias(
+            base, strength, sec_haloprop_percentile, split=self.split,
+            lower_bound=0.0, upper_bound=None)

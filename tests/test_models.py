@@ -1,0 +1,121 @@
+"""HOD occupation model tests."""
+
+import numpy as np
+import pytest
+from scipy.special import erf
+
+import tabcorr_tpu as tt
+from tabcorr_tpu.models import (AssembiasZheng07Model, Zheng07Model,
+                                heaviside_assembias)
+from tabcorr_tpu.models.zheng07 import ZHENG07_THRESHOLD_PARAMS
+
+
+def test_zheng07_centrals_formula():
+    model = Zheng07Model(threshold=-20)
+    mass = np.logspace(10, 15, 101)
+    got = model.mean_occupation_centrals(prim_haloprop=mass)
+    p = model.param_dict
+    want = 0.5 * (1 + erf(
+        (np.log10(mass) - p["logMmin"]) / p["sigma_logM"]))
+    np.testing.assert_allclose(got, want, rtol=1e-12)
+    assert np.all(got >= 0) and np.all(got <= 1)
+
+
+def test_zheng07_satellites_formula():
+    model = Zheng07Model(threshold=-20)
+    mass = np.logspace(10, 15, 101)
+    got = model.mean_occupation_satellites(prim_haloprop=mass)
+    p = model.param_dict
+    m0, m1 = 10 ** p["logM0"], 10 ** p["logM1"]
+    want = np.where(mass > m0, ((mass - m0) / m1) ** p["alpha"], 0.0)
+    np.testing.assert_allclose(got, want, rtol=1e-9)
+
+
+def test_zheng07_satellites_modulated():
+    plain = Zheng07Model(threshold=-20)
+    mod = Zheng07Model(threshold=-20, modulate_with_cenocc=True)
+    mass = np.logspace(11, 15, 41)
+    ncen = plain.mean_occupation_centrals(prim_haloprop=mass)
+    np.testing.assert_allclose(
+        mod.mean_occupation_satellites(prim_haloprop=mass),
+        ncen * plain.mean_occupation_satellites(prim_haloprop=mass),
+        rtol=1e-12)
+
+
+def test_zheng07_threshold_table():
+    # All Zheng07 Table 1 thresholds instantiate with 5 parameters.
+    for threshold, params in ZHENG07_THRESHOLD_PARAMS.items():
+        model = Zheng07Model(threshold=threshold)
+        for key, value in params.items():
+            assert model.param_dict[key] == value
+    with pytest.raises(ValueError):
+        Zheng07Model(threshold=-17.0)
+
+
+def test_param_overrides():
+    model = Zheng07Model(threshold=-20, logMmin=13.0)
+    assert model.param_dict["logMmin"] == 13.0
+    with pytest.raises(ValueError):
+        Zheng07Model(threshold=-20, not_a_param=1.0)
+
+
+def test_assembias_mean_preservation():
+    # Averaging the decorated occupation over the percentile distribution
+    # must recover the baseline at every mass (the defining property of the
+    # Heaviside decoration).
+    model = AssembiasZheng07Model(threshold=-20)
+    model.param_dict["mean_occupation_centrals_assembias_param1"] = 0.7
+    model.param_dict["mean_occupation_satellites_assembias_param1"] = -0.4
+    base = Zheng07Model(threshold=-20)
+
+    mass = np.logspace(11, 15, 41)
+    for split in [0.5]:
+        perc = np.linspace(0.0005, 0.9995, 1000)
+        for fn, base_fn in [
+                (model.mean_occupation_centrals,
+                 base.mean_occupation_centrals),
+                (model.mean_occupation_satellites,
+                 base.mean_occupation_satellites)]:
+            occ = np.array([fn(prim_haloprop=mass,
+                                sec_haloprop_percentile=np.full_like(mass, q))
+                            for q in perc])
+            np.testing.assert_allclose(
+                occ.mean(axis=0), base_fn(prim_haloprop=mass),
+                rtol=1e-9, atol=1e-13)
+
+
+def test_assembias_bounds_respected():
+    model = AssembiasZheng07Model(threshold=-20)
+    mass = np.logspace(10, 15.5, 201)
+    for strength in [-1.0, -0.5, 0.5, 1.0]:
+        model.param_dict["mean_occupation_centrals_assembias_param1"] = \
+            strength
+        model.param_dict["mean_occupation_satellites_assembias_param1"] = \
+            strength
+        for perc in [0.1, 0.9]:
+            q = np.full_like(mass, perc)
+            ncen = model.mean_occupation_centrals(
+                prim_haloprop=mass, sec_haloprop_percentile=q)
+            nsat = model.mean_occupation_satellites(
+                prim_haloprop=mass, sec_haloprop_percentile=q)
+            assert np.all(ncen >= -1e-12) and np.all(ncen <= 1 + 1e-12)
+            assert np.all(nsat >= -1e-12)
+
+
+def test_assembias_zero_strength_is_baseline():
+    model = AssembiasZheng07Model(threshold=-20)
+    base = Zheng07Model(threshold=-20)
+    mass = np.logspace(11, 15, 41)
+    q = np.full_like(mass, 0.8)
+    np.testing.assert_allclose(
+        model.mean_occupation_centrals(
+            prim_haloprop=mass, sec_haloprop_percentile=q),
+        base.mean_occupation_centrals(prim_haloprop=mass), rtol=1e-12)
+
+
+def test_heaviside_assembias_direction():
+    # Positive strength boosts the above-split population.
+    base = np.array([0.5])
+    hi = heaviside_assembias(base, 0.5, np.array([0.9]))
+    lo = heaviside_assembias(base, 0.5, np.array([0.1]))
+    assert float(hi[0]) > 0.5 > float(lo[0])
