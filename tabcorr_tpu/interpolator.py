@@ -101,7 +101,10 @@ def spline_eval(x, xp, a, yp):
     i = jnp.clip(jnp.searchsorted(xp, x, side="right") - 1, 0,
                  xp.shape[0] - 2)
     dx = x - xp[i]
-    powers = dx ** jnp.arange(4, dtype=yp.dtype)
+    # Powers by multiplication: jax.lax.pow of a negative base with a float
+    # exponent is NaN, unlike numpy's integer-exponent fast path.
+    one = jnp.ones((), dtype=yp.dtype)
+    powers = jnp.stack([one, dx, dx * dx, dx * dx * dx])
     return jnp.einsum("pj,j...,p->...", a[i], yp, powers)
 
 

@@ -20,8 +20,7 @@ satellites by [0, inf).
 
 from __future__ import annotations
 
-import jax.numpy as jnp
-
+from ..utils.backend import get_namespace
 from .protocol import CENTRALS, HodModel
 from .zheng07 import Zheng07Model
 
@@ -50,7 +49,8 @@ def heaviside_assembias(base, strength, sec_haloprop_percentile, split=0.5,
     jnp.ndarray
         Decorated mean occupation.
     """
-    strength = jnp.clip(strength, -1.0, 1.0)
+    xp = get_namespace(base, sec_haloprop_percentile)
+    strength = xp.clip(strength, -1.0, 1.0)
     frac_above = 1.0 - split
     ratio = split / frac_above
 
@@ -59,13 +59,13 @@ def heaviside_assembias(base, strength, sec_haloprop_percentile, split=0.5,
         room_up = ratio * head
         room_down = head
     else:
-        room_up = jnp.minimum(upper_bound - base, ratio * head)
-        room_down = jnp.minimum(head, ratio * (upper_bound - base))
+        room_up = xp.minimum(upper_bound - base, ratio * head)
+        room_down = xp.minimum(head, ratio * (upper_bound - base))
 
-    delta = jnp.where(strength >= 0, strength * room_up, strength * room_down)
+    delta = xp.where(strength >= 0, strength * room_up, strength * room_down)
     above = sec_haloprop_percentile >= split
-    return jnp.where(above, base + delta,
-                     base - delta * frac_above / split)
+    return xp.where(above, base + delta,
+                    base - delta * frac_above / split)
 
 
 class AssembiasZheng07Model(Zheng07Model):

@@ -18,9 +18,7 @@ TPU fast path stays accurate to ~1e-7 relative even for M ~ 1e15.
 
 from __future__ import annotations
 
-import jax.numpy as jnp
-from jax.scipy.special import erf
-
+from ..utils.backend import erf, get_namespace
 from .protocol import CENTRALS, HodModel
 
 _LN10 = 2.302585092994046
@@ -49,14 +47,15 @@ def zheng07_centrals(params, log_prim_haloprop):
 
 def zheng07_satellites(params, log_prim_haloprop, modulate_with_cenocc=False):
     """<N_sat> as a pure function of a params dict and log10(M)."""
+    xp = get_namespace(log_prim_haloprop)
     log_m = log_prim_haloprop
     log_m0 = params["logM0"]
     # log10(M - M0), computed stably in log space; clamp the argument of
     # log1p away from -1 so the masked-out branch stays finite under jit.
-    ratio = jnp.clip(10.0 ** (log_m0 - log_m), max=1.0 - 1e-12)
-    log_diff = log_m + jnp.log1p(-ratio) / _LN10
-    nsat = jnp.exp(_LN10 * params["alpha"] * (log_diff - params["logM1"]))
-    nsat = jnp.where(log_m > log_m0, nsat, 0.0)
+    ratio = xp.minimum(10.0 ** (log_m0 - log_m), 1.0 - 1e-12)
+    log_diff = log_m + xp.log1p(-ratio) / _LN10
+    nsat = xp.exp(_LN10 * params["alpha"] * (log_diff - params["logM1"]))
+    nsat = xp.where(log_m > log_m0, nsat, 0.0)
     if modulate_with_cenocc:
         nsat = nsat * zheng07_centrals(params, log_prim_haloprop)
     return nsat

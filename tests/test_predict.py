@@ -54,13 +54,16 @@ def test_separate_gal_type_sums_to_total(fixture, bol_model, request):
 
 
 def test_n_gauss_prim_convergence(wp_tabcorr, bol_model):
-    # Mirrors the reference quadrature test (tests/test_general.py:31-43).
+    # Mirrors the reference quadrature test (tests/test_general.py:31-43):
+    # coarse quadrature differs, fine quadrature is converged.  (The
+    # bolplanck example table has wider mass bins than the reference test's
+    # wp_efficient fixture, so convergence to 1e-6 needs ~100 nodes here.)
     ngal_1, xi_1 = wp_tabcorr.predict(
         bol_model, n_gauss_prim=1, check_consistency=False)
     ngal_2, xi_2 = wp_tabcorr.predict(
-        bol_model, n_gauss_prim=10, check_consistency=False)
-    ngal_3, xi_3 = wp_tabcorr.predict(
         bol_model, n_gauss_prim=100, check_consistency=False)
+    ngal_3, xi_3 = wp_tabcorr.predict(
+        bol_model, n_gauss_prim=400, check_consistency=False)
 
     assert not np.isclose(ngal_1, ngal_2, atol=0, rtol=1e-6)
     assert not np.allclose(xi_1, xi_2, atol=0, rtol=1e-6)
