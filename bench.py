@@ -1,0 +1,135 @@
+"""Benchmark: batched zheng07 wp + xi_ell predictions per second.
+
+The reference's headline numbers (BASELINE.md): a direct halotools
+computation takes ~60 s per model evaluation and TabCorr ``predict`` ~1 ms
+(≈1e3 evaluations/sec, single CPU core).  The north star for this rebuild
+is >=1e6 batched zheng07 wp+xi_ell predictions/sec on TPU at <1e-6 relative
+error vs the float64 reference path.
+
+One "prediction" = a full wp(rp) + xi_0/xi_2/xi_4 evaluation for one HOD
+parameter vector:
+
+* wp: the reference's own bolplanck example tabulation
+  (19 rp bins, 60 halo bins, auto mode, checked-in fixture).
+* xi_ell: a synthetic-valued tabulation with the *production shape* of the
+  published database tables ('default' config: 30 prim-haloprop bins x 2
+  secondary percentiles x 2 galaxy types = 120 bins, auto mode, 14 s bins
+  x 3 multipoles stacked into one 42-row contraction).  Throughput depends
+  only on shapes; matrix values are irrelevant.
+
+Prints one JSON line:
+  {"metric": ..., "value": ..., "unit": ..., "vs_baseline": ...}
+vs_baseline is measured rate / 1e3 (the reference's ~1 ms predict).
+"""
+
+import json
+import time
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+import tabcorr_tpu as tt
+from tabcorr_tpu.ops.predict import TableData, quadrature_grid
+from tabcorr_tpu.predictor import make_predictor, occupation_functions, params_batch
+from tabcorr_tpu.ops.predict import mean_occupation, predict_from_occupation
+
+BASELINE_PREDICTIONS_PER_SEC = 1.0e3  # reference predict ~1 ms / eval
+BATCH = 32768
+CHUNK = 4096
+N_ITER = 10
+
+
+def synthetic_xi_ell_table(dtype=jnp.float32, seed=0):
+    """xi_0/2/4 tabulation with the published 'default' production shape."""
+    rng = np.random.default_rng(seed)
+    n_prim, n_sec = 30, 2
+    n_half = n_prim * n_sec
+    n_bins = 2 * n_half
+    n_xi = 3 * 14  # three multipoles x 14 s bins
+
+    log_min = np.tile(np.repeat(np.linspace(11.0, 15.0, n_prim), n_sec), 2)
+    width = 4.0 / n_prim
+    dense = rng.normal(size=(n_xi, n_bins, n_bins))
+    dense = dense + np.transpose(dense, (0, 2, 1))  # symmetric like auto mode
+    n_h = np.tile(10.0 ** -(3 + 2 * np.linspace(0, 1, n_half)), 2)
+    log_quad, weight = quadrature_grid(
+        log_min, log_min + width, np.zeros(n_bins), 10)
+    sec = np.tile(np.tile([0.25, 0.75], n_prim), 2)
+    return TableData(
+        tpcf_dense=jnp.asarray(dense, dtype=dtype),
+        n_h=jnp.asarray(n_h, dtype=dtype),
+        log_prim_quad=jnp.asarray(log_quad, dtype=dtype),
+        quad_weight=jnp.asarray(weight, dtype=dtype),
+        sec_perc=jnp.asarray(sec, dtype=dtype),
+        mode="auto", tpcf_shape=(3, 14), n_centrals=n_half)
+
+
+def main():
+    wp_tab = tt.TabCorr.read("tests/data/examples/bolplanck_wp.hdf5")
+    model = tt.Zheng07Model(threshold=-18,
+                            redshift=wp_tab.attrs["redshift"])
+    occ_c, occ_s = occupation_functions(model)
+
+    wp_table = wp_tab.table_data(n_gauss=10, dtype=jnp.float32)
+    xi_table = synthetic_xi_ell_table(dtype=jnp.float32)
+
+    def one(params):
+        mo_wp = mean_occupation(wp_table, occ_c, occ_s, params)
+        ngal, wp = predict_from_occupation(wp_table, mo_wp)
+        mo_xi = mean_occupation(xi_table, occ_c, occ_s, params)
+        _, xi_ell = predict_from_occupation(xi_table, mo_xi)
+        return ngal, wp, xi_ell
+
+    @jax.jit
+    def predict_all(params):
+        # Chunk the batch so the (chunk, n_xi, n_bins) contraction
+        # intermediates stay small.
+        chunked = jax.tree.map(
+            lambda x: x.reshape(BATCH // CHUNK, CHUNK), params)
+        return jax.lax.map(jax.vmap(one), chunked)
+
+    rng = np.random.default_rng(7)
+    overrides = {
+        "logMmin": 11.35 + 0.1 * rng.normal(size=BATCH),
+        "sigma_logM": 0.25 + 0.01 * rng.normal(size=BATCH),
+        "logM0": 11.2 + 0.1 * rng.normal(size=BATCH),
+        "logM1": 12.4 + 0.1 * rng.normal(size=BATCH),
+        "alpha": 0.83 + 0.02 * rng.normal(size=BATCH),
+    }
+    params = params_batch(model, overrides, (BATCH,), dtype=jnp.float32)
+
+    # Warm up / compile.
+    out = predict_all(params)
+    jax.block_until_ready(out)
+
+    t0 = time.perf_counter()
+    for _ in range(N_ITER):
+        out = predict_all(params)
+    jax.block_until_ready(out)
+    elapsed = time.perf_counter() - t0
+
+    rate = BATCH * N_ITER / elapsed
+
+    # Accuracy vs the float64 host parity path for the wp statistic.
+    f32 = make_predictor(wp_tab, model, dtype=jnp.float32,
+                         vectorized=False)
+    got = f32({k: jnp.float32(v) for k, v in model.param_dict.items()})
+    want = wp_tab.predict(model, check_consistency=False)
+    rel_err = float(np.max(np.abs(
+        np.asarray(got[1], dtype=np.float64) / want[1] - 1)))
+
+    print(json.dumps({
+        "metric": "zheng07_wp_xi_ell_predictions_per_sec",
+        "value": float(rate),
+        "unit": "predictions/s",
+        "vs_baseline": float(rate / BASELINE_PREDICTIONS_PER_SEC),
+        "batch": BATCH,
+        "device": str(jax.devices()[0]),
+        "wp_f32_max_rel_err_vs_f64": rel_err,
+    }))
+
+
+if __name__ == "__main__":
+    main()

@@ -51,8 +51,12 @@ def zheng07_satellites(params, log_prim_haloprop, modulate_with_cenocc=False):
     log_m = log_prim_haloprop
     log_m0 = params["logM0"]
     # log10(M - M0), computed stably in log space; clamp the argument of
-    # log1p away from -1 so the masked-out branch stays finite under jit.
-    ratio = xp.minimum(10.0 ** (log_m0 - log_m), 1.0 - 1e-12)
+    # log1p away from -1 so value *and gradient* stay finite even when a
+    # node mass sits within one ulp of M0 (in float32, 10**(logM0 - logM)
+    # can round to exactly 1.0 just above the kink, and the unclamped
+    # log1p gradient is then inf * 0 = NaN).
+    eps = 1e-12 if xp.asarray(log_m).dtype == xp.float64 else 1e-6
+    ratio = xp.minimum(10.0 ** (log_m0 - log_m), 1.0 - eps)
     log_diff = log_m + xp.log1p(-ratio) / _LN10
     nsat = xp.exp(_LN10 * params["alpha"] * (log_diff - params["logM1"]))
     nsat = xp.where(log_m > log_m0, nsat, 0.0)

@@ -9,7 +9,13 @@ jax initializes its backends.
 import os
 from pathlib import Path
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
+# Force CPU with 8 virtual devices regardless of how the surrounding
+# environment pins JAX to an accelerator plugin.  Site hooks may import jax
+# at interpreter startup (before this conftest runs), so plain env vars can
+# be too late — jax.config.update works as long as no backend client has
+# been initialized yet.
+os.environ["JAX_PLATFORMS"] = "cpu"
+os.environ["JAX_PLATFORM_NAME"] = "cpu"
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (
@@ -20,7 +26,10 @@ os.environ["TABCORR_DATABASE"] = str(DATA_DIR)
 
 import jax  # noqa: E402
 
+jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_enable_x64", True)
+assert jax.default_backend() == "cpu", (
+    "tests must run on CPU; a backend was initialized before conftest")
 
 import numpy as np  # noqa: E402
 import pytest  # noqa: E402

@@ -1,0 +1,97 @@
+"""Sharded prediction and batched predictor tests (8 virtual CPU devices)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+import tabcorr_tpu as tt
+from tabcorr_tpu.parallel import (make_mesh, make_sharded_predict,
+                                  shard_params, shard_table_data)
+from tabcorr_tpu.predictor import (make_predictor, occupation_functions,
+                                   params_batch)
+
+
+def _batch(model, B, seed=0, dtype=jnp.float64):
+    rng = np.random.default_rng(seed)
+    return params_batch(
+        model,
+        {"logM1": model.param_dict["logM1"] + 0.1 * rng.normal(size=B),
+         "logMmin": model.param_dict["logMmin"] + 0.1 * rng.normal(size=B)},
+        (B,), dtype=dtype)
+
+
+def test_make_predictor_matches_host(wp_tabcorr, bol_model):
+    f = make_predictor(wp_tabcorr, bol_model, dtype=jnp.float64)
+    B = 8
+    params = _batch(bol_model, B)
+    ngal, xi = f(params)
+    for i in [0, 5]:
+        m = tt.Zheng07Model(threshold=-18,
+                            redshift=wp_tabcorr.attrs["redshift"])
+        for k in ("logM1", "logMmin"):
+            m.param_dict[k] = float(params[k][i])
+        ngal_i, xi_i = wp_tabcorr.predict(m, check_consistency=False)
+        assert np.isclose(float(ngal[i]), ngal_i, rtol=1e-12)
+        np.testing.assert_allclose(np.asarray(xi[i]), xi_i, rtol=1e-12)
+
+
+def test_interpolator_predictor_matches_host(ds_interpolator, model):
+    f = make_predictor(ds_interpolator, model, dtype=jnp.float64)
+    model.param_dict["log_eta"] = 0.07
+    params = params_batch(model, {}, (4,), dtype=jnp.float64)
+    ngal, xi = f(params)
+    ngal_host, xi_host = ds_interpolator.predict(model)
+    assert np.isclose(float(ngal[0]), ngal_host, rtol=1e-10)
+    np.testing.assert_allclose(np.asarray(xi[0]), xi_host, rtol=1e-10)
+
+
+def test_interpolator_predictor_separate(ds_interpolator, model):
+    f = make_predictor(ds_interpolator, model, dtype=jnp.float64,
+                       separate_gal_type=True)
+    model.param_dict["log_eta"] = -0.1
+    params = params_batch(model, {}, (2,), dtype=jnp.float64)
+    ngal, xi = f(params)
+    ngal_host, xi_host = ds_interpolator.predict(model,
+                                                 separate_gal_type=True)
+    for key in ngal_host:
+        assert np.isclose(float(ngal[key][0]), ngal_host[key], rtol=1e-10)
+    for key in xi_host:
+        np.testing.assert_allclose(np.asarray(xi[key][0]),
+                                   xi_host[key], rtol=1e-10)
+
+
+@pytest.mark.parametrize("table_parallel", [1, 2, 4])
+@pytest.mark.parametrize("fixture", ["wp_tabcorr", "ds_tabcorr"])
+def test_sharded_predict_matches_plain(fixture, bol_model, table_parallel,
+                                       request):
+    halotab = request.getfixturevalue(fixture)
+    if len(jax.devices()) < 8:
+        pytest.skip("needs 8 virtual devices")
+    mesh = make_mesh(8, table_parallel=table_parallel)
+    table = halotab.table_data(dtype=jnp.float64)
+    occ_c, occ_s = occupation_functions(bol_model)
+    f_sharded, _ = make_sharded_predict(mesh, table, occ_c, occ_s)
+
+    B = 16
+    params = _batch(bol_model, B)
+    f_plain = make_predictor(halotab, bol_model, dtype=jnp.float64)
+    ngal_p, xi_p = f_plain(params)
+    ngal_s, xi_s = f_sharded(shard_params(params, mesh))
+    np.testing.assert_allclose(np.asarray(ngal_s), np.asarray(ngal_p),
+                               rtol=1e-12)
+    np.testing.assert_allclose(np.asarray(xi_s), np.asarray(xi_p),
+                               rtol=1e-12)
+
+
+def test_shard_table_padding(wp_tabcorr):
+    table = wp_tabcorr.table_data(dtype=jnp.float64)
+    padded = shard_table_data(table, 7)
+    assert padded.n_bins % 7 == 0
+    # Padding bins are inert: n_h == 0.
+    assert float(jnp.sum(padded.n_h[table.n_bins:])) == 0.0
+
+
+def test_mesh_validation():
+    with pytest.raises(ValueError):
+        make_mesh(8, table_parallel=3)
