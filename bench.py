@@ -30,6 +30,9 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 
+jax.config.update("jax_compilation_cache_dir", "/tmp/tabcorr_jax_cache")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
 import tabcorr_tpu as tt
 from tabcorr_tpu.ops.predict import TableData, quadrature_grid
 from tabcorr_tpu.predictor import make_predictor, occupation_functions, params_batch

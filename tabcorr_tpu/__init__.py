@@ -9,11 +9,15 @@ database layer — plus what the reference never had: jit/vmap/grad-able
 prediction kernels, device-mesh sharding, and on-device MCMC.
 """
 
-from . import cosmology, database
+from . import corrfunc, cosmology, database
+from .halocat import HaloCatalog, ParticleCatalog
 from .interpolator import Interpolator
 from .models import AssembiasZheng07Model, HodModel, Zheng07Model
 from .table import TabCorr
+from .tabulate import distribution_index, sort_into_bins
 
 __version__ = "0.1.0"
 __all__ = ["TabCorr", "Interpolator", "HodModel", "Zheng07Model",
-           "AssembiasZheng07Model", "cosmology", "database"]
+           "AssembiasZheng07Model", "HaloCatalog", "ParticleCatalog",
+           "cosmology", "database", "corrfunc", "sort_into_bins",
+           "distribution_index"]

@@ -1,0 +1,137 @@
+"""ctypes bindings for the native (C++/OpenMP) cell-list pair counters.
+
+The device kernels in :mod:`tabcorr_tpu.ops.paircount` are the primary
+compute path; this module provides the same labeled-histogram interface
+backed by ``native/paircount.cpp`` for hosts without an accelerator (the
+role Corrfunc plays for the reference).  The shared library is compiled on
+first use with the system g++ and cached next to the source.
+"""
+
+from __future__ import annotations
+
+import ctypes
+import subprocess
+from pathlib import Path
+
+import numpy as np
+
+_NATIVE_DIR = Path(__file__).absolute().parent.parent / "native"
+_SOURCE = _NATIVE_DIR / "paircount.cpp"
+_LIB_PATH = _NATIVE_DIR / "libtabcorr_paircount.so"
+_LIB = None
+
+
+class NativeUnavailable(RuntimeError):
+    pass
+
+
+def _build_library():
+    cmd = ["g++", "-O3", "-std=c++17", "-shared", "-fPIC", "-fopenmp",
+           "-march=native", str(_SOURCE), "-o", str(_LIB_PATH)]
+    try:
+        subprocess.run(cmd, check=True, capture_output=True, text=True)
+    except (subprocess.CalledProcessError, FileNotFoundError) as exc:
+        detail = getattr(exc, "stderr", str(exc))
+        raise NativeUnavailable(
+            f"Could not build the native pair counter: {detail}")
+
+
+def load_library():
+    """Load (building if necessary) the native library."""
+    global _LIB
+    if _LIB is not None:
+        return _LIB
+    if not _LIB_PATH.exists() or (_SOURCE.exists() and
+                                  _SOURCE.stat().st_mtime >
+                                  _LIB_PATH.stat().st_mtime):
+        if not _SOURCE.exists():
+            raise NativeUnavailable(f"{_SOURCE} not found.")
+        _build_library()
+    lib = ctypes.CDLL(str(_LIB_PATH))
+    lib.tabcorr_count_pairs.restype = None
+    lib.tabcorr_count_pairs.argtypes = [
+        ctypes.POINTER(ctypes.c_double),   # pos1
+        ctypes.POINTER(ctypes.c_int32),    # labels1
+        ctypes.c_int64,                    # n1
+        ctypes.POINTER(ctypes.c_double),   # pos2
+        ctypes.POINTER(ctypes.c_int32),    # labels2
+        ctypes.POINTER(ctypes.c_double),   # weights2
+        ctypes.c_int64,                    # n2
+        ctypes.c_int,                      # autocorr
+        ctypes.c_int,                      # n_labels_1
+        ctypes.c_int,                      # n_labels_2
+        ctypes.POINTER(ctypes.c_double),   # r_edges_sq
+        ctypes.c_int,                      # n_r
+        ctypes.c_double,                   # pi_max
+        ctypes.c_int,                      # n_mu
+        ctypes.POINTER(ctypes.c_double),   # period
+        ctypes.c_int,                      # kind
+        ctypes.POINTER(ctypes.c_double),   # out
+    ]
+    lib.tabcorr_native_version.restype = ctypes.c_int
+    _LIB = lib
+    return lib
+
+
+def native_available() -> bool:
+    try:
+        load_library()
+        return True
+    except NativeUnavailable:
+        return False
+
+
+_KINDS = {"rppi": 0, "proj": 1, "smu": 2}
+
+
+def labeled_pair_count(pos1, labels1, n_labels_1, pos2=None, labels2=None,
+                       n_labels_2=None, weights2=None, period=1.0,
+                       kind="rppi", r_edges=None, pi_max=None,
+                       mu_edges=None):
+    """Native twin of :func:`tabcorr_tpu.ops.paircount.labeled_pair_count`."""
+    lib = load_library()
+    period = np.ascontiguousarray(
+        np.broadcast_to(np.asarray(period, dtype=np.float64), (3,)))
+    r_edges = np.ascontiguousarray(r_edges, dtype=np.float64)
+    n_r = len(r_edges) - 1
+    n_mu = len(mu_edges) - 1 if kind == "smu" else 1
+
+    auto = pos2 is None
+    pos1 = np.ascontiguousarray(pos1, dtype=np.float64)
+    labels1 = np.ascontiguousarray(labels1, dtype=np.int32)
+    if auto:
+        pos2, labels2, n_labels_2 = pos1, labels1, n_labels_1
+    else:
+        pos2 = np.ascontiguousarray(pos2, dtype=np.float64)
+        labels2 = (np.zeros(len(pos2), dtype=np.int32) if labels2 is None
+                   else np.ascontiguousarray(labels2, dtype=np.int32))
+        n_labels_2 = n_labels_2 or int(labels2.max()) + 1
+
+    if weights2 is None:
+        weights2 = np.ones(len(pos2), dtype=np.float64)
+    else:
+        weights2 = np.asarray(weights2, dtype=np.float64)
+        if weights2.ndim == 0:
+            weights2 = np.full(len(pos2), weights2)
+        weights2 = np.ascontiguousarray(weights2)
+
+    n_sub = n_r * n_mu
+    out = np.zeros(n_labels_1 * n_labels_2 * n_sub, dtype=np.float64)
+    edges_sq = np.ascontiguousarray(r_edges**2)
+
+    def ptr(array, ctype):
+        return array.ctypes.data_as(ctypes.POINTER(ctype))
+
+    lib.tabcorr_count_pairs(
+        ptr(pos1, ctypes.c_double), ptr(labels1, ctypes.c_int32),
+        len(pos1), ptr(pos2, ctypes.c_double),
+        ptr(labels2, ctypes.c_int32), ptr(weights2, ctypes.c_double),
+        len(pos2), int(auto), int(n_labels_1), int(n_labels_2),
+        ptr(edges_sq, ctypes.c_double), n_r,
+        float(pi_max if pi_max is not None else 0.0), n_mu,
+        ptr(period, ctypes.c_double), _KINDS[kind],
+        ptr(out, ctypes.c_double))
+
+    if kind == "smu":
+        return out.reshape(n_labels_1, n_labels_2, n_r, n_mu)
+    return out.reshape(n_labels_1, n_labels_2, n_r)

@@ -43,6 +43,17 @@ class TabCorr:
         self._table_data_cache = {}
 
     # ------------------------------------------------------------------
+    @classmethod
+    def tabulate(cls, halocat, tpcf, *tpcf_args, **kwargs):
+        """Tabulate correlation functions for a halo catalog.
+
+        See :func:`tabcorr_tpu.tabulate.tabulate` (signature-compatible
+        with the reference, tabcorr/tabcorr.py:24-34).
+        """
+        from .tabulate import tabulate as _tabulate
+        return _tabulate(cls, halocat, tpcf, *tpcf_args, **kwargs)
+
+    # ------------------------------------------------------------------
     # I/O  (schema parity: reference tabcorr/tabcorr.py:374-463)
     # ------------------------------------------------------------------
     @classmethod

@@ -13,23 +13,30 @@ from pathlib import Path
 # environment pins JAX to an accelerator plugin.  Site hooks may import jax
 # at interpreter startup (before this conftest runs), so plain env vars can
 # be too late — jax.config.update works as long as no backend client has
-# been initialized yet.
-os.environ["JAX_PLATFORMS"] = "cpu"
-os.environ["JAX_PLATFORM_NAME"] = "cpu"
-flags = os.environ.get("XLA_FLAGS", "")
-if "xla_force_host_platform_device_count" not in flags:
-    os.environ["XLA_FLAGS"] = (
-        flags + " --xla_force_host_platform_device_count=8").strip()
+# been initialized yet.  Set TABCORR_TEST_ACCELERATOR=1 to keep the real
+# device (useful for the slow pair-counting golden tests).
+USE_ACCELERATOR = bool(os.environ.get("TABCORR_TEST_ACCELERATOR"))
+
+if not USE_ACCELERATOR:
+    os.environ["JAX_PLATFORMS"] = "cpu"
+    os.environ["JAX_PLATFORM_NAME"] = "cpu"
+    flags = os.environ.get("XLA_FLAGS", "")
+    if "xla_force_host_platform_device_count" not in flags:
+        os.environ["XLA_FLAGS"] = (
+            flags + " --xla_force_host_platform_device_count=8").strip()
 
 DATA_DIR = Path(__file__).absolute().parent / "data"
 os.environ["TABCORR_DATABASE"] = str(DATA_DIR)
 
 import jax  # noqa: E402
 
-jax.config.update("jax_platforms", "cpu")
+if not USE_ACCELERATOR:
+    jax.config.update("jax_platforms", "cpu")
+    assert jax.default_backend() == "cpu", (
+        "tests must run on CPU; a backend was initialized before conftest")
 jax.config.update("jax_enable_x64", True)
-assert jax.default_backend() == "cpu", (
-    "tests must run on CPU; a backend was initialized before conftest")
+jax.config.update("jax_compilation_cache_dir", "/tmp/tabcorr_jax_cache")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
 import numpy as np  # noqa: E402
 import pytest  # noqa: E402

@@ -1,0 +1,111 @@
+"""Golden end-to-end validation (slow).
+
+Mirrors the reference's ``test_predictions`` (tests/test_database.py:44-91):
+tabulate a synthetic halo catalog, then populate the SAME catalog with an
+actual zheng07 model, measure wp directly with the pair counter, and require
+the TabCorr prediction to match the mock mean.  This validates the entire
+chain: conditional percentiles -> binning -> dense dummy mock -> labeled
+pair counting -> estimators -> packing -> quadrature -> contraction.
+"""
+
+import numpy as np
+import pytest
+
+import tabcorr_tpu as tt
+from tabcorr_tpu.mock import populate_mock
+from tabcorr_tpu.ops import paircount
+
+from test_tabulate import synthetic_halocat
+
+
+@pytest.mark.slow
+def test_wp_prediction_matches_direct_mock():
+    halocat = synthetic_halocat(n_halos=6000, lbox=250.0, seed=5,
+                                log_mass_range=(12.0, 14.0))
+    rp_bins = np.logspace(-0.3, 1.1, 7)
+    pi_max = 20.0
+
+    halotab = tt.TabCorr.tabulate(
+        halocat, tt.corrfunc.wp, rp_bins, pi_max, mode="auto",
+        prim_haloprop_bins=12, Num_ptcl_requirement=300,
+        sats_per_prim_haloprop=1e-12, project_xyz=True, seed=42)
+
+    model = tt.Zheng07Model(threshold=-20, redshift=0.0, logMmin=12.6,
+                            sigma_logM=0.3, logM0=12.4, logM1=13.6,
+                            alpha=1.0)
+    ngal_pred, wp_pred = halotab.predict(model, check_consistency=False)
+
+    rng = np.random.default_rng(99)
+    wp_direct = []
+    n_direct = []
+    for _ in range(5):
+        mock = populate_mock(halocat, model, rng,
+                             num_ptcl_requirement=300)
+        n_direct.append(len(mock["pos"]) / halocat.Lbox.prod())
+        for xyz in ["xyz", "yzx", "zxy"]:
+            axes = ["xyz".index(c) for c in xyz]
+            pos = mock["pos"][:, axes].copy()
+            from tabcorr_tpu.mock import apply_redshift_space_distortions
+            pos[:, 2] = apply_redshift_space_distortions(
+                pos[:, 2], mock["vel"][:, axes[2]], halocat.redshift,
+                halocat.cosmology, halocat.Lbox[axes[2]])
+            wp_direct.append(paircount.wp(pos, rp_bins, pi_max,
+                                          period=halocat.Lbox))
+
+    wp_mean = np.mean(wp_direct, axis=0)
+    ngal_mean = np.mean(n_direct)
+
+    assert np.isclose(ngal_pred, ngal_mean, rtol=0.05)
+    np.testing.assert_allclose(wp_pred, wp_mean, rtol=0.1, atol=0.5)
+
+
+@pytest.mark.slow
+def test_ds_prediction_matches_direct_mock():
+    halocat = synthetic_halocat(n_halos=4000, lbox=250.0, seed=6,
+                                log_mass_range=(12.0, 14.0))
+    rng = np.random.default_rng(123)
+
+    # Particles must trace the mass for delta sigma to carry signal:
+    # NFW-distributed particles around each halo (count ~ mass) plus a
+    # uniform background.
+    from tabcorr_tpu.mock import nfw_sample_scaled_radii, random_unit_vectors
+    halos = halocat.host_halos("halo_mvir", 300)
+    mass = np.asarray(halos["halo_mvir"], dtype=np.float64)
+    m_per_ptcl = mass.sum() / 60000
+    n_per_halo = rng.poisson(mass / m_per_ptcl)
+    rows = np.repeat(np.arange(len(halos)), n_per_halo)
+    conc = np.asarray(halos["halo_nfw_conc"])[rows]
+    rvir = np.asarray(halos["halo_rvir"])[rows]
+    centers = np.column_stack([halos["halo_x"], halos["halo_y"],
+                               halos["halo_z"]])[rows]
+    radii = nfw_sample_scaled_radii(conc, rng.uniform(size=len(rows)))
+    pos_p = (centers + (radii * rvir)[:, None] *
+             random_unit_vectors(rng, len(rows))) % 250.0
+    n_bg = 20000
+    pos_p = np.concatenate([pos_p, rng.uniform(0, 250, (n_bg, 3))])
+    ptcl = tt.ParticleCatalog(
+        pos_p[:, 0], pos_p[:, 1], pos_p[:, 2], Lbox=250.0,
+        particle_mass=m_per_ptcl, redshift=0.0, n_total=len(pos_p))
+    rp_bins = np.logspace(-0.3, 1.0, 5)
+
+    halotab = tt.TabCorr.tabulate(
+        halocat, tt.corrfunc.mean_delta_sigma, ptcl.positions,
+        ptcl.effective_particle_mass, rp_bins, mode="cross",
+        prim_haloprop_bins=20, Num_ptcl_requirement=300,
+        sats_per_prim_haloprop=1e-12, seed=44)
+
+    model = tt.Zheng07Model(threshold=-20, redshift=0.0, logMmin=12.6,
+                            sigma_logM=0.3, logM0=12.4, logM1=13.6,
+                            alpha=1.0)
+    ngal_pred, ds_pred = halotab.predict(model, check_consistency=False)
+
+    ds_direct = []
+    for _ in range(5):
+        mock = populate_mock(halocat, model, rng,
+                             num_ptcl_requirement=300)
+        ds_direct.append(paircount.mean_delta_sigma(
+            mock["pos"], ptcl.positions, ptcl.effective_particle_mass,
+            rp_bins, period=halocat.Lbox))
+    ds_mean = np.mean(ds_direct, axis=0)
+    np.testing.assert_allclose(ds_pred, ds_mean, rtol=0.15,
+                               atol=0.02 * np.max(np.abs(ds_mean)))

@@ -1,0 +1,86 @@
+"""Native (C++ cell-list) pair counter vs the device kernels."""
+
+import numpy as np
+import pytest
+
+from tabcorr_tpu import native
+from tabcorr_tpu.ops import paircount
+
+pytestmark = pytest.mark.skipif(
+    not native.native_available(), reason="no native toolchain")
+
+
+@pytest.fixture(scope="module")
+def data():
+    rng = np.random.default_rng(2)
+    L = 60.0
+    pos = rng.uniform(0, L, (900, 3))
+    labels = rng.integers(0, 3, 900).astype(np.int32)
+    return L, pos, labels
+
+
+def test_native_rppi_matches_jax(data):
+    L, pos, labels = data
+    rp_bins = np.logspace(-0.5, 1.1, 6)
+    want = paircount.labeled_pair_count(
+        pos, labels, 3, period=L, kind="rppi", r_edges=rp_bins, pi_max=8.0)
+    got = native.labeled_pair_count(
+        pos, labels, 3, period=L, kind="rppi", r_edges=rp_bins, pi_max=8.0)
+    np.testing.assert_array_equal(got, want)
+
+
+def test_native_smu_matches_jax(data):
+    L, pos, labels = data
+    s_bins = np.logspace(-0.5, 1.1, 5)
+    mu_bins = np.linspace(0, 1, 6)
+    want = paircount.labeled_pair_count(
+        pos, labels, 3, period=L, kind="smu", r_edges=s_bins,
+        mu_edges=mu_bins)
+    got = native.labeled_pair_count(
+        pos, labels, 3, period=L, kind="smu", r_edges=s_bins,
+        mu_edges=mu_bins)
+    np.testing.assert_array_equal(got, want)
+
+
+def test_native_proj_weighted_matches_jax(data):
+    L, pos, labels = data
+    rng = np.random.default_rng(5)
+    ptcl = rng.uniform(0, L, (2000, 3))
+    weights = rng.uniform(0.5, 2.0, 2000)
+    rp_bins = np.logspace(-0.5, 1.0, 5)
+    want = paircount.labeled_pair_count(
+        pos, labels, 3, pos2=ptcl, weights2=weights, period=L,
+        kind="proj", r_edges=rp_bins)
+    got = native.labeled_pair_count(
+        pos, labels, 3, pos2=ptcl, weights2=weights, period=L,
+        kind="proj", r_edges=rp_bins)
+    # The device kernel accumulates weights in float32, the native one in
+    # float64: only approximate agreement is expected.
+    np.testing.assert_allclose(got, want, rtol=2e-5)
+
+
+def test_native_cross_labels(data):
+    L, pos, labels = data
+    rng = np.random.default_rng(6)
+    pos2 = rng.uniform(0, L, (500, 3))
+    labels2 = rng.integers(0, 2, 500).astype(np.int32)
+    rp_bins = np.logspace(-0.5, 1.0, 4)
+    want = paircount.labeled_pair_count(
+        pos, labels, 3, pos2=pos2, labels2=labels2, n_labels_2=2,
+        period=L, kind="rppi", r_edges=rp_bins, pi_max=10.0)
+    got = native.labeled_pair_count(
+        pos, labels, 3, pos2=pos2, labels2=labels2, n_labels_2=2,
+        period=L, kind="rppi", r_edges=rp_bins, pi_max=10.0)
+    np.testing.assert_array_equal(got, want)
+
+
+def test_native_negative_labels_ignored(data):
+    L, pos, labels = data
+    labels = labels.copy()
+    labels[:100] = -1
+    rp_bins = np.logspace(-0.5, 1.0, 4)
+    want = paircount.labeled_pair_count(
+        pos, labels, 3, period=L, kind="rppi", r_edges=rp_bins, pi_max=5.0)
+    got = native.labeled_pair_count(
+        pos, labels, 3, period=L, kind="rppi", r_edges=rp_bins, pi_max=5.0)
+    np.testing.assert_array_equal(got, want)

@@ -1,0 +1,227 @@
+"""Tabulation engine tests on a synthetic halo catalog."""
+
+import numpy as np
+import pytest
+
+import tabcorr_tpu as tt
+from tabcorr_tpu.mock import G_KMS_MPC_MSUN
+from tabcorr_tpu.ops import paircount
+from tabcorr_tpu.tabulate import (bin_labels, compute_conditional_percentiles,
+                                  distribution_index, sort_into_bins)
+
+
+def synthetic_halocat(n_halos=800, lbox=150.0, seed=1, cosmology=None,
+                      log_mass_range=(12.0, 13.5)):
+    rng = np.random.default_rng(seed)
+    mass = 10.0 ** rng.uniform(*log_mass_range, n_halos)
+    # r_vir for Delta=200 rho_crit-ish, just a plausible scaling [Mpc/h].
+    rvir = 0.3 * (mass / 1e13) ** (1.0 / 3.0)
+    table = {
+        "halo_x": rng.uniform(0, lbox, n_halos),
+        "halo_y": rng.uniform(0, lbox, n_halos),
+        "halo_z": rng.uniform(0, lbox, n_halos),
+        "halo_vx": 300 * rng.normal(size=n_halos),
+        "halo_vy": 300 * rng.normal(size=n_halos),
+        "halo_vz": 300 * rng.normal(size=n_halos),
+        "halo_mvir": mass,
+        "halo_rvir": rvir,
+        "halo_nfw_conc": np.clip(
+            8 * (mass / 1e13) ** -0.1 * np.exp(0.3 * rng.normal(size=n_halos)),
+            2.0, 25.0),
+        "halo_upid": np.full(n_halos, -1, dtype=np.int64),
+    }
+    if cosmology is None:
+        cosmology = tt.cosmology.FlatFLRW(H0=70, Om0=0.3, Tcmb0=0, Neff=0)
+    return tt.HaloCatalog(table, Lbox=lbox, particle_mass=1e9,
+                          redshift=0.0, cosmology=cosmology,
+                          simname="synthetic")
+
+
+@pytest.fixture(scope="module")
+def halocat():
+    return synthetic_halocat()
+
+
+@pytest.fixture(scope="module")
+def wp_tabulated(halocat):
+    rp_bins = np.logspace(-0.5, 1.2, 6)
+    return tt.TabCorr.tabulate(
+        halocat, tt.corrfunc.wp, rp_bins, 15.0, mode="auto",
+        prim_haloprop_bins=6, Num_ptcl_requirement=300,
+        sats_per_prim_haloprop=1e-12, seed=42)
+
+
+def test_tabulate_structure(wp_tabulated, halocat):
+    tab = wp_tabulated
+    assert tab.attrs["tpcf"] == "wp"
+    assert tab.attrs["mode"] == "auto"
+    assert tab.tpcf_shape == (5,)
+    n_bins = tab.n_bins
+    assert tab.tpcf_matrix.shape == (5, (n_bins**2 + n_bins) // 2)
+    # n_h stores number densities (reference: tabcorr/tabcorr.py:353-354).
+    total_density = np.sum(tab.gal_type["n_h"][
+        tab.gal_type["gal_type"] == b"centrals"])
+    n_hosts = len(halocat.host_halos("halo_mvir", 300))
+    assert np.isclose(total_density, n_hosts / halocat.Lbox.prod(),
+                      rtol=1e-10)
+    # Schema columns match the reference file format.
+    for col in ["n_h", "log_prim_haloprop_min", "log_prim_haloprop_max",
+                "sec_haloprop_percentile_min",
+                "sec_haloprop_percentile_max", "prim_haloprop",
+                "sec_haloprop_percentile", "prim_haloprop_dist_index",
+                "gal_type"]:
+        assert col in tab.gal_type
+
+
+def test_tabulate_roundtrip_and_predict(wp_tabulated, tmp_path):
+    path = tmp_path / "synthetic_wp.hdf5"
+    wp_tabulated.write(path)
+    again = tt.TabCorr.read(path)
+
+    model = tt.Zheng07Model(threshold=-20, redshift=0.0, logMmin=12.6,
+                            sigma_logM=0.3, logM0=12.0, logM1=13.6,
+                            alpha=1.0)
+    ngal, xi = wp_tabulated.predict(model, check_consistency=False)
+    ngal_2, xi_2 = again.predict(model, check_consistency=False)
+    assert np.isfinite(ngal) and ngal > 0
+    assert np.all(np.isfinite(xi))
+    # float32 storage round trip.
+    np.testing.assert_allclose(xi, xi_2, rtol=1e-5)
+
+
+def test_generic_path_matches_fast_path(halocat):
+    # The generic per-bin-pair fallback and the labeled-histogram fast path
+    # must produce identical matrices for the same mock realization.
+    rp_bins = np.logspace(-0.3, 1.0, 4)
+
+    def custom_wp(*args, **kwargs):
+        return paircount.wp(*args, **kwargs)
+
+    kwargs = dict(mode="auto", prim_haloprop_bins=4,
+                  Num_ptcl_requirement=300, sats_per_prim_haloprop=1e-12,
+                  seed=7)
+    tab_fast = tt.TabCorr.tabulate(halocat, tt.corrfunc.wp, rp_bins, 10.0,
+                                   **kwargs)
+    tab_generic = tt.TabCorr.tabulate(halocat, custom_wp, rp_bins,
+                                      pi_max=10.0, **kwargs)
+    np.testing.assert_allclose(tab_generic.tpcf_matrix,
+                               tab_fast.tpcf_matrix, rtol=1e-10,
+                               atol=1e-10)
+
+
+def test_tabulate_delta_sigma(halocat):
+    rng = np.random.default_rng(3)
+    ptcl = tt.ParticleCatalog(
+        rng.uniform(0, 150, 4000), rng.uniform(0, 150, 4000),
+        rng.uniform(0, 150, 4000), Lbox=150.0, particle_mass=1e9,
+        redshift=0.0, n_total=400000)
+    rp_bins = np.logspace(-0.3, 1.0, 4)
+    tab = tt.TabCorr.tabulate(
+        halocat, tt.corrfunc.mean_delta_sigma, ptcl.positions,
+        ptcl.effective_particle_mass, rp_bins, mode="cross",
+        prim_haloprop_bins=4, Num_ptcl_requirement=300,
+        sats_per_prim_haloprop=1e-12, seed=11)
+    assert tab.attrs["mode"] == "cross"
+    assert tab.tpcf_matrix.shape == (3, tab.n_bins)
+    model = tt.Zheng07Model(threshold=-20, redshift=0.0, logMmin=12.6,
+                            logM1=13.6)
+    ngal, ds = tab.predict(model, check_consistency=False)
+    assert np.all(np.isfinite(ds))
+
+
+def test_tabulate_s_mu_and_multipoles(halocat):
+    from tabcorr_tpu.ops.multipole import tabcorr_s_mu_to_multipole
+    s_bins = np.logspace(-0.3, 1.0, 4)
+    mu_bins = np.linspace(0, 1, 6)
+    tab = tt.TabCorr.tabulate(
+        halocat, tt.corrfunc.s_mu_tpcf, s_bins, mu_bins, mode="auto",
+        prim_haloprop_bins=4, Num_ptcl_requirement=300,
+        sats_per_prim_haloprop=1e-12, seed=13)
+    assert tab.tpcf_shape == (3, 5)
+
+    tab0 = tabcorr_s_mu_to_multipole(tab, mu_bins, 0)
+    assert tab0.tpcf_shape == (3,)
+    # Monopole: sum over mu of xi * dmu with P_0 = 1.
+    want = tab.tpcf_matrix.reshape(3, 5, -1).mean(axis=1)
+    np.testing.assert_allclose(tab0.tpcf_matrix, want, rtol=1e-10)
+
+    model = tt.Zheng07Model(threshold=-20, redshift=0.0, logMmin=12.6,
+                            logM1=13.6)
+    ngal, xi0 = tab0.predict(model, check_consistency=False)
+    assert xi0.shape == (3,)
+
+
+def test_sec_percentile_split(halocat):
+    rp_bins = np.logspace(-0.3, 1.0, 4)
+    tab = tt.TabCorr.tabulate(
+        halocat, tt.corrfunc.wp, rp_bins, 10.0, mode="auto",
+        prim_haloprop_bins=4, sec_haloprop_percentile_bins=0.5,
+        Num_ptcl_requirement=300, sats_per_prim_haloprop=1e-12, seed=17)
+    # Two percentile bins per mass bin per galaxy type.
+    sec_min = np.unique(tab.gal_type["sec_haloprop_percentile_min"])
+    assert len(sec_min) == 2
+
+
+def test_ap_stretch_applied(halocat):
+    cosmo_obs = tt.cosmology.FlatFLRW(H0=67, Om0=0.32, Tcmb0=0, Neff=0)
+    rp_bins = np.logspace(-0.3, 1.0, 4)
+    kwargs = dict(mode="auto", prim_haloprop_bins=4,
+                  Num_ptcl_requirement=300, sats_per_prim_haloprop=1e-12,
+                  seed=19)
+    tab = tt.TabCorr.tabulate(halocat, tt.corrfunc.wp, rp_bins, 10.0,
+                              cosmology_obs=cosmo_obs, **kwargs)
+    tab_plain = tt.TabCorr.tabulate(halocat, tt.corrfunc.wp, rp_bins, 10.0,
+                                    **kwargs)
+    # Densities differ by the AP volume stretch.
+    z = halocat.redshift
+    rp_stretch = ((cosmo_obs.comoving_distance(z) * cosmo_obs.H0) /
+                  (halocat.cosmology.comoving_distance(z) *
+                   halocat.cosmology.H0)) if z > 0 else 1.0
+    # At z=0 comoving distances are 0; stretch is 1 -> densities equal.
+    np.testing.assert_allclose(
+        np.sort(tab.gal_type["n_h"]), np.sort(tab_plain.gal_type["n_h"]),
+        rtol=1e-10)
+
+
+def test_bin_labels_and_sort_into_bins():
+    log_prim = np.array([12.1, 12.9, 13.5, 11.0])
+    bins = np.array([12.0, 12.5, 13.0, 14.0])
+    sec = np.array([0.2, 0.8, 0.5, 0.5])
+    sec_bins = np.array([-1e-3, 0.5, 1 + 1e-3])
+    labels, n = bin_labels(log_prim, bins, sec, sec_bins)
+    assert n == 6
+    assert labels[3] == -1  # below the lowest mass bin
+    assert labels[0] == 0   # first mass bin, first sec bin
+    assert labels[1] == 3 + 1  # second mass bin, second sec bin
+    values = np.arange(4)
+    ragged = sort_into_bins(log_prim, bins, sec, sec_bins, values)
+    assert len(ragged) == 6
+    assert ragged[0].tolist() == [0]
+    assert ragged[4].tolist() == [1]
+
+
+def test_conditional_percentiles():
+    rng = np.random.default_rng(0)
+    prim = 10 ** rng.uniform(12, 13, 5000)
+    sec = rng.normal(size=5000)
+    perc = compute_conditional_percentiles(prim, sec)
+    assert perc.min() > 0 and perc.max() <= 1
+    # Percentiles are approximately uniform.
+    hist, _ = np.histogram(perc, bins=10, range=(0, 1))
+    assert hist.std() / hist.mean() < 0.1
+    # Higher sec at fixed prim -> higher percentile, within one of the
+    # function's own 0.05-dex conditioning bins.
+    log_prim = np.log10(prim)
+    lo = log_prim.min() + 0.05 * 4
+    sel = (log_prim >= lo) & (log_prim < lo + 0.05)
+    assert np.sum(sel) > 10
+    order = np.argsort(sec[sel])
+    assert np.all(np.diff(perc[sel][order]) > 0)
+
+
+def test_distribution_index():
+    # Uniform-in-x distribution on [1, 2] has mean 1.5 -> n = 0.
+    assert abs(distribution_index(1.0, 2.0, 1.5)) < 1e-6
+    # Mean at lower edge -> strongly negative; upper edge -> positive.
+    assert distribution_index(1.0, 2.0, 1.05) < -5
+    assert distribution_index(1.0, 2.0, 1.95) > 5
