@@ -33,7 +33,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-CHUNK = 512
+CHUNK = 1024
 
 
 def _pad_chunk(array, chunk, fill):
@@ -50,22 +50,21 @@ def _min_image(delta, period):
 
 
 @partial(jax.jit, static_argnames=("kind", "n_labels_1", "n_labels_2",
-                                   "n_r", "n_mu", "exclude_self"))
-def _labeled_pair_histogram(pos1, labels1, idx1, pos2, labels2, idx2,
-                            weights2, period, r_edges_sq, pi_max, mu_edges,
-                            kind, n_labels_1, n_labels_2, n_r, n_mu,
-                            exclude_self):
-    """Tiled labeled pair histogram.
+                                   "n_r", "n_mu", "exclude_self"),
+         donate_argnums=(0,))
+def _sweep_i_chunk(hist, pos1, labels1, idx1, pos2, labels2, idx2,
+                   weights2, period, r_edges_sq, pi_max, mu_edges,
+                   kind, n_labels_1, n_labels_2, n_r, n_mu,
+                   exclude_self):
+    """Accumulate one i-chunk against all j-chunks into ``hist``.
 
-    Returns counts of shape (n_labels_1, n_labels_2, n_r) for 'rppi'/'proj'
-    or (n_labels_1, n_labels_2, n_r, n_mu) for 'smu'.  Inputs must be
-    pre-padded to CHUNK multiples with label -1.
+    Dispatched once per i-chunk from the host so no single device kernel
+    runs long (long-running monolithic kernels can trip accelerator
+    watchdogs); the flat histogram is donated and updated in place.
     """
     n_hist_r = n_r * (n_mu if kind == "smu" else 1)
     n_hist = n_labels_1 * n_labels_2 * n_hist_r
-    n1_chunks = pos1.shape[0] // CHUNK
     n2_chunks = pos2.shape[0] // CHUNK
-    dtype = weights2.dtype
 
     def tile(p1, l1, i1, p2, l2, i2, w2):
         d = p1[:, None, :] - p2[None, :, :]
@@ -102,32 +101,18 @@ def _labeled_pair_histogram(pos1, labels1, idx1, pos2, labels2, idx2,
         w = jnp.broadcast_to(w2[None, :], flat.shape)
         return flat.ravel(), jnp.where(valid, w, 0.0).ravel()
 
-    def body(carry, i1_chunk):
-        hist = carry
-        p1 = jax.lax.dynamic_slice(pos1, (i1_chunk * CHUNK, 0), (CHUNK, 3))
-        l1 = jax.lax.dynamic_slice(labels1, (i1_chunk * CHUNK,), (CHUNK,))
-        i1 = jax.lax.dynamic_slice(idx1, (i1_chunk * CHUNK,), (CHUNK,))
+    def j_body(j_chunk, hist_inner):
+        p2 = jax.lax.dynamic_slice(pos2, (j_chunk * CHUNK, 0),
+                                   (CHUNK, 3))
+        l2 = jax.lax.dynamic_slice(labels2, (j_chunk * CHUNK,),
+                                   (CHUNK,))
+        i2 = jax.lax.dynamic_slice(idx2, (j_chunk * CHUNK,), (CHUNK,))
+        w2 = jax.lax.dynamic_slice(weights2, (j_chunk * CHUNK,),
+                                   (CHUNK,))
+        flat, w = tile(pos1, labels1, idx1, p2, l2, i2, w2)
+        return hist_inner.at[flat].add(w)
 
-        def j_body(j_chunk, hist_inner):
-            p2 = jax.lax.dynamic_slice(pos2, (j_chunk * CHUNK, 0),
-                                       (CHUNK, 3))
-            l2 = jax.lax.dynamic_slice(labels2, (j_chunk * CHUNK,),
-                                       (CHUNK,))
-            i2 = jax.lax.dynamic_slice(idx2, (j_chunk * CHUNK,), (CHUNK,))
-            w2 = jax.lax.dynamic_slice(weights2, (j_chunk * CHUNK,),
-                                       (CHUNK,))
-            flat, w = tile(p1, l1, i1, p2, l2, i2, w2)
-            return hist_inner.at[flat].add(w)
-
-        hist = jax.lax.fori_loop(0, n2_chunks, j_body, hist)
-        return hist, None
-
-    hist0 = jnp.zeros(n_hist + 1, dtype=dtype)
-    hist, _ = jax.lax.scan(body, hist0, jnp.arange(n1_chunks))
-    hist = hist[:n_hist]
-    if kind == "smu":
-        return hist.reshape(n_labels_1, n_labels_2, n_r, n_mu)
-    return hist.reshape(n_labels_1, n_labels_2, n_r)
+    return jax.lax.fori_loop(0, n2_chunks, j_body, hist)
 
 
 def labeled_pair_count(pos1, labels1, n_labels_1, pos2=None, labels2=None,
@@ -193,15 +178,29 @@ def labeled_pair_count(pos1, labels1, n_labels_1, pos2=None, labels2=None,
     idx2 = _pad_chunk(idx2, CHUNK, -3)
     weights2 = _pad_chunk(weights2, CHUNK, 0.0)
 
-    counts = _labeled_pair_histogram(
-        pos1, labels1, idx1, pos2, labels2, idx2, weights2,
-        jnp.asarray(period, dtype=jnp.float32),
-        jnp.asarray(r_edges**2, dtype=jnp.float32),
-        jnp.float32(pi_max if pi_max is not None else 0.0),
-        jnp.asarray(mu_edges, dtype=jnp.float32),
-        kind, int(n_labels_1), int(n_labels_2), n_r, n_mu,
-        exclude_self=auto)
-    return np.asarray(counts, dtype=np.float64)
+    period_dev = jnp.asarray(period, dtype=jnp.float32)
+    edges_dev = jnp.asarray(r_edges**2, dtype=jnp.float32)
+    pi_max_dev = jnp.float32(pi_max if pi_max is not None else 0.0)
+    mu_dev = jnp.asarray(mu_edges, dtype=jnp.float32)
+
+    n_hist_r = n_r * (n_mu if kind == "smu" else 1)
+    n_hist = n_labels_1 * n_labels_2 * n_hist_r
+    hist = jnp.zeros(n_hist + 1, dtype=weights2.dtype)
+
+    # One dispatch per i-chunk (hist donated between calls): bounded kernel
+    # runtimes and natural host-side progress/interruption points.
+    for start in range(0, pos1.shape[0], CHUNK):
+        hist = _sweep_i_chunk(
+            hist, pos1[start:start + CHUNK],
+            labels1[start:start + CHUNK], idx1[start:start + CHUNK],
+            pos2, labels2, idx2, weights2, period_dev, edges_dev,
+            pi_max_dev, mu_dev, kind, int(n_labels_1), int(n_labels_2),
+            n_r, n_mu, exclude_self=auto)
+
+    counts = np.asarray(hist[:n_hist], dtype=np.float64)
+    if kind == "smu":
+        return counts.reshape(n_labels_1, n_labels_2, n_r, n_mu)
+    return counts.reshape(n_labels_1, n_labels_2, n_r)
 
 
 # ----------------------------------------------------------------------
