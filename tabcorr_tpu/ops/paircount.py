@@ -37,8 +37,16 @@ CHUNK = 1024
 
 
 def _pad_chunk(array, chunk, fill):
+    """Pad to a power-of-two multiple of ``chunk``.
+
+    Power-of-two length bucketing keeps the number of distinct compiled
+    kernel shapes logarithmic in the data size (different mock realizations
+    would otherwise each trigger a fresh XLA compile); padded entries carry
+    label -1 / weight 0 and are masked out.
+    """
     n = array.shape[0]
-    target = max(-(-n // chunk) * chunk, chunk)
+    n_chunks = max(-(-n // chunk), 1)
+    target = chunk * (1 << (n_chunks - 1).bit_length())
     if target == n:
         return array
     pad_width = [(0, target - n)] + [(0, 0)] * (array.ndim - 1)
@@ -118,7 +126,7 @@ def _sweep_i_chunk(hist, pos1, labels1, idx1, pos2, labels2, idx2,
 def labeled_pair_count(pos1, labels1, n_labels_1, pos2=None, labels2=None,
                        n_labels_2=None, weights2=None, period=1.0,
                        kind="rppi", r_edges=None, pi_max=None,
-                       mu_edges=None):
+                       mu_edges=None, progress=False):
     """Count pairs between labeled tracer sets (host-facing wrapper).
 
     Parameters
@@ -189,7 +197,11 @@ def labeled_pair_count(pos1, labels1, n_labels_1, pos2=None, labels2=None,
 
     # One dispatch per i-chunk (hist donated between calls): bounded kernel
     # runtimes and natural host-side progress/interruption points.
-    for start in range(0, pos1.shape[0], CHUNK):
+    starts = range(0, pos1.shape[0], CHUNK)
+    if progress:
+        import tqdm
+        starts = tqdm.tqdm(starts, smoothing=0, desc="pair counting")
+    for start in starts:
         hist = _sweep_i_chunk(
             hist, pos1[start:start + CHUNK],
             labels1[start:start + CHUNK], idx1[start:start + CHUNK],

@@ -191,7 +191,7 @@ class _FastPath:
         else:
             raise ValueError(tpcf_name)
 
-    def matrix_auto(self, pos, labels, n_bins, period):
+    def matrix_auto(self, pos, labels, n_bins, period, progress=False):
         """Dense (n_xi, n_bins, n_bins) matrix from one labeled sweep."""
         n_tracers = np.bincount(labels[labels >= 0], minlength=n_bins)
         volume = np.prod(period)
@@ -200,7 +200,8 @@ class _FastPath:
         if self.name == "wp":
             counts = paircount.labeled_pair_count(
                 pos, labels, n_bins, period=period, kind="rppi",
-                r_edges=self.rp_bins, pi_max=self.pi_max)
+                r_edges=self.rp_bins, pi_max=self.pi_max,
+                progress=progress)
             n_exp = (outer[:, :, None] / volume * np.pi *
                      np.diff(self.rp_bins**2) * 2 * self.pi_max)
             with np.errstate(invalid="ignore", divide="ignore"):
@@ -211,7 +212,8 @@ class _FastPath:
         if self.name == "s_mu_tpcf":
             counts = paircount.labeled_pair_count(
                 pos, labels, n_bins, period=period, kind="smu",
-                r_edges=self.s_bins, mu_edges=self.mu_bins)
+                r_edges=self.s_bins, mu_edges=self.mu_bins,
+                progress=progress)
             n_mu = len(self.mu_bins) - 1
             n_exp = (outer[:, :, None, None] / volume * 4 * np.pi / 3 *
                      np.diff(self.s_bins**3)[:, None] / n_mu)
@@ -222,7 +224,7 @@ class _FastPath:
 
         raise ValueError(f"{self.name} is a cross statistic.")
 
-    def matrix_cross(self, pos, labels, n_bins, period):
+    def matrix_cross(self, pos, labels, n_bins, period, progress=False):
         """Dense (n_xi, n_bins) matrix for a cross statistic."""
         if self.name != "mean_delta_sigma":
             raise ValueError(f"{self.name} is an auto statistic.")
@@ -236,7 +238,8 @@ class _FastPath:
         all_edges = np.sort(np.concatenate([[0.0], self.rp_bins, rp_mids]))
         counts = paircount.labeled_pair_count(
             pos, labels, n_bins, pos2=self.ptcl_pos, weights2=masses,
-            period=period, kind="proj", r_edges=all_edges)[:, 0, :]
+            period=period, kind="proj", r_edges=all_edges,
+            progress=progress)[:, 0, :]
         cum = np.cumsum(counts, axis=-1)
         mass_at = {r: cum[:, i] for i, r in enumerate(all_edges[1:])}
 
@@ -416,11 +419,11 @@ def tabulate(cls, halocat, tpcf, *tpcf_args, mode="auto",
 
         if fast:
             if mode == "auto":
-                matrix = fast_path.matrix_auto(pos, labels, n_bins_total,
-                                               period)
+                matrix = fast_path.matrix_auto(
+                    pos, labels, n_bins_total, period, progress=verbose)
             else:
-                matrix = fast_path.matrix_cross(pos, labels, n_bins_total,
-                                                period)
+                matrix = fast_path.matrix_cross(
+                    pos, labels, n_bins_total, period, progress=verbose)
             shape = fast_path.shape
         else:
             matrix, shape = _generic_tpcf_matrix(
