@@ -57,13 +57,10 @@ def _min_image(delta, period):
     return delta - period * jnp.round(delta / period)
 
 
-@partial(jax.jit, static_argnames=("kind", "n_labels_1", "n_labels_2",
-                                   "n_r", "n_mu", "exclude_self"),
-         donate_argnums=(0,))
-def _sweep_i_chunk(hist, pos1, labels1, idx1, pos2, labels2, idx2,
-                   weights2, period, r_edges_sq, pi_max, mu_edges,
-                   kind, n_labels_1, n_labels_2, n_r, n_mu,
-                   exclude_self):
+def _sweep_impl(hist, pos1, labels1, idx1, pos2, labels2, idx2,
+                weights2, period, r_edges_sq, pi_max, mu_edges,
+                kind, n_labels_1, n_labels_2, n_r, n_mu,
+                exclude_self):
     """Accumulate one i-chunk against all j-chunks into ``hist``.
 
     Dispatched once per i-chunk from the host so no single device kernel
@@ -123,10 +120,55 @@ def _sweep_i_chunk(hist, pos1, labels1, idx1, pos2, labels2, idx2,
     return jax.lax.fori_loop(0, n2_chunks, j_body, hist)
 
 
+_sweep_i_chunk = partial(jax.jit, static_argnames=(
+    "kind", "n_labels_1", "n_labels_2", "n_r", "n_mu", "exclude_self"),
+    donate_argnums=(0,))(_sweep_impl)
+
+
+@partial(jax.jit, static_argnames=("mesh", "kind", "n_labels_1",
+                                   "n_labels_2", "n_r", "n_mu",
+                                   "exclude_self"),
+         donate_argnums=(0,))
+def _sweep_i_chunk_sharded(hist, pos1, labels1, idx1, pos2, labels2, idx2,
+                           weights2, period, r_edges_sq, pi_max, mu_edges,
+                           mesh, kind, n_labels_1, n_labels_2, n_r, n_mu,
+                           exclude_self):
+    """Mesh-sharded sweep: the j-tracer set is split across devices.
+
+    Each device accumulates its local partial histogram over its shard of
+    the second tracer set (the multi-chip analog of the reference's
+    bin-pair task farm, reference: tabcorr/tabcorr.py:880-901); one psum
+    over the interconnect merges the partials.
+    """
+    from jax import shard_map
+    from jax.sharding import PartitionSpec as P
+
+    axis = mesh.axis_names[0]
+
+    def local(p1, l1, i1, p2, l2, i2, w2):
+        n_hist_r = n_r * (n_mu if kind == "smu" else 1)
+        n_hist = n_labels_1 * n_labels_2 * n_hist_r
+        partial_hist = jnp.zeros(n_hist + 1, dtype=w2.dtype)
+        # Mark the accumulator as device-varying for the shard_map VMA
+        # checker (the loop body mixes it with sharded data).
+        partial_hist = jax.lax.pcast(partial_hist, (axis,), to="varying")
+        partial_hist = _sweep_impl(
+            partial_hist, p1, l1, i1, p2, l2, i2, w2, period, r_edges_sq,
+            pi_max, mu_edges, kind, n_labels_1, n_labels_2, n_r, n_mu,
+            exclude_self)
+        return jax.lax.psum(partial_hist, axis)
+
+    partial_hist = shard_map(
+        local, mesh=mesh,
+        in_specs=(P(), P(), P(), P(axis), P(axis), P(axis), P(axis)),
+        out_specs=P())(pos1, labels1, idx1, pos2, labels2, idx2, weights2)
+    return hist + partial_hist
+
+
 def labeled_pair_count(pos1, labels1, n_labels_1, pos2=None, labels2=None,
                        n_labels_2=None, weights2=None, period=1.0,
                        kind="rppi", r_edges=None, pi_max=None,
-                       mu_edges=None, progress=False):
+                       mu_edges=None, progress=False, mesh=None):
     """Count pairs between labeled tracer sets (host-facing wrapper).
 
     Parameters
@@ -140,6 +182,9 @@ def labeled_pair_count(pos1, labels1, n_labels_1, pos2=None, labels2=None,
     r_edges : radial (rp or s) bin edges.
     pi_max : line-of-sight cut for 'rppi'.
     mu_edges : mu bin edges for 'smu'.
+    mesh : jax.sharding.Mesh, optional
+        If given, the second tracer set is sharded over the mesh's first
+        axis and partial histograms are psum-merged over the interconnect.
 
     Returns
     -------
@@ -178,13 +223,15 @@ def labeled_pair_count(pos1, labels1, n_labels_1, pos2=None, labels2=None,
             weights2 = jnp.full(pos2.shape[0], weights2,
                                 dtype=jnp.float32)
 
+    n_shards = 1 if mesh is None else int(np.prod(
+        [mesh.shape[name] for name in mesh.axis_names[:1]]))
     pos1 = _pad_chunk(pos1, CHUNK, 0.0)
     labels1 = _pad_chunk(labels1, CHUNK, -1)
     idx1 = _pad_chunk(idx1, CHUNK, -2)
-    pos2 = _pad_chunk(pos2, CHUNK, 0.0)
-    labels2 = _pad_chunk(labels2, CHUNK, -1)
-    idx2 = _pad_chunk(idx2, CHUNK, -3)
-    weights2 = _pad_chunk(weights2, CHUNK, 0.0)
+    pos2 = _pad_chunk(pos2, CHUNK * n_shards, 0.0)
+    labels2 = _pad_chunk(labels2, CHUNK * n_shards, -1)
+    idx2 = _pad_chunk(idx2, CHUNK * n_shards, -3)
+    weights2 = _pad_chunk(weights2, CHUNK * n_shards, 0.0)
 
     period_dev = jnp.asarray(period, dtype=jnp.float32)
     edges_dev = jnp.asarray(r_edges**2, dtype=jnp.float32)
@@ -202,12 +249,20 @@ def labeled_pair_count(pos1, labels1, n_labels_1, pos2=None, labels2=None,
         import tqdm
         starts = tqdm.tqdm(starts, smoothing=0, desc="pair counting")
     for start in starts:
-        hist = _sweep_i_chunk(
+        chunk_args = (
             hist, pos1[start:start + CHUNK],
             labels1[start:start + CHUNK], idx1[start:start + CHUNK],
             pos2, labels2, idx2, weights2, period_dev, edges_dev,
-            pi_max_dev, mu_dev, kind, int(n_labels_1), int(n_labels_2),
-            n_r, n_mu, exclude_self=auto)
+            pi_max_dev, mu_dev)
+        if mesh is None:
+            hist = _sweep_i_chunk(
+                *chunk_args, kind, int(n_labels_1), int(n_labels_2),
+                n_r, n_mu, exclude_self=auto)
+        else:
+            hist = _sweep_i_chunk_sharded(
+                *chunk_args, mesh=mesh, kind=kind,
+                n_labels_1=int(n_labels_1), n_labels_2=int(n_labels_2),
+                n_r=n_r, n_mu=n_mu, exclude_self=auto)
 
     counts = np.asarray(hist[:n_hist], dtype=np.float64)
     if kind == "smu":

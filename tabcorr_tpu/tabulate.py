@@ -191,7 +191,8 @@ class _FastPath:
         else:
             raise ValueError(tpcf_name)
 
-    def matrix_auto(self, pos, labels, n_bins, period, progress=False):
+    def matrix_auto(self, pos, labels, n_bins, period, progress=False,
+                    mesh=None):
         """Dense (n_xi, n_bins, n_bins) matrix from one labeled sweep."""
         n_tracers = np.bincount(labels[labels >= 0], minlength=n_bins)
         volume = np.prod(period)
@@ -201,7 +202,7 @@ class _FastPath:
             counts = paircount.labeled_pair_count(
                 pos, labels, n_bins, period=period, kind="rppi",
                 r_edges=self.rp_bins, pi_max=self.pi_max,
-                progress=progress)
+                progress=progress, mesh=mesh)
             n_exp = (outer[:, :, None] / volume * np.pi *
                      np.diff(self.rp_bins**2) * 2 * self.pi_max)
             with np.errstate(invalid="ignore", divide="ignore"):
@@ -213,7 +214,7 @@ class _FastPath:
             counts = paircount.labeled_pair_count(
                 pos, labels, n_bins, period=period, kind="smu",
                 r_edges=self.s_bins, mu_edges=self.mu_bins,
-                progress=progress)
+                progress=progress, mesh=mesh)
             n_mu = len(self.mu_bins) - 1
             n_exp = (outer[:, :, None, None] / volume * 4 * np.pi / 3 *
                      np.diff(self.s_bins**3)[:, None] / n_mu)
@@ -224,7 +225,8 @@ class _FastPath:
 
         raise ValueError(f"{self.name} is a cross statistic.")
 
-    def matrix_cross(self, pos, labels, n_bins, period, progress=False):
+    def matrix_cross(self, pos, labels, n_bins, period, progress=False,
+                     mesh=None):
         """Dense (n_xi, n_bins) matrix for a cross statistic."""
         if self.name != "mean_delta_sigma":
             raise ValueError(f"{self.name} is an auto statistic.")
@@ -239,7 +241,7 @@ class _FastPath:
         counts = paircount.labeled_pair_count(
             pos, labels, n_bins, pos2=self.ptcl_pos, weights2=masses,
             period=period, kind="proj", r_edges=all_edges,
-            progress=progress)[:, 0, :]
+            progress=progress, mesh=mesh)[:, 0, :]
         cum = np.cumsum(counts, axis=-1)
         mass_at = {r: cum[:, i] for i, r in enumerate(all_edges[1:])}
 
@@ -274,7 +276,7 @@ def tabulate(cls, halocat, tpcf, *tpcf_args, mode="auto",
              sats_per_prim_haloprop=3e-12, downsample=1.0, verbose=False,
              redshift_space_distortions=True, cens_prof_model=None,
              sats_prof_model=None, project_xyz=False, cosmology_obs=None,
-             num_threads=1, seed=None, **tpcf_kwargs):
+             num_threads=1, seed=None, mesh=None, **tpcf_kwargs):
     """Tabulate halo correlation functions (see class docstring).
 
     Signature-compatible with the reference (tabcorr/tabcorr.py:24-34);
@@ -283,7 +285,8 @@ def tabulate(cls, halocat, tpcf, *tpcf_args, mode="auto",
     or their names as strings) for the on-device fast path, or any
     halotools-signature callable for the generic path.  ``seed`` fixes the
     mock-population randomness.  ``num_threads`` is accepted for
-    compatibility; the fast path is device-parallel instead.
+    compatibility; the fast path is device-parallel instead, and ``mesh``
+    shards the pair-count sweeps across a multi-chip device mesh.
     """
     if "period" in tpcf_kwargs:
         # The reference warns and overrides (tabcorr/tabcorr.py:134-138).
@@ -420,10 +423,12 @@ def tabulate(cls, halocat, tpcf, *tpcf_args, mode="auto",
         if fast:
             if mode == "auto":
                 matrix = fast_path.matrix_auto(
-                    pos, labels, n_bins_total, period, progress=verbose)
+                    pos, labels, n_bins_total, period, progress=verbose,
+                    mesh=mesh)
             else:
                 matrix = fast_path.matrix_cross(
-                    pos, labels, n_bins_total, period, progress=verbose)
+                    pos, labels, n_bins_total, period, progress=verbose,
+                    mesh=mesh)
             shape = fast_path.shape
         else:
             matrix, shape = _generic_tpcf_matrix(

@@ -95,3 +95,50 @@ def test_shard_table_padding(wp_tabcorr):
 def test_mesh_validation():
     with pytest.raises(ValueError):
         make_mesh(8, table_parallel=3)
+
+
+def test_sharded_pair_counting_matches_plain():
+    from jax.sharding import Mesh
+    from tabcorr_tpu.ops.paircount import labeled_pair_count
+
+    rng = np.random.default_rng(0)
+    L, N = 50.0, 2500
+    pos = rng.uniform(0, L, (N, 3))
+    labels = rng.integers(0, 4, N).astype(np.int32)
+    rp_bins = np.logspace(-0.5, 1.2, 6)
+    mesh = Mesh(np.array(jax.devices()), ("shard",))
+
+    plain = labeled_pair_count(pos, labels, 4, period=L, kind="rppi",
+                               r_edges=rp_bins, pi_max=10.0)
+    sharded = labeled_pair_count(pos, labels, 4, period=L, kind="rppi",
+                                 r_edges=rp_bins, pi_max=10.0, mesh=mesh)
+    np.testing.assert_array_equal(sharded, plain)
+
+    ptcl = rng.uniform(0, L, (4000, 3))
+    weights = rng.uniform(0.5, 2.0, 4000)
+    plain_w = labeled_pair_count(pos, labels, 4, pos2=ptcl,
+                                 weights2=weights, period=L, kind="proj",
+                                 r_edges=rp_bins)
+    sharded_w = labeled_pair_count(pos, labels, 4, pos2=ptcl,
+                                   weights2=weights, period=L, kind="proj",
+                                   r_edges=rp_bins, mesh=mesh)
+    # float32 accumulation order differs across shards.
+    np.testing.assert_allclose(sharded_w, plain_w, rtol=5e-4)
+
+
+def test_sharded_tabulate_matches_plain():
+    from jax.sharding import Mesh
+    from test_tabulate import synthetic_halocat
+
+    halocat = synthetic_halocat(n_halos=500)
+    rp_bins = np.logspace(-0.3, 1.0, 4)
+    kwargs = dict(mode="auto", prim_haloprop_bins=4,
+                  Num_ptcl_requirement=300, sats_per_prim_haloprop=1e-12,
+                  seed=23)
+    tab_plain = tt.TabCorr.tabulate(halocat, tt.corrfunc.wp, rp_bins,
+                                    10.0, **kwargs)
+    mesh = Mesh(np.array(jax.devices()), ("shard",))
+    tab_sharded = tt.TabCorr.tabulate(halocat, tt.corrfunc.wp, rp_bins,
+                                      10.0, mesh=mesh, **kwargs)
+    np.testing.assert_allclose(tab_sharded.tpcf_matrix,
+                               tab_plain.tpcf_matrix, rtol=1e-6)
