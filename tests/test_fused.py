@@ -1,0 +1,37 @@
+"""Pallas fused predict kernel vs the XLA path (interpret mode on CPU)."""
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+import tabcorr_tpu as tt
+from tabcorr_tpu.ops.fused import make_fused_predictor
+from tabcorr_tpu.predictor import (make_predictor, occupation_functions,
+                                   params_batch)
+
+
+@pytest.mark.parametrize("fixture", ["wp_tabcorr", "ds_tabcorr"])
+def test_fused_matches_xla(fixture, bol_model, request):
+    halotab = request.getfixturevalue(fixture)
+    table = halotab.table_data(dtype=jnp.float32)
+    occ_c, occ_s = occupation_functions(bol_model)
+    names = tuple(bol_model.param_dict)
+    fused = make_fused_predictor(table, occ_c, occ_s, names,
+                                 batch_tile=32, interpret=True)
+
+    B = 70  # deliberately not a tile multiple: exercises padding
+    rng = np.random.default_rng(1)
+    params = params_batch(
+        bol_model,
+        {"logM1": bol_model.param_dict["logM1"] +
+         0.1 * rng.normal(size=B)}, (B,))
+
+    plain = make_predictor(halotab, bol_model, dtype=jnp.float32)
+    ngal_p, xi_p = plain(params)
+    ngal_f, xi_f = fused(params)
+
+    assert ngal_f.shape == (B,)
+    np.testing.assert_allclose(np.asarray(ngal_f), np.asarray(ngal_p),
+                               rtol=1e-6)
+    np.testing.assert_allclose(np.asarray(xi_f), np.asarray(xi_p),
+                               rtol=2e-5)
