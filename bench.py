@@ -39,7 +39,7 @@ from tabcorr_tpu.predictor import make_predictor, occupation_functions, params_b
 from tabcorr_tpu.ops.predict import mean_occupation, predict_from_occupation
 
 BASELINE_PREDICTIONS_PER_SEC = 1.0e3  # reference predict ~1 ms / eval
-BATCH = 32768
+BATCH = 262144
 CHUNK = 4096
 N_ITER = 10
 
@@ -69,15 +69,8 @@ def synthetic_xi_ell_table(dtype=jnp.float32, seed=0):
         mode="auto", tpcf_shape=(3, 14), n_centrals=n_half)
 
 
-def main():
-    wp_tab = tt.TabCorr.read("tests/data/examples/bolplanck_wp.hdf5")
-    model = tt.Zheng07Model(threshold=-18,
-                            redshift=wp_tab.attrs["redshift"])
-    occ_c, occ_s = occupation_functions(model)
-
-    wp_table = wp_tab.table_data(n_gauss=10, dtype=jnp.float32)
-    xi_table = synthetic_xi_ell_table(dtype=jnp.float32)
-
+def make_xla_predict_all(wp_table, xi_table, occ_c, occ_s):
+    """XLA fallback path (batch-chunked to bound HBM intermediates)."""
     def one(params):
         mo_wp = mean_occupation(wp_table, occ_c, occ_s, params)
         ngal, wp = predict_from_occupation(wp_table, mo_wp)
@@ -87,11 +80,37 @@ def main():
 
     @jax.jit
     def predict_all(params):
-        # Chunk the batch so the (chunk, n_xi, n_bins) contraction
-        # intermediates stay small.
         chunked = jax.tree.map(
             lambda x: x.reshape(BATCH // CHUNK, CHUNK), params)
         return jax.lax.map(jax.vmap(one), chunked)
+
+    return predict_all
+
+
+def make_fused_predict_all(wp_table, xi_table, occ_c, occ_s):
+    """Primary path: Pallas VMEM-fused contractions."""
+    from tabcorr_tpu.ops.fused import make_fused_predictor
+
+    f_wp = make_fused_predictor(wp_table, occ_c, occ_s)
+    f_xi = make_fused_predictor(xi_table, occ_c, occ_s)
+
+    @jax.jit
+    def predict_all(params):
+        ngal, wp = f_wp(params)
+        _, xi_ell = f_xi(params)
+        return ngal, wp, xi_ell
+
+    return predict_all
+
+
+def main():
+    wp_tab = tt.TabCorr.read("tests/data/examples/bolplanck_wp.hdf5")
+    model = tt.Zheng07Model(threshold=-18,
+                            redshift=wp_tab.attrs["redshift"])
+    occ_c, occ_s = occupation_functions(model)
+
+    wp_table = wp_tab.table_data(n_gauss=10, dtype=jnp.float32)
+    xi_table = synthetic_xi_ell_table(dtype=jnp.float32)
 
     rng = np.random.default_rng(7)
     overrides = {
@@ -103,9 +122,20 @@ def main():
     }
     params = params_batch(model, overrides, (BATCH,), dtype=jnp.float32)
 
-    # Warm up / compile.
-    out = predict_all(params)
-    jax.block_until_ready(out)
+    # Primary: Pallas-fused path; fall back to pure XLA if the Pallas
+    # kernels cannot compile on this backend.
+    kernel_path = "pallas_fused"
+    try:
+        predict_all = make_fused_predict_all(wp_table, xi_table,
+                                             occ_c, occ_s)
+        out = predict_all(params)
+        jax.block_until_ready(out)
+    except Exception:
+        kernel_path = "xla"
+        predict_all = make_xla_predict_all(wp_table, xi_table,
+                                           occ_c, occ_s)
+        out = predict_all(params)
+        jax.block_until_ready(out)
 
     t0 = time.perf_counter()
     for _ in range(N_ITER):
@@ -130,6 +160,7 @@ def main():
         "vs_baseline": float(rate / BASELINE_PREDICTIONS_PER_SEC),
         "batch": BATCH,
         "device": str(jax.devices()[0]),
+        "kernel_path": kernel_path,
         "wp_f32_max_rel_err_vs_f64": rel_err,
     }))
 

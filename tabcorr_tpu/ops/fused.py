@@ -1,22 +1,20 @@
-"""Pallas-fused batched prediction kernel.
+"""Pallas-fused batched contraction kernel.
 
-The XLA path materializes the per-sample contraction intermediate
+The XLA predict path materializes the per-sample contraction intermediate
 ``T[b, k, i] = sum_j F[k, i, j] n[b, j]`` (~24 KB per prediction for a
-wp + xi_ell bundle) in HBM, which bounds throughput at the memory
-bandwidth.  This kernel fuses the whole pipeline per batch tile —
-occupation quadrature (VPU) -> ngal -> MXU matmul against the dense
-matrix -> weighted reduction — so the intermediate never leaves VMEM.
+wp + xi_ell bundle) in HBM, which bounds throughput at memory bandwidth.
+This kernel performs the whole contraction per batch tile in VMEM:
 
 Auto mode:   xi[b, k] = n_b^T F_k n_b / (sum_i n_bi)^2
 Cross mode:  xi[b, k] = (F n_b)_k / sum_i n_bi
 
-The occupation functions are ordinary jax-traceable callables (the same
-pure functions the XLA path uses); they are traced *inside* the kernel.
+The occupation quadrature stays in XLA *outside* the kernel — its output
+``ngal`` is only (B, n_bins) (negligible HBM traffic), it keeps arbitrary
+jax-traceable occupation models supported (Pallas TPU lacks lowerings for
+some transcendentals, e.g. erf), and XLA fuses it well on the VPU.
 """
 
 from __future__ import annotations
-
-from functools import partial
 
 import jax
 import jax.numpy as jnp
@@ -24,120 +22,105 @@ import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from .predict import AUTO, TableData
+from .predict import AUTO, TableData, mean_occupation
 
+# 256 rows keeps the contraction tile + double-buffered IO inside the
+# ~16 MB VMEM budget for production table sizes and benchmarked fastest
+# on v5e (11.0 M wp+xi_ell predictions/s vs 7.4 M for the XLA path).
 DEFAULT_TILE = 256
 
 
-def make_fused_predictor(table: TableData, occupation_cen, occupation_sat,
-                         param_names, batch_tile=DEFAULT_TILE,
-                         interpret=False):
-    """Build a fused batched predictor.
+def make_fused_contraction(table: TableData, batch_tile=DEFAULT_TILE,
+                           interpret=False):
+    """Fused contraction: ``ngal (B, n_bins) -> (total (B,), xi (B, n_xi))``.
 
-    Parameters
-    ----------
-    table : TableData
-        Device tabulation (float32 recommended).
-    occupation_cen, occupation_sat : callables
-        Pure occupation functions ``(params_dict, logM, sec) -> occ``.
-    param_names : sequence of str
-        Parameter-dict keys, fixing the kernel input order.
-    batch_tile : int
-        Batch rows per kernel instance (VMEM-resident tile).
-
-    Returns
-    -------
-    callable
-        ``f(params: dict[str, (B,)]) -> (ngal (B,), xi (B, n_xi))``;
-        B must not be 0; it is padded to a tile multiple internally.
+    B must be a multiple of ``batch_tile`` (callers pad).
     """
-    param_names = tuple(param_names)
     n_bins = table.n_bins
-    nc = table.n_centrals
+    # Pad the bin axis to a lane multiple (128): Mosaic only lowers the
+    # (TB, n_xi * nb) -> (TB, n_xi, nb) reshape when nb is lane-aligned,
+    # and padded bins carry ngal = 0 so they contribute nothing.
+    nb_pad = -(-n_bins // 128) * 128
     n_xi = table.tpcf_dense.shape[0]
     auto = table.mode == AUTO
     dtype = table.tpcf_dense.dtype
 
-    # Dense matrix reshaped for one MXU matmul: (n_bins, n_xi * n_bins)
-    # in auto mode (T = N @ F2), (n_bins, n_xi) in cross mode.
+    # (nb_pad, n_xi * nb_pad) in auto mode so T = N @ F2 is one MXU
+    # matmul; (nb_pad, n_xi) in cross mode.
     if auto:
-        f2 = jnp.transpose(table.tpcf_dense, (2, 0, 1)).reshape(
-            n_bins, n_xi * n_bins)
+        dense = jnp.zeros((n_xi, nb_pad, nb_pad), dtype=dtype)
+        dense = dense.at[:, :n_bins, :n_bins].set(table.tpcf_dense)
+        f2 = jnp.transpose(dense, (2, 0, 1)).reshape(
+            nb_pad, n_xi * nb_pad)
     else:
-        f2 = jnp.transpose(table.tpcf_dense, (1, 0))
+        f2 = jnp.zeros((nb_pad, n_xi), dtype=dtype)
+        f2 = f2.at[:n_bins].set(jnp.transpose(table.tpcf_dense, (1, 0)))
 
-    log_quad = table.log_prim_quad
-    quad_w = table.quad_weight
-    sec = table.sec_perc
-    n_h = table.n_h
-    # Branch-free gal-type handling: evaluate both occupation functions on
-    # every bin and blend with a mask (unaligned slices/concats do not
-    # lower well in Mosaic; the doubled VPU work is negligible).
-    cen_mask = (np.arange(n_bins) < nc).astype(np.float32)
-
-    def kernel(*refs):
-        param_refs = refs[:len(param_names)]
-        (f2_ref, logq_ref, quadw_ref, sec_ref, nh_ref, mask_ref,
-         ngal_out, xi_out) = refs[len(param_names):]
-
-        params = {name: ref[:].reshape(-1, 1, 1)
-                  for name, ref in zip(param_names, param_refs)}
-        logq = logq_ref[:][None]
-        sec_col = sec_ref[:].reshape(1, -1, 1)
-
-        occ_c = occupation_cen(params, logq, sec_col)
-        occ_s = occupation_sat(params, logq, sec_col)
-        mask = mask_ref[:].reshape(1, -1, 1)
-        occ = mask * occ_c + (1.0 - mask) * occ_s      # (TB, n_bins, n_g)
-        mean_occ = jnp.sum(quadw_ref[:][None] * occ, axis=-1)
-        ngal = mean_occ * nh_ref[:][None]              # (TB, n_bins)
-        total = jnp.sum(ngal, axis=-1)                 # (TB,)
-        ngal_out[:] = total
-
+    def kernel(ngal_ref, f2_ref, total_out, xi_out):
+        ngal = ngal_ref[:]                              # (TB, nb_pad)
+        total = jnp.sum(ngal, axis=-1)
+        total_out[:] = total[:, None]
         t = jnp.dot(ngal, f2_ref[:], preferred_element_type=dtype)
         if auto:
-            t = t.reshape(ngal.shape[0], n_xi, n_bins)
+            t = t.reshape(ngal.shape[0], n_xi, nb_pad)
             xi = jnp.sum(t * ngal[:, None, :], axis=-1)
             xi_out[:] = xi / (total * total)[:, None]
         else:
             xi_out[:] = t / total[:, None]
 
-    def block1d():
-        return pl.BlockSpec((batch_tile,), lambda i: (i,),
-                            memory_space=pltpu.VMEM)
-
-    def full(shape):
-        return pl.BlockSpec(shape, lambda i: tuple(0 for _ in shape),
-                            memory_space=pltpu.VMEM)
-
-    @jax.jit
-    def predict_batch(params):
-        batch = params[param_names[0]].shape[0]
-        padded = -(-batch // batch_tile) * batch_tile
-        inputs = []
-        for name in param_names:
-            x = jnp.asarray(params[name], dtype=dtype)
-            inputs.append(jnp.pad(x, (0, padded - batch)))
-
-        grid = (padded // batch_tile,)
-        ngal, xi = pl.pallas_call(
+    def contract(ngal):
+        batch = ngal.shape[0]
+        ngal = jnp.pad(ngal, ((0, 0), (0, nb_pad - ngal.shape[1])))
+        grid = (batch // batch_tile,)
+        total, xi = pl.pallas_call(
             kernel,
             grid=grid,
-            in_specs=[block1d() for _ in param_names] + [
-                full(f2.shape), full(log_quad.shape),
-                full(quad_w.shape), full(sec.shape), full(n_h.shape),
-                full((n_bins,))],
+            in_specs=[
+                pl.BlockSpec((batch_tile, nb_pad), lambda i: (i, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec(f2.shape, lambda i: (0, 0),
+                             memory_space=pltpu.VMEM)],
             out_specs=(
-                pl.BlockSpec((batch_tile,), lambda i: (i,),
+                pl.BlockSpec((batch_tile, 1), lambda i: (i, 0),
                              memory_space=pltpu.VMEM),
                 pl.BlockSpec((batch_tile, n_xi), lambda i: (i, 0),
                              memory_space=pltpu.VMEM)),
             out_shape=(
-                jax.ShapeDtypeStruct((padded,), dtype),
-                jax.ShapeDtypeStruct((padded, n_xi), dtype)),
+                jax.ShapeDtypeStruct((batch, 1), dtype),
+                jax.ShapeDtypeStruct((batch, n_xi), dtype)),
             interpret=interpret,
-        )(*inputs, f2, log_quad, quad_w, sec, n_h,
-          jnp.asarray(cen_mask, dtype=dtype))
-        return ngal[:batch], xi[:batch]
+        )(ngal, f2)
+        return total[:, 0], xi
+
+    return contract
+
+
+def make_fused_predictor(table: TableData, occupation_cen, occupation_sat,
+                         param_names=None, batch_tile=DEFAULT_TILE,
+                         interpret=False):
+    """Fused batched predictor ``f(params dict of (B,)) -> (ngal, xi)``.
+
+    XLA occupation quadrature + Pallas VMEM-resident contraction.  The
+    batch is padded to a ``batch_tile`` multiple internally.
+    """
+    contract = make_fused_contraction(table, batch_tile=batch_tile,
+                                      interpret=interpret)
+    dtype = table.tpcf_dense.dtype
+
+    @jax.jit
+    def predict_batch(params):
+        any_param = next(iter(params.values()))
+        batch = any_param.shape[0]
+        padded = -(-batch // batch_tile) * batch_tile
+        params_padded = {
+            k: jnp.pad(jnp.asarray(v, dtype=dtype), (0, padded - batch),
+                       constant_values=1.0)
+            for k, v in params.items()}
+
+        mean_occ = jax.vmap(lambda p: mean_occupation(
+            table, occupation_cen, occupation_sat, p))(params_padded)
+        ngal = mean_occ * table.n_h
+        total, xi = contract(ngal)
+        return total[:batch], xi[:batch]
 
     return predict_batch

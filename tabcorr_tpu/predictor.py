@@ -162,6 +162,23 @@ def make_predictor(obj, model, n_gauss=10, dtype=jnp.float32,
     return jax.jit(fn) if jit else fn
 
 
+def make_multi_predictor(objs, model, n_gauss=10, dtype=jnp.float32,
+                         jit=True):
+    """Joint predictor over several tabulations (e.g. wp + xi_0/2/4 + ds).
+
+    Returns ``f(params dict of (B,)) -> list of (ngal, xi)`` evaluating all
+    statistics for the same parameter batch in one jitted call — the shape
+    of a full multi-probe MCMC likelihood evaluation.
+    """
+    fns = [make_predictor(obj, model, n_gauss=n_gauss, dtype=dtype,
+                          jit=False) for obj in objs]
+
+    def predict_all(params):
+        return [fn(params) for fn in fns]
+
+    return jax.jit(predict_all) if jit else predict_all
+
+
 def params_batch(model, overrides=None, batch_shape=(), dtype=jnp.float32):
     """Assemble a batched parameter dict from a model's param_dict.
 
