@@ -119,3 +119,60 @@ def test_heaviside_assembias_direction():
     hi = heaviside_assembias(base, 0.5, np.array([0.9]))
     lo = heaviside_assembias(base, 0.5, np.array([0.1]))
     assert float(hi[0]) > 0.5 > float(lo[0])
+
+
+def test_functional_hod_model(wp_tabcorr=None):
+    import numpy as np
+    from tabcorr_tpu.models import FunctionalHodModel
+    from tabcorr_tpu.utils.backend import get_namespace
+
+    def smooth_cen(params, log_m, sec):
+        xp = get_namespace(log_m)
+        return 1.0 / (1.0 + xp.exp(-(log_m - params["logMmin"]) * 5.0))
+
+    def power_sat(params, log_m, sec):
+        return 10.0 ** (params["alpha"] * (log_m - params["logM1"]))
+
+    model = FunctionalHodModel(
+        smooth_cen, power_sat,
+        {"logMmin": 12.0, "logM1": 13.5, "alpha": 1.0}, redshift=0.0)
+
+    mass = np.logspace(11, 15, 21)
+    ncen = model.mean_occupation_centrals(prim_haloprop=mass)
+    nsat = model.mean_occupation_satellites(prim_haloprop=mass)
+    assert np.all((ncen >= 0) & (ncen <= 1))
+    np.testing.assert_allclose(nsat, (mass / 10**13.5), rtol=1e-10)
+
+    model.param_dict["alpha"] = 2.0
+    nsat2 = model.mean_occupation_satellites(prim_haloprop=mass)
+    np.testing.assert_allclose(nsat2, (mass / 10**13.5) ** 2, rtol=1e-9)
+
+
+def test_functional_model_predicts(request):
+    import numpy as np
+    import jax.numpy as jnp
+    import tabcorr_tpu as tt
+    from tabcorr_tpu.models import FunctionalHodModel
+    from tabcorr_tpu.predictor import make_predictor, params_batch
+    from tabcorr_tpu.utils.backend import erf, get_namespace
+
+    wp_tab = request.getfixturevalue("wp_tabcorr")
+
+    def cen(params, log_m, sec):
+        return 0.5 * (1 + erf((log_m - params["logMmin"]) / 0.3))
+
+    def sat(params, log_m, sec):
+        xp = get_namespace(log_m)
+        return xp.maximum(10.0 ** (log_m - params["logM1"]) - 0.01, 0.0)
+
+    model = FunctionalHodModel(
+        cen, sat, {"logMmin": 11.5, "logM1": 12.5},
+        redshift=wp_tab.attrs["redshift"], prim_haloprop_key="halo_mvir")
+
+    ngal, wp = wp_tab.predict(model, check_consistency=False)
+    assert np.isfinite(ngal) and np.all(np.isfinite(wp))
+
+    f = make_predictor(wp_tab, model, dtype=jnp.float64)
+    params = params_batch(model, {}, (3,), dtype=jnp.float64)
+    ngal_b, wp_b = f(params)
+    np.testing.assert_allclose(np.asarray(wp_b[0]), wp, rtol=1e-12)
