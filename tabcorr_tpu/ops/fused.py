@@ -121,6 +121,7 @@ def make_fused_predictor(table: TableData, occupation_cen, occupation_sat,
             table, occupation_cen, occupation_sat, p))(params_padded)
         ngal = mean_occ * table.n_h
         total, xi = contract(ngal)
-        return total[:batch], xi[:batch]
+        xi = xi[:batch].reshape((batch,) + tuple(table.tpcf_shape))
+        return total[:batch], xi
 
     return predict_batch

@@ -57,54 +57,101 @@ def _min_image(delta, period):
     return delta - period * jnp.round(delta / period)
 
 
+def _tile_geometry(p1, l1, i1, p2, l2, i2, w2, period, r_edges_sq, pi_max,
+                   mu_edges, kind, n_r, n_mu, exclude_self):
+    """Per-tile pair geometry: (sub_bin (C,C) int, valid (C,C) bool)."""
+    d = p1[:, None, :] - p2[None, :, :]
+    d = _min_image(d, period)
+    rp_sq = d[..., 0] ** 2 + d[..., 1] ** 2
+    dz = jnp.abs(d[..., 2])
+
+    valid = (l1[:, None] >= 0) & (l2[None, :] >= 0)
+    if exclude_self:
+        valid &= i1[:, None] != i2[None, :]
+
+    if kind == "rppi":
+        r_bin = jnp.searchsorted(r_edges_sq, rp_sq, side="right") - 1
+        valid &= (r_bin >= 0) & (r_bin < n_r) & (dz < pi_max)
+        sub_bin = r_bin
+    elif kind == "proj":
+        r_bin = jnp.searchsorted(r_edges_sq, rp_sq, side="right") - 1
+        valid &= (r_bin >= 0) & (r_bin < n_r)
+        sub_bin = r_bin
+    else:  # smu
+        s_sq = rp_sq + dz ** 2
+        s_bin = jnp.searchsorted(r_edges_sq, s_sq, side="right") - 1
+        s = jnp.sqrt(s_sq)
+        mu = jnp.where(s > 0, dz / jnp.maximum(s, 1e-30), 0.0)
+        mu_bin = jnp.clip(
+            jnp.searchsorted(mu_edges, mu, side="right") - 1, 0, n_mu - 1)
+        valid &= (s_bin >= 0) & (s_bin < n_r) & (s > 0)
+        sub_bin = s_bin * n_mu + mu_bin
+    return sub_bin, valid
+
+
 def _sweep_impl(hist, pos1, labels1, idx1, pos2, labels2, idx2,
                 weights2, period, r_edges_sq, pi_max, mu_edges,
                 kind, n_labels_1, n_labels_2, n_r, n_mu,
-                exclude_self):
+                exclude_self, strategy="matmul"):
     """Accumulate one i-chunk against all j-chunks into ``hist``.
 
     Dispatched once per i-chunk from the host so no single device kernel
     runs long (long-running monolithic kernels can trip accelerator
     watchdogs); the flat histogram is donated and updated in place.
+
+    Two accumulation strategies:
+
+    * ``'matmul'`` (TPU): for each radial sub-bin c, the (label_1, label_2)
+      histogram slab is the bilinear form ``onehot_1^T M_c onehot_2`` with
+      ``M_c`` the masked (weighted) pair matrix — two MXU matmuls per
+      sub-bin, no scatter.  XLA lowers large scatter-adds to effectively
+      serial updates on TPU (~1e8/s measured), so this is ~50x faster
+      even though it spends 2 * n_sub * min(n_l1, n_l2) FLOPs per pair.
+    * ``'scatter'`` (CPU): flat scatter-add of per-pair indices; fast on
+      CPU where scatter is a gather-free memory update.
     """
     n_hist_r = n_r * (n_mu if kind == "smu" else 1)
     n_hist = n_labels_1 * n_labels_2 * n_hist_r
     n2_chunks = pos2.shape[0] // CHUNK
+    dtype = weights2.dtype
 
-    def tile(p1, l1, i1, p2, l2, i2, w2):
-        d = p1[:, None, :] - p2[None, :, :]
-        d = _min_image(d, period)
-        rp_sq = d[..., 0] ** 2 + d[..., 1] ** 2
-        dz = jnp.abs(d[..., 2])
-
-        valid = (l1[:, None] >= 0) & (l2[None, :] >= 0)
-        if exclude_self:
-            valid &= i1[:, None] != i2[None, :]
-
-        if kind == "rppi":
-            r_bin = jnp.searchsorted(r_edges_sq, rp_sq, side="right") - 1
-            valid &= (r_bin >= 0) & (r_bin < n_r) & (dz < pi_max)
-            sub_bin = r_bin
-        elif kind == "proj":
-            r_bin = jnp.searchsorted(r_edges_sq, rp_sq, side="right") - 1
-            valid &= (r_bin >= 0) & (r_bin < n_r)
-            sub_bin = r_bin
-        else:  # smu
-            s_sq = rp_sq + dz ** 2
-            s_bin = jnp.searchsorted(r_edges_sq, s_sq, side="right") - 1
-            s = jnp.sqrt(s_sq)
-            mu = jnp.where(s > 0, dz / jnp.maximum(s, 1e-30), 0.0)
-            mu_bin = jnp.clip(
-                jnp.searchsorted(mu_edges, mu, side="right") - 1, 0,
-                n_mu - 1)
-            valid &= (s_bin >= 0) & (s_bin < n_r) & (s > 0)
-            sub_bin = s_bin * n_mu + mu_bin
-
+    def tile_scatter(l1, l2, w2, sub_bin, valid, hist_inner):
         flat = ((l1[:, None] * n_labels_2 + l2[None, :]) * n_hist_r +
                 sub_bin)
         flat = jnp.where(valid, flat, n_hist)
         w = jnp.broadcast_to(w2[None, :], flat.shape)
-        return flat.ravel(), jnp.where(valid, w, 0.0).ravel()
+        w = jnp.where(valid, w, 0.0)
+        return hist_inner.at[flat.ravel()].add(w.ravel())
+
+    def tile_matmul(l1, l2, w2, sub_bin, valid, hist_inner):
+        # One-hot label matrices; invalid labels (< 0) one-hot to zero.
+        oh1 = (l1[:, None] ==
+               jnp.arange(n_labels_1)[None, :]).astype(dtype)
+        oh2 = (l2[:, None] ==
+               jnp.arange(n_labels_2)[None, :]).astype(dtype)
+        wvalid = jnp.where(valid, w2[None, :], jnp.zeros((), dtype))
+
+        slab = hist_inner[:n_hist].reshape(n_labels_1, n_labels_2,
+                                           n_hist_r)
+
+        def c_body(c, slab_inner):
+            m = jnp.where(sub_bin == c, wvalid, jnp.zeros((), dtype))
+            if n_labels_2 <= n_labels_1:
+                t = jnp.dot(m, oh2, preferred_element_type=dtype)
+                h = jnp.dot(oh1.T, t, preferred_element_type=dtype)
+            else:
+                t = jnp.dot(oh1.T, m, preferred_element_type=dtype)
+                h = jnp.dot(t, oh2, preferred_element_type=dtype)
+            return jax.lax.dynamic_update_index_in_dim(
+                slab_inner,
+                jax.lax.dynamic_index_in_dim(
+                    slab_inner, c, axis=2, keepdims=False) + h,
+                c, axis=2)
+
+        slab = jax.lax.fori_loop(0, n_hist_r, c_body, slab)
+        return hist_inner.at[:n_hist].set(slab.reshape(-1))
+
+    tile_fn = tile_matmul if strategy == "matmul" else tile_scatter
 
     def j_body(j_chunk, hist_inner):
         p2 = jax.lax.dynamic_slice(pos2, (j_chunk * CHUNK, 0),
@@ -114,25 +161,28 @@ def _sweep_impl(hist, pos1, labels1, idx1, pos2, labels2, idx2,
         i2 = jax.lax.dynamic_slice(idx2, (j_chunk * CHUNK,), (CHUNK,))
         w2 = jax.lax.dynamic_slice(weights2, (j_chunk * CHUNK,),
                                    (CHUNK,))
-        flat, w = tile(pos1, labels1, idx1, p2, l2, i2, w2)
-        return hist_inner.at[flat].add(w)
+        sub_bin, valid = _tile_geometry(
+            pos1, labels1, idx1, p2, l2, i2, w2, period, r_edges_sq,
+            pi_max, mu_edges, kind, n_r, n_mu, exclude_self)
+        return tile_fn(labels1, l2, w2, sub_bin, valid, hist_inner)
 
     return jax.lax.fori_loop(0, n2_chunks, j_body, hist)
 
 
 _sweep_i_chunk = partial(jax.jit, static_argnames=(
-    "kind", "n_labels_1", "n_labels_2", "n_r", "n_mu", "exclude_self"),
+    "kind", "n_labels_1", "n_labels_2", "n_r", "n_mu", "exclude_self",
+    "strategy"),
     donate_argnums=(0,))(_sweep_impl)
 
 
 @partial(jax.jit, static_argnames=("mesh", "kind", "n_labels_1",
                                    "n_labels_2", "n_r", "n_mu",
-                                   "exclude_self"),
+                                   "exclude_self", "strategy"),
          donate_argnums=(0,))
 def _sweep_i_chunk_sharded(hist, pos1, labels1, idx1, pos2, labels2, idx2,
                            weights2, period, r_edges_sq, pi_max, mu_edges,
                            mesh, kind, n_labels_1, n_labels_2, n_r, n_mu,
-                           exclude_self):
+                           exclude_self, strategy="matmul"):
     """Mesh-sharded sweep: the j-tracer set is split across devices.
 
     Each device accumulates its local partial histogram over its shard of
@@ -155,7 +205,7 @@ def _sweep_i_chunk_sharded(hist, pos1, labels1, idx1, pos2, labels2, idx2,
         partial_hist = _sweep_impl(
             partial_hist, p1, l1, i1, p2, l2, i2, w2, period, r_edges_sq,
             pi_max, mu_edges, kind, n_labels_1, n_labels_2, n_r, n_mu,
-            exclude_self)
+            exclude_self, strategy=strategy)
         return jax.lax.psum(partial_hist, axis)
 
     partial_hist = shard_map(
@@ -168,7 +218,8 @@ def _sweep_i_chunk_sharded(hist, pos1, labels1, idx1, pos2, labels2, idx2,
 def labeled_pair_count(pos1, labels1, n_labels_1, pos2=None, labels2=None,
                        n_labels_2=None, weights2=None, period=1.0,
                        kind="rppi", r_edges=None, pi_max=None,
-                       mu_edges=None, progress=False, mesh=None):
+                       mu_edges=None, progress=False, mesh=None,
+                       strategy="auto"):
     """Count pairs between labeled tracer sets (host-facing wrapper).
 
     Parameters
@@ -185,11 +236,17 @@ def labeled_pair_count(pos1, labels1, n_labels_1, pos2=None, labels2=None,
     mesh : jax.sharding.Mesh, optional
         If given, the second tracer set is sharded over the mesh's first
         axis and partial histograms are psum-merged over the interconnect.
+    strategy : str, optional
+        Histogram accumulation: 'matmul' (MXU one-hot bilinear forms; the
+        TPU path), 'scatter' (flat scatter-add; the CPU path), or 'auto'.
 
     Returns
     -------
     counts : (n_labels_1, n_labels_2, n_r[, n_mu]) float64 array.
     """
+    if strategy == "auto":
+        strategy = "matmul" if jax.default_backend() == "tpu" else \
+            "scatter"
     period = np.broadcast_to(np.asarray(period, dtype=np.float64), (3,))
     r_edges = np.asarray(r_edges, dtype=np.float64)
     n_r = len(r_edges) - 1
@@ -257,12 +314,13 @@ def labeled_pair_count(pos1, labels1, n_labels_1, pos2=None, labels2=None,
         if mesh is None:
             hist = _sweep_i_chunk(
                 *chunk_args, kind, int(n_labels_1), int(n_labels_2),
-                n_r, n_mu, exclude_self=auto)
+                n_r, n_mu, exclude_self=auto, strategy=strategy)
         else:
             hist = _sweep_i_chunk_sharded(
                 *chunk_args, mesh=mesh, kind=kind,
                 n_labels_1=int(n_labels_1), n_labels_2=int(n_labels_2),
-                n_r=n_r, n_mu=n_mu, exclude_self=auto)
+                n_r=n_r, n_mu=n_mu, exclude_self=auto,
+                strategy=strategy)
 
     counts = np.asarray(hist[:n_hist], dtype=np.float64)
     if kind == "smu":

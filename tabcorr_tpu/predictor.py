@@ -122,7 +122,8 @@ def _spline_over_grid(params, keys, xp_dev, a_dev, grid_shape, values):
 
 
 def make_predictor(obj, model, n_gauss=10, dtype=jnp.float32,
-                   separate_gal_type=False, vectorized=True, jit=True):
+                   separate_gal_type=False, vectorized=True, jit=True,
+                   engine="auto"):
     """Build a batched prediction function for a tabulation or interpolator.
 
     Parameters
@@ -143,12 +144,29 @@ def make_predictor(obj, model, n_gauss=10, dtype=jnp.float32,
         dicts of scalars.
     jit : bool, optional
         Wrap in ``jax.jit``.
+    engine : str, optional
+        'xla', 'fused' (Pallas VMEM-resident contraction; TabCorr-only,
+        vectorized, no separate_gal_type) or 'auto' (fused on TPU when
+        eligible). Default 'auto'.
 
     Returns
     -------
     callable
         ``f(params) -> (ngal, xi)``.
     """
+    fused_eligible = (isinstance(obj, TabCorr) and vectorized and
+                      not separate_gal_type)
+    if engine == "auto":
+        engine = ("fused" if fused_eligible and
+                  jax.default_backend() == "tpu" else "xla")
+    if engine == "fused":
+        if not fused_eligible:
+            raise ValueError("engine='fused' requires a TabCorr, "
+                             "vectorized=True and separate_gal_type=False.")
+        from .ops.fused import make_fused_predictor
+        table = obj.table_data(n_gauss=n_gauss, dtype=dtype)
+        return make_fused_predictor(table, *occupation_functions(model))
+
     if isinstance(obj, Interpolator):
         one = _interpolator_predict_fn(obj, model, n_gauss, dtype,
                                        separate_gal_type)
