@@ -158,6 +158,60 @@ def run_hmc(key, log_prob_fn, positions0, n_steps, step_size=0.01,
     return chain, chain_lp, accs.mean()
 
 
+@partial(jax.jit,
+         static_argnames=("log_prob_fn", "n_warmup", "n_steps",
+                          "n_leapfrog"))
+def run_hmc_adaptive(key, log_prob_fn, positions0, n_warmup, n_steps,
+                     n_leapfrog=10, initial_step_size=0.1,
+                     target_accept=0.8):
+    """HMC with dual-averaging step-size adaptation during warmup.
+
+    Implements the Nesterov dual-averaging scheme of Hoffman & Gelman
+    (2014, the NUTS paper, algorithm 5) to tune the leapfrog step size to
+    ``target_accept`` over ``n_warmup`` vmapped multi-chain steps, then
+    samples ``n_steps`` with the adapted (frozen) step size.
+
+    Returns (chain (n_steps, n_chains, n_dim), log_prob, accept_fraction,
+    step_size).
+    """
+    gamma, t0, kappa = 0.05, 10.0, 0.75
+    mu = jnp.log(10.0 * initial_step_size)
+
+    def multi_step(key_step, positions, step_size):
+        keys = jax.random.split(key_step, positions.shape[0])
+        positions, lp, acc = jax.vmap(
+            lambda k, q: hmc_step(k, q, log_prob_fn, step_size,
+                                  n_leapfrog))(keys, positions)
+        return positions, lp, acc.mean()
+
+    def warmup_body(carry, key_step):
+        positions, log_eps, log_eps_bar, h_bar, t = carry
+        positions, _, accept = multi_step(key_step, positions,
+                                          jnp.exp(log_eps))
+        t = t + 1.0
+        h_bar = ((1.0 - 1.0 / (t + t0)) * h_bar +
+                 (target_accept - accept) / (t + t0))
+        log_eps = mu - jnp.sqrt(t) / gamma * h_bar
+        eta = t ** -kappa
+        log_eps_bar = eta * log_eps + (1.0 - eta) * log_eps_bar
+        return (positions, log_eps, log_eps_bar, h_bar, t), accept
+
+    key_warm, key_sample = jax.random.split(key)
+    carry0 = (positions0, jnp.log(initial_step_size),
+              jnp.log(initial_step_size), 0.0, 0.0)
+    (positions, _, log_eps_bar, _, _), _ = jax.lax.scan(
+        warmup_body, carry0, jax.random.split(key_warm, n_warmup))
+    step_size = jnp.exp(log_eps_bar)
+
+    def body(positions, key_step):
+        positions, lp, acc = multi_step(key_step, positions, step_size)
+        return positions, (positions, lp, acc)
+
+    _, (chain, chain_lp, accs) = jax.lax.scan(
+        body, positions, jax.random.split(key_sample, n_steps))
+    return chain, chain_lp, accs.mean(), step_size
+
+
 def make_gaussian_logpost(predict_fn, param_names, base_params, data,
                           inv_cov, bounds=None, ngal_data=None,
                           ngal_sigma=None):

@@ -78,3 +78,19 @@ def test_hod_posterior_recovers_truth(wp_tabcorr, bol_model):
     std = samples.std(axis=0)
     assert np.all(np.abs(mean - truth) < 4 * std + 1e-3)
     assert np.all(std < 0.5)
+
+
+def test_hmc_adaptive_tunes_step_size():
+    from tabcorr_tpu.mcmc import run_hmc_adaptive
+
+    key = jax.random.key(7)
+    positions0 = jax.random.normal(jax.random.key(8), (8, 2))
+    chain, lp, accept, step_size = run_hmc_adaptive(
+        key, _gaussian_logprob, positions0, n_warmup=150, n_steps=300,
+        n_leapfrog=8, initial_step_size=1.5)
+    # Dual averaging must pull the acceptance rate to the target zone.
+    assert 0.6 < float(accept) < 0.95
+    assert 0.01 < float(step_size) < 1.5
+    samples = np.asarray(chain[100:]).reshape(-1, 2)
+    np.testing.assert_allclose(samples.mean(axis=0), [1.0, -2.0],
+                               atol=0.3)
