@@ -60,7 +60,10 @@ def make_fused_contraction(table: TableData, batch_tile=DEFAULT_TILE,
         ngal = ngal_ref[:]                              # (TB, nb_pad)
         total = jnp.sum(ngal, axis=-1)
         total_out[:] = total[:, None]
-        t = jnp.dot(ngal, f2_ref[:], preferred_element_type=dtype)
+        # HIGHEST: f32 inputs on the MXU default to one bf16 pass
+        # (~1e-3 relative); three-pass keeps the <1e-6 accuracy target.
+        t = jnp.dot(ngal, f2_ref[:], preferred_element_type=dtype,
+                    precision=jax.lax.Precision.HIGHEST)
         if auto:
             t = t.reshape(ngal.shape[0], n_xi, nb_pad)
             xi = jnp.sum(t * ngal[:, None, :], axis=-1)

@@ -15,7 +15,11 @@ measured on one v5e chip); on CPU it is a flat scatter-add.
 Pair conventions match the reference's Corrfunc wrappers
 (reference: tabcorr/corrfunc.py): *ordered* pairs (each unordered pair
 counted twice, self-pairs excluded), periodic minimum-image separations,
-natural estimator against the analytic random count.
+natural estimator against the analytic random count.  Pair geometry is
+float32: counts are exact given float32 separations, and only pairs within
+one float32 ulp of a bin edge can classify differently from a float64
+counter (measured ~1 unordered pair per ~10^6.5; far below the sampling
+noise of any tabulation).
 
 Three binning geometries:
 
@@ -137,13 +141,21 @@ def _sweep_impl(hist, pos1, labels1, idx1, pos2, labels2, idx2,
                                            n_hist_r)
 
         def c_body(c, slab_inner):
+            # HIGHEST precision: with the TPU's default single-pass bf16
+            # matmul the second product rounds its inputs (partial counts
+            # can exceed bf16's 8-bit significand), corrupting counts.
+            hi = jax.lax.Precision.HIGHEST
             m = jnp.where(sub_bin == c, wvalid, jnp.zeros((), dtype))
             if n_labels_2 <= n_labels_1:
-                t = jnp.dot(m, oh2, preferred_element_type=dtype)
-                h = jnp.dot(oh1.T, t, preferred_element_type=dtype)
+                t = jnp.dot(m, oh2, preferred_element_type=dtype,
+                            precision=hi)
+                h = jnp.dot(oh1.T, t, preferred_element_type=dtype,
+                            precision=hi)
             else:
-                t = jnp.dot(oh1.T, m, preferred_element_type=dtype)
-                h = jnp.dot(t, oh2, preferred_element_type=dtype)
+                t = jnp.dot(oh1.T, m, preferred_element_type=dtype,
+                            precision=hi)
+                h = jnp.dot(t, oh2, preferred_element_type=dtype,
+                            precision=hi)
             return jax.lax.dynamic_update_index_in_dim(
                 slab_inner,
                 jax.lax.dynamic_index_in_dim(
