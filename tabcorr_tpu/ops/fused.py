@@ -31,10 +31,13 @@ DEFAULT_TILE = 256
 
 
 def make_fused_contraction(table: TableData, batch_tile=DEFAULT_TILE,
-                           interpret=False):
+                           interpret=False, precision="highest"):
     """Fused contraction: ``ngal (B, n_bins) -> (total (B,), xi (B, n_xi))``.
 
     B must be a multiple of ``batch_tile`` (callers pad).
+    ``precision='highest'`` (default) keeps the MXU matmul at full float32
+    effective precision (<1e-6 relative, 3 bf16 passes); ``'default'``
+    uses the single-pass bf16 MXU mode (~1e-3 relative, ~1.5x faster).
     """
     n_bins = table.n_bins
     # Pad the bin axis to a lane multiple (128): Mosaic only lowers the
@@ -56,6 +59,9 @@ def make_fused_contraction(table: TableData, batch_tile=DEFAULT_TILE,
         f2 = jnp.zeros((nb_pad, n_xi), dtype=dtype)
         f2 = f2.at[:n_bins].set(jnp.transpose(table.tpcf_dense, (1, 0)))
 
+    mxu_precision = (jax.lax.Precision.HIGHEST if precision == "highest"
+                     else jax.lax.Precision.DEFAULT)
+
     def kernel(ngal_ref, f2_ref, total_out, xi_out):
         ngal = ngal_ref[:]                              # (TB, nb_pad)
         total = jnp.sum(ngal, axis=-1)
@@ -63,7 +69,7 @@ def make_fused_contraction(table: TableData, batch_tile=DEFAULT_TILE,
         # HIGHEST: f32 inputs on the MXU default to one bf16 pass
         # (~1e-3 relative); three-pass keeps the <1e-6 accuracy target.
         t = jnp.dot(ngal, f2_ref[:], preferred_element_type=dtype,
-                    precision=jax.lax.Precision.HIGHEST)
+                    precision=mxu_precision)
         if auto:
             t = t.reshape(ngal.shape[0], n_xi, nb_pad)
             xi = jnp.sum(t * ngal[:, None, :], axis=-1)
@@ -100,14 +106,16 @@ def make_fused_contraction(table: TableData, batch_tile=DEFAULT_TILE,
 
 def make_fused_predictor(table: TableData, occupation_cen, occupation_sat,
                          param_names=None, batch_tile=DEFAULT_TILE,
-                         interpret=False):
+                         interpret=False, precision="highest"):
     """Fused batched predictor ``f(params dict of (B,)) -> (ngal, xi)``.
 
     XLA occupation quadrature + Pallas VMEM-resident contraction.  The
-    batch is padded to a ``batch_tile`` multiple internally.
+    batch is padded to a ``batch_tile`` multiple internally.  See
+    :func:`make_fused_contraction` for the ``precision`` trade-off.
     """
     contract = make_fused_contraction(table, batch_tile=batch_tile,
-                                      interpret=interpret)
+                                      interpret=interpret,
+                                      precision=precision)
     dtype = table.tpcf_dense.dtype
 
     @jax.jit
