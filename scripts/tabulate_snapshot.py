@@ -110,6 +110,9 @@ def main():
                         help="TPCF to tabulate")
     parser.add_argument("--seed", type=int, default=None,
                         help="random seed for the mock population")
+    parser.add_argument("--resume", action="store_true",
+                        help="skip grid nodes whose output files already "
+                             "exist (file-granularity checkpointing)")
     args = parser.parse_args()
 
     config = database.configuration(args.tab_config)
@@ -143,6 +146,13 @@ def main():
         writer.writerows(grid)
 
     for i, (alpha_c, alpha_s, conc_gal_bias) in enumerate(grid):
+        if args.resume:
+            expected = ([path / f"xi{o}_{i}.hdf5" for o in (0, 2, 4)]
+                        if args.tpcf == "xi"
+                        else [path / f"{args.tpcf}_{i}.hdf5"])
+            if all(f.exists() for f in expected):
+                print(f"Skipping grid node {i} (files exist).")
+                continue
         cens_prof_model = CentralVelocityBiasPhaseSpace(
             redshift=halocat.redshift, alpha_c=alpha_c)
         sats_prof_model = NFWPhaseSpace(

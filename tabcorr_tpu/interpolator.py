@@ -228,6 +228,14 @@ class Interpolator:
                     x_model, self.xp, self.a, data, extrapolate=extrapolate))
         return tuple(output)
 
+    def make_predictor(self, model, **kwargs):
+        """Jitted batched predictor through the grid splines.
+
+        Convenience for :func:`tabcorr_tpu.predictor.make_predictor`.
+        """
+        from .predictor import make_predictor
+        return make_predictor(self, model, **kwargs)
+
     def __repr__(self):
         return (f"Interpolator(keys={self.keys}, "
                 f"grid={[len(xp) for xp in self.xp]}, "

@@ -276,6 +276,15 @@ class TabCorr:
         return ngal_dict, xi_dict
 
     # ------------------------------------------------------------------
+    def make_predictor(self, model, **kwargs):
+        """Jitted batched predictor for this tabulation.
+
+        Convenience for :func:`tabcorr_tpu.predictor.make_predictor`;
+        returns ``f(params dict of (B,) arrays) -> (ngal, xi)``.
+        """
+        from .predictor import make_predictor
+        return make_predictor(self, model, **kwargs)
+
     def __repr__(self):
         return (f"TabCorr(tpcf={self.attrs.get('tpcf')}, mode="
                 f"{self.attrs.get('mode')}, n_bins={self.n_bins}, "
