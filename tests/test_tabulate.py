@@ -225,3 +225,37 @@ def test_distribution_index():
     # Mean at lower edge -> strongly negative; upper edge -> positive.
     assert distribution_index(1.0, 2.0, 1.05) < -5
     assert distribution_index(1.0, 2.0, 1.95) > 5
+
+
+def test_tabulate_validation_errors(halocat):
+    rp_bins = np.logspace(-0.3, 1.0, 4)
+    # Empty-satellite bins raise the actionable error
+    # (reference: tabcorr/tabcorr.py:300-304).
+    with pytest.raises(RuntimeError, match="sats_per_prim_haloprop"):
+        tt.TabCorr.tabulate(
+            halocat, tt.corrfunc.wp, rp_bins, 10.0, mode="auto",
+            prim_haloprop_bins=4, Num_ptcl_requirement=300,
+            sats_per_prim_haloprop=1e-16, seed=3)
+    # Invalid bin specifications (reference: tabcorr/tabcorr.py:167-185).
+    with pytest.raises(ValueError):
+        tt.TabCorr.tabulate(halocat, tt.corrfunc.wp, rp_bins, 10.0,
+                            prim_haloprop_bins="nope")
+    with pytest.raises(ValueError):
+        tt.TabCorr.tabulate(halocat, tt.corrfunc.wp, rp_bins, 10.0,
+                            sec_haloprop_percentile_bins=1.5)
+
+
+def test_tabulate_explicit_prim_bins(halocat):
+    # Passing explicit log-mass bin edges works (the reference's
+    # isinstance chain references an unassigned name on this path,
+    # tabcorr/tabcorr.py:165; deliberately not replicated).
+    rp_bins = np.logspace(-0.3, 1.0, 4)
+    edges = np.linspace(12.0, 13.5, 5)
+    tab = tt.TabCorr.tabulate(
+        halocat, tt.corrfunc.wp, rp_bins, 10.0, mode="auto",
+        prim_haloprop_bins=edges, Num_ptcl_requirement=300,
+        sats_per_prim_haloprop=1e-12, seed=5)
+    got_edges = np.unique(np.concatenate([
+        tab.gal_type["log_prim_haloprop_min"],
+        tab.gal_type["log_prim_haloprop_max"]]))
+    assert np.all(np.isin(np.round(got_edges, 10), np.round(edges, 10)))
