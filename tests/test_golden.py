@@ -109,3 +109,46 @@ def test_ds_prediction_matches_direct_mock():
     ds_mean = np.mean(ds_direct, axis=0)
     np.testing.assert_allclose(ds_pred, ds_mean, rtol=0.15,
                                atol=0.02 * np.max(np.abs(ds_mean)))
+
+
+@pytest.mark.slow
+def test_xi_multipole_prediction_matches_direct_mock():
+    # Validates the redshift-space (s, mu) tabulation + multipole
+    # conversion chain (BASELINE config #3): the tabulated xi_0 prediction
+    # must match the monopole measured directly from model mocks.
+    from tabcorr_tpu.mock import apply_redshift_space_distortions
+    from tabcorr_tpu.ops.multipole import tabcorr_s_mu_to_multipole, tpcf_multipole
+
+    halocat = synthetic_halocat(n_halos=6000, lbox=250.0, seed=12,
+                                log_mass_range=(12.0, 14.0))
+    s_bins = np.logspace(-0.2, 1.2, 6)
+    mu_bins = np.linspace(0, 1, 11)
+
+    halotab_smu = tt.TabCorr.tabulate(
+        halocat, tt.corrfunc.s_mu_tpcf, s_bins, mu_bins, mode="auto",
+        prim_haloprop_bins=12, Num_ptcl_requirement=300,
+        sats_per_prim_haloprop=1e-12, project_xyz=True, seed=21)
+    halotab_xi0 = tabcorr_s_mu_to_multipole(halotab_smu, mu_bins, 0)
+
+    model = tt.Zheng07Model(threshold=-20, redshift=0.0, logMmin=12.6,
+                            sigma_logM=0.3, logM0=12.4, logM1=13.6,
+                            alpha=1.0)
+    _, xi0_pred = halotab_xi0.predict(model, check_consistency=False)
+
+    rng = np.random.default_rng(77)
+    xi0_direct = []
+    for _ in range(4):
+        mock = populate_mock(halocat, model, rng,
+                             num_ptcl_requirement=300)
+        for xyz in ["xyz", "yzx", "zxy"]:
+            axes = ["xyz".index(c) for c in xyz]
+            pos = mock["pos"][:, axes].copy()
+            pos[:, 2] = apply_redshift_space_distortions(
+                pos[:, 2], mock["vel"][:, axes[2]], halocat.redshift,
+                halocat.cosmology, halocat.Lbox[axes[2]])
+            xi_smu = paircount.s_mu_tpcf(pos, s_bins, mu_bins,
+                                         period=halocat.Lbox)
+            xi0_direct.append(tpcf_multipole(xi_smu, mu_bins, 0))
+
+    xi0_mean = np.mean(xi0_direct, axis=0)
+    np.testing.assert_allclose(xi0_pred, xi0_mean, rtol=0.1, atol=0.3)
