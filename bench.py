@@ -35,7 +35,7 @@ jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
 import tabcorr_tpu as tt
 from tabcorr_tpu.ops.predict import TableData, quadrature_grid
-from tabcorr_tpu.predictor import make_predictor, occupation_functions, params_batch
+from tabcorr_tpu.predictor import occupation_functions, params_batch
 from tabcorr_tpu.ops.predict import mean_occupation, predict_from_occupation
 
 BASELINE_PREDICTIONS_PER_SEC = 1.0e3  # reference predict ~1 ms / eval

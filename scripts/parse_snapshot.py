@@ -23,7 +23,6 @@ from pathlib import Path
 import h5py
 import numpy as np
 
-import tabcorr_tpu  # noqa: F401  (ensures package import side effects)
 from tabcorr_tpu import database
 
 GADGET_HEADER = struct.Struct("<6I6dddii6Iiiddddii6Ii")

@@ -13,7 +13,6 @@ Usage:
 
 import argparse
 import csv
-from pathlib import Path
 
 import h5py
 import numpy as np

@@ -21,7 +21,7 @@ satellites by [0, inf).
 from __future__ import annotations
 
 from ..utils.backend import get_namespace
-from .protocol import CENTRALS, HodModel
+from .protocol import CENTRALS
 from .zheng07 import Zheng07Model
 
 

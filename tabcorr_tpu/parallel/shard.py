@@ -15,14 +15,12 @@ The parameter batch stays sharded over ``dp`` at the same time, so one
 
 from __future__ import annotations
 
-from functools import partial
-
 import jax
 import jax.numpy as jnp
 from jax.sharding import PartitionSpec as P
 from jax import shard_map
 
-from ..ops.predict import AUTO, TableData, mean_occupation
+from ..ops.predict import AUTO, TableData
 from .mesh import BATCH_AXIS, TABLE_AXIS
 
 

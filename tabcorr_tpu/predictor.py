@@ -21,7 +21,6 @@ from __future__ import annotations
 
 import jax
 import jax.numpy as jnp
-import numpy as np
 
 from .interpolator import Interpolator, spline_eval
 from .models.protocol import CENTRALS, SATELLITES

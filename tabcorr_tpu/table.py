@@ -24,7 +24,7 @@ import numpy as np
 
 from .io import ColumnTable, read_attrs
 from .models.protocol import CENTRALS
-from .ops.predict import (AUTO, CROSS, TableData, quadrature_grid)
+from .ops.predict import AUTO, TableData, quadrature_grid
 from .utils.packing import (array_to_symmetric_matrix, packed_index_arrays,
                             symmetric_matrix_to_array)
 
