@@ -120,6 +120,68 @@ def _spline_over_grid(params, keys, xp_dev, a_dev, grid_shape, values):
     return y
 
 
+def _interpolator_fused_predict_fn(interp, model, n_gauss, dtype):
+    """Fused-engine Interpolator path (single shared halo binning).
+
+    All grid nodes' dense matrices stack along the statistic axis, so the
+    whole grid evaluates in ONE Pallas contraction per batch; the grid
+    spline then reduces the per-node outputs.
+    """
+    from .ops.fused import make_fused_contraction
+    from .ops.predict import TableData
+
+    if len(interp.unique_gal_type_index) != 1:
+        raise ValueError("engine='fused' requires all Interpolator nodes "
+                         "to share one halo binning.")
+    order = [int(i) for i in interp.param_dict_table["tabcorr_index"]]
+    tables = [interp.tabcorr_list[i].table_data(n_gauss=n_gauss,
+                                                dtype=dtype)
+              for i in order]
+    base = tables[0]
+    n_nodes = len(tables)
+    n_xi = base.tpcf_dense.shape[0]
+    stacked = TableData(
+        tpcf_dense=jnp.concatenate([t.tpcf_dense for t in tables], axis=0),
+        n_h=base.n_h, log_prim_quad=base.log_prim_quad,
+        quad_weight=base.quad_weight, sec_perc=base.sec_perc,
+        mode=base.mode, tpcf_shape=(n_nodes * n_xi,),
+        n_centrals=base.n_centrals)
+
+    contract = make_fused_contraction(stacked)
+    occ_cen, occ_sat = occupation_functions(model)
+    keys = tuple(interp.keys)
+    xp_dev = [jnp.asarray(xp, dtype=dtype) for xp in interp.xp]
+    a_dev = [jnp.asarray(a, dtype=dtype) for a in interp.a]
+    grid_shape = tuple(len(xp) for xp in interp.xp)
+    batch_tile = 256
+
+    @jax.jit
+    def predict_batch(params):
+        any_param = next(iter(params.values()))
+        batch = any_param.shape[0]
+        padded = -(-batch // batch_tile) * batch_tile
+        params_padded = {
+            k: jnp.pad(jnp.asarray(v, dtype=dtype), (0, padded - batch),
+                       constant_values=1.0)
+            for k, v in params.items()}
+        mean_occ = jax.vmap(lambda p: mean_occupation(
+            stacked, occ_cen, occ_sat, p))(params_padded)
+        total, xi_nodes = contract(mean_occ * stacked.n_h)
+        xi_nodes = xi_nodes.reshape(padded, n_nodes, n_xi)
+
+        def spline_one(p, xi_n):
+            return _spline_over_grid(p, keys, xp_dev, a_dev, grid_shape,
+                                     xi_n)
+
+        xi = jax.vmap(spline_one)(params_padded, xi_nodes)
+        xi = xi[:batch].reshape((batch,) + tuple(base.tpcf_shape))
+        # ngal is node-independent for a shared binning; the reference's
+        # grid spline of equal values returns the same value.
+        return total[:batch], xi
+
+    return predict_batch
+
+
 def make_predictor(obj, model, n_gauss=10, dtype=jnp.float32,
                    separate_gal_type=False, vectorized=True, jit=True,
                    engine="auto"):
@@ -153,15 +215,22 @@ def make_predictor(obj, model, n_gauss=10, dtype=jnp.float32,
     callable
         ``f(params) -> (ngal, xi)``.
     """
-    fused_eligible = (isinstance(obj, TabCorr) and vectorized and
-                      not separate_gal_type)
+    fused_eligible = (vectorized and not separate_gal_type and
+                      (isinstance(obj, TabCorr) or
+                       (isinstance(obj, Interpolator) and
+                        len(obj.unique_gal_type_index) == 1)))
     if engine == "auto":
         engine = ("fused" if fused_eligible and
                   jax.default_backend() == "tpu" else "xla")
     if engine == "fused":
         if not fused_eligible:
-            raise ValueError("engine='fused' requires a TabCorr, "
-                             "vectorized=True and separate_gal_type=False.")
+            raise ValueError(
+                "engine='fused' requires vectorized=True, "
+                "separate_gal_type=False and a TabCorr (or an Interpolator "
+                "whose nodes share one halo binning).")
+        if isinstance(obj, Interpolator):
+            return _interpolator_fused_predict_fn(obj, model, n_gauss,
+                                                  dtype)
         from .ops.fused import make_fused_predictor
         table = obj.table_data(n_gauss=n_gauss, dtype=dtype)
         return make_fused_predictor(table, *occupation_functions(model))

@@ -35,3 +35,38 @@ def test_fused_matches_xla(fixture, bol_model, request):
                                rtol=1e-6)
     np.testing.assert_allclose(np.asarray(xi_f), np.asarray(xi_p),
                                rtol=2e-5)
+
+
+def test_fused_interpolator_matches_xla(ds_interpolator, model):
+    # The fused Interpolator engine (stacked-node contraction) must agree
+    # with the XLA path; interpret mode exercises the kernel on CPU.
+    import tabcorr_tpu.predictor as pred_mod
+    import tabcorr_tpu.ops.fused as fused_mod
+
+    orig = fused_mod.make_fused_contraction
+
+    def interpreted(table, batch_tile=fused_mod.DEFAULT_TILE, **kw):
+        kw["interpret"] = True
+        return orig(table, batch_tile=batch_tile, **kw)
+
+    fused_mod.make_fused_contraction = interpreted
+    try:
+        f_fused = pred_mod.make_predictor(
+            ds_interpolator, model, dtype=jnp.float32, engine="fused")
+        f_xla = pred_mod.make_predictor(
+            ds_interpolator, model, dtype=jnp.float32, engine="xla")
+
+        rng = np.random.default_rng(5)
+        B = 20
+        params = params_batch(
+            model, {"log_eta": rng.uniform(-0.4, 0.4, B),
+                    "logM1": 13.9 + 0.1 * rng.normal(size=B)}, (B,))
+        ng_f, xi_f = f_fused(params)
+        ng_x, xi_x = f_xla(params)
+        np.testing.assert_allclose(np.asarray(ng_f), np.asarray(ng_x),
+                                   rtol=2e-5)
+        np.testing.assert_allclose(np.asarray(xi_f), np.asarray(xi_x),
+                                   rtol=1e-4, atol=1e-4 * float(
+                                       np.max(np.abs(np.asarray(xi_x)))))
+    finally:
+        fused_mod.make_fused_contraction = orig
