@@ -56,6 +56,8 @@ def _pad_chunk(array, chunk, fill):
     if target == n:
         return array
     pad_width = [(0, target - n)] + [(0, 0)] * (array.ndim - 1)
+    if fill == "edge":
+        return jnp.pad(array, pad_width, mode="edge")
     return jnp.pad(array, pad_width, constant_values=fill)
 
 
@@ -97,6 +99,7 @@ def _tile_geometry(p1, l1, i1, p2, l2, i2, w2, period, r_edges_sq, pi_max,
 
 def _sweep_impl(hist, pos1, labels1, idx1, pos2, labels2, idx2,
                 weights2, period, r_edges_sq, pi_max, mu_edges,
+                j_start, j_count,
                 kind, n_labels_1, n_labels_2, n_r, n_mu,
                 exclude_self, strategy="matmul"):
     """Accumulate one i-chunk against all j-chunks into ``hist``.
@@ -167,7 +170,10 @@ def _sweep_impl(hist, pos1, labels1, idx1, pos2, labels2, idx2,
 
     tile_fn = tile_matmul if strategy == "matmul" else tile_scatter
 
-    def j_body(j_chunk, hist_inner):
+    def j_body(t, hist_inner):
+        # Circular window over z-sorted chunks: only chunks within the
+        # line-of-sight cut of this i-chunk are visited.
+        j_chunk = (j_start + t) % n2_chunks
         p2 = jax.lax.dynamic_slice(pos2, (j_chunk * CHUNK, 0),
                                    (CHUNK, 3))
         l2 = jax.lax.dynamic_slice(labels2, (j_chunk * CHUNK,),
@@ -180,7 +186,7 @@ def _sweep_impl(hist, pos1, labels1, idx1, pos2, labels2, idx2,
             pi_max, mu_edges, kind, n_r, n_mu, exclude_self)
         return tile_fn(labels1, l2, w2, sub_bin, valid, hist_inner)
 
-    return jax.lax.fori_loop(0, n2_chunks, j_body, hist)
+    return jax.lax.fori_loop(0, j_count, j_body, hist)
 
 
 _sweep_i_chunk = partial(jax.jit, static_argnames=(
@@ -218,8 +224,8 @@ def _sweep_i_chunk_sharded(hist, pos1, labels1, idx1, pos2, labels2, idx2,
         partial_hist = jax.lax.pcast(partial_hist, (axis,), to="varying")
         partial_hist = _sweep_impl(
             partial_hist, p1, l1, i1, p2, l2, i2, w2, period, r_edges_sq,
-            pi_max, mu_edges, kind, n_labels_1, n_labels_2, n_r, n_mu,
-            exclude_self, strategy=strategy)
+            pi_max, mu_edges, 0, p2.shape[0] // CHUNK, kind, n_labels_1,
+            n_labels_2, n_r, n_mu, exclude_self, strategy=strategy)
         return jax.lax.psum(partial_hist, axis)
 
     partial_hist = shard_map(
@@ -229,11 +235,48 @@ def _sweep_i_chunk_sharded(hist, pos1, labels1, idx1, pos2, labels2, idx2,
     return hist + partial_hist
 
 
+def _chunk_windows(z1, z2, z_cut, period_z):
+    """Circular j-chunk visit window per i-chunk, for z-sorted tracers.
+
+    Each chunk covers a contiguous z interval; a j-chunk can contain pairs
+    within ``z_cut`` of an i-chunk only if the periodic gap between their
+    intervals is at most ``z_cut``.  The qualifying set is a contiguous
+    circular run, returned as (start_chunk, count).
+    """
+    n1c = len(z1) // CHUNK
+    n2c = len(z2) // CHUNK
+    z1c = z1.reshape(n1c, CHUNK)
+    z2c = z2.reshape(n2c, CHUNK)
+    a1, b1 = z1c.min(axis=1), z1c.max(axis=1)
+    a2, b2 = z2c.min(axis=1), z2c.max(axis=1)
+
+    margin = 1e-3 + 1e-6 * period_z  # float32 edge safety
+    windows = []
+    for i in range(n1c):
+        gaps = []
+        for k in (-period_z, 0.0, period_z):
+            gaps.append(np.maximum(
+                np.maximum(a2 + k - b1[i], a1[i] - (b2 + k)), 0.0))
+        gap = np.minimum.reduce(gaps)
+        mask = gap <= z_cut + margin
+        if mask.all():
+            windows.append((0, n2c))
+            continue
+        run_starts = np.flatnonzero(mask & ~np.roll(mask, 1))
+        if len(run_starts) != 1:
+            # Non-contiguous qualifying set (shouldn't happen for sorted
+            # chunks): fall back to the full sweep.
+            windows.append((0, n2c))
+        else:
+            windows.append((int(run_starts[0]), int(mask.sum())))
+    return windows
+
+
 def labeled_pair_count(pos1, labels1, n_labels_1, pos2=None, labels2=None,
                        n_labels_2=None, weights2=None, period=1.0,
                        kind="rppi", r_edges=None, pi_max=None,
                        mu_edges=None, progress=False, mesh=None,
-                       strategy="auto"):
+                       strategy="auto", sort=True):
     """Count pairs between labeled tracer sets (host-facing wrapper).
 
     Parameters
@@ -253,6 +296,11 @@ def labeled_pair_count(pos1, labels1, n_labels_1, pos2=None, labels2=None,
     strategy : str, optional
         Histogram accumulation: 'matmul' (MXU one-hot bilinear forms; the
         TPU path), 'scatter' (flat scatter-add; the CPU path), or 'auto'.
+    sort : bool, optional
+        Sort tracers along z so each i-chunk only visits the circular
+        window of j-chunks within the line-of-sight cut (pi_max for
+        'rppi', s_max for 'smu') — the TPU analog of a cell list along
+        the z axis.  No effect on results.  Default is True.
 
     Returns
     -------
@@ -271,38 +319,77 @@ def labeled_pair_count(pos1, labels1, n_labels_1, pos2=None, labels2=None,
         mu_edges = np.zeros(2)
         n_mu = 1
 
+    # z-window cut for the sorted sweep (None disables windowing).
+    if kind == "rppi":
+        z_cut = pi_max
+    elif kind == "smu":
+        z_cut = r_edges[-1]
+    else:
+        z_cut = None
+    use_sort = (sort and mesh is None and z_cut is not None and
+                2 * z_cut < period[2])
+
     auto = pos2 is None
-    pos1 = jnp.asarray(pos1, dtype=jnp.float32)
-    labels1 = jnp.asarray(labels1, dtype=jnp.int32)
+    pos1 = np.asarray(pos1, dtype=np.float32)
+    labels1 = np.asarray(labels1, dtype=np.int32)
+    if not auto:
+        pos2 = np.asarray(pos2, dtype=np.float32)
+        labels2 = (np.zeros(len(pos2), dtype=np.int32)
+                   if labels2 is None else
+                   np.asarray(labels2, dtype=np.int32))
+        n_labels_2 = n_labels_2 or int(labels2.max()) + 1
+    if weights2 is not None:
+        weights2 = np.asarray(weights2, dtype=np.float32)
+        if weights2.ndim == 0:
+            weights2 = np.full(len(pos2) if not auto else len(pos1),
+                               weights2, dtype=np.float32)
+
+    if use_sort:
+        order1 = np.argsort(pos1[:, 2], kind="stable")
+        pos1, labels1 = pos1[order1], labels1[order1]
+        if not auto:
+            order2 = np.argsort(pos2[:, 2], kind="stable")
+            pos2, labels2 = pos2[order2], labels2[order2]
+            if weights2 is not None:
+                weights2 = weights2[order2]
+        elif weights2 is not None:
+            weights2 = weights2[order1]
+
+    pos1 = jnp.asarray(pos1)
+    labels1 = jnp.asarray(labels1)
     idx1 = jnp.arange(pos1.shape[0], dtype=jnp.int32)
     if auto:
         pos2, labels2, idx2 = pos1, labels1, idx1
         n_labels_2 = n_labels_1
     else:
-        pos2 = jnp.asarray(pos2, dtype=jnp.float32)
-        labels2 = (jnp.zeros(pos2.shape[0], dtype=jnp.int32)
-                   if labels2 is None else
-                   jnp.asarray(labels2, dtype=jnp.int32))
-        n_labels_2 = n_labels_2 or int(labels2.max()) + 1
+        pos2 = jnp.asarray(pos2)
+        labels2 = jnp.asarray(labels2)
         idx2 = -jnp.ones(pos2.shape[0], dtype=jnp.int32)
 
     if weights2 is None:
         weights2 = jnp.ones(pos2.shape[0], dtype=jnp.float32)
     else:
-        weights2 = jnp.asarray(weights2, dtype=jnp.float32)
-        if weights2.ndim == 0:
-            weights2 = jnp.full(pos2.shape[0], weights2,
-                                dtype=jnp.float32)
+        weights2 = jnp.asarray(weights2)
 
     n_shards = 1 if mesh is None else int(np.prod(
         [mesh.shape[name] for name in mesh.axis_names[:1]]))
-    pos1 = _pad_chunk(pos1, CHUNK, 0.0)
+    # Edge-replicated position padding keeps the z-sorted order monotone
+    # (padded rows carry label -1 and never count).
+    pos1 = _pad_chunk(pos1, CHUNK, "edge")
     labels1 = _pad_chunk(labels1, CHUNK, -1)
     idx1 = _pad_chunk(idx1, CHUNK, -2)
-    pos2 = _pad_chunk(pos2, CHUNK * n_shards, 0.0)
+    pos2 = _pad_chunk(pos2, CHUNK * n_shards, "edge")
     labels2 = _pad_chunk(labels2, CHUNK * n_shards, -1)
     idx2 = _pad_chunk(idx2, CHUNK * n_shards, -3)
     weights2 = _pad_chunk(weights2, CHUNK * n_shards, 0.0)
+
+    n2_chunks = pos2.shape[0] // CHUNK
+    if use_sort:
+        windows = _chunk_windows(
+            np.asarray(pos1[:, 2]), np.asarray(pos2[:, 2]), z_cut,
+            period[2])
+    else:
+        windows = [(0, n2_chunks)] * (pos1.shape[0] // CHUNK)
 
     period_dev = jnp.asarray(period, dtype=jnp.float32)
     edges_dev = jnp.asarray(r_edges**2, dtype=jnp.float32)
@@ -320,6 +407,7 @@ def labeled_pair_count(pos1, labels1, n_labels_1, pos2=None, labels2=None,
         import tqdm
         starts = tqdm.tqdm(starts, smoothing=0, desc="pair counting")
     for start in starts:
+        j_start, j_count = windows[start // CHUNK]
         chunk_args = (
             hist, pos1[start:start + CHUNK],
             labels1[start:start + CHUNK], idx1[start:start + CHUNK],
@@ -327,8 +415,9 @@ def labeled_pair_count(pos1, labels1, n_labels_1, pos2=None, labels2=None,
             pi_max_dev, mu_dev)
         if mesh is None:
             hist = _sweep_i_chunk(
-                *chunk_args, kind, int(n_labels_1), int(n_labels_2),
-                n_r, n_mu, exclude_self=auto, strategy=strategy)
+                *chunk_args, j_start, j_count, kind, int(n_labels_1),
+                int(n_labels_2), n_r, n_mu, exclude_self=auto,
+                strategy=strategy)
         else:
             hist = _sweep_i_chunk_sharded(
                 *chunk_args, mesh=mesh, kind=kind,
