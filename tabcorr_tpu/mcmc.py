@@ -212,6 +212,200 @@ def run_hmc_adaptive(key, log_prob_fn, positions0, n_warmup, n_steps,
     return chain, chain_lp, accs.mean(), step_size
 
 
+# ----------------------------------------------------------------------
+# NUTS (No-U-Turn Sampler)
+# ----------------------------------------------------------------------
+def _leapfrog(q, p, grad, step_size, log_prob_fn):
+    p_half = p + 0.5 * step_size * grad
+    q_new = q + step_size * p_half
+    logp_new, grad_new = jax.value_and_grad(log_prob_fn)(q_new)
+    p_new = p_half + 0.5 * step_size * grad_new
+    return q_new, p_new, logp_new, grad_new
+
+
+def _uturn(q_left, p_left, q_right, p_right):
+    dq = q_right - q_left
+    return (jnp.dot(dq, p_left) < 0) | (jnp.dot(dq, p_right) < 0)
+
+
+def _build_tree(key, q, p, logp, grad, direction, depth, step_size,
+                log_prob_fn, h0):
+    """Recursive NUTS tree of static ``depth`` (traced fully unrolled).
+
+    Implements the Hoffman & Gelman (2014) doubling tree with multinomial
+    state sampling (Betancourt 2017): every dyadic sub-interval is checked
+    for U-turns through the recursion, and the proposal within a subtree
+    is drawn with probability proportional to exp(-H + H0).  The static
+    unrolling always computes all 2^depth leapfrog steps; invalid
+    (post-turn/divergent) states carry -inf weight so they are never
+    selected.
+
+    Returns (q_l, p_l, logp_l, grad_l, q_r, p_r, logp_r, grad_r,
+    q_prop, logp_prop, log_sum_w, turning_or_divergent).
+    """
+    if depth == 0:
+        q_new, p_new, logp_new, grad_new = _leapfrog(
+            q, p * direction, grad, step_size, log_prob_fn)
+        p_new = p_new * direction
+        h_new = -logp_new + 0.5 * jnp.sum(p_new**2)
+        divergent = (h_new - h0) > 1000.0
+        log_w = jnp.where(divergent, -jnp.inf, h0 - h_new)
+        return (q_new, p_new, logp_new, grad_new,
+                q_new, p_new, logp_new, grad_new,
+                q_new, logp_new, log_w, divergent)
+
+    key_1, key_2, key_pick = jax.random.split(key, 3)
+    first = _build_tree(key_1, q, p, logp, grad, direction, depth - 1,
+                        step_size, log_prob_fn, h0)
+    (q_l1, p_l1, lp_l1, g_l1, q_r1, p_r1, lp_r1, g_r1,
+     q_p1, lp_p1, lw_1, bad_1) = first
+
+    # Continue from the outward end of the first half (direction-aware:
+    # the tree grows outward from (q, p) in `direction`).
+    second = _build_tree(key_2, q_r1, p_r1, lp_r1, g_r1, direction,
+                         depth - 1, step_size, log_prob_fn, h0)
+    (q_l2, p_l2, lp_l2, g_l2, q_r2, p_r2, lp_r2, g_r2,
+     q_p2, lp_p2, lw_2, bad_2) = second
+
+    lw_2 = jnp.where(bad_1, -jnp.inf, lw_2)
+    log_sum = jnp.logaddexp(lw_1, lw_2)
+    take_second = (jnp.log(jax.random.uniform(key_pick, ())) <
+                   lw_2 - log_sum)
+    q_prop = jnp.where(take_second, q_p2, q_p1)
+    lp_prop = jnp.where(take_second, lp_p2, lp_p1)
+
+    # Endpoints are in growth order (start-side first, outward last);
+    # the U-turn criterion needs them in *physical* left/right order with
+    # physical momenta.
+    swap = direction < 0
+    q_minus = jnp.where(swap, q_r2, q_l1)
+    p_minus = jnp.where(swap, p_r2, p_l1)
+    q_plus = jnp.where(swap, q_l1, q_r2)
+    p_plus = jnp.where(swap, p_l1, p_r2)
+    turning = _uturn(q_minus, p_minus, q_plus, p_plus)
+    bad = bad_1 | bad_2 | turning
+    return (q_l1, p_l1, lp_l1, g_l1, q_r2, p_r2, lp_r2, g_r2,
+            q_prop, lp_prop, log_sum, bad)
+
+
+def nuts_step(key, q, log_prob_fn, step_size, max_depth=6):
+    """One No-U-Turn step for a single chain (static max_depth doublings).
+
+    Returns (q_new, logp_new, depth_reached).
+    """
+    key_mom, key_tree = jax.random.split(key)
+    p = jax.random.normal(key_mom, q.shape, dtype=q.dtype)
+    logp, grad = jax.value_and_grad(log_prob_fn)(q)
+    h0 = -logp + 0.5 * jnp.sum(p**2)
+
+    state = dict(q_l=q, p_l=p, lp_l=logp, g_l=grad,
+                 q_r=q, p_r=p, lp_r=logp, g_r=grad,
+                 q_prop=q, lp_prop=logp,
+                 log_sum_w=jnp.zeros((), q.dtype),
+                 done=jnp.bool_(False),
+                 depth=jnp.zeros((), jnp.int32))
+
+    keys = jax.random.split(key_tree, max_depth)
+    for d in range(max_depth):
+        key_dir, key_sub, key_pick = jax.random.split(keys[d], 3)
+        direction = jnp.where(jax.random.bernoulli(key_dir), 1.0, -1.0)
+        direction = direction.astype(q.dtype)
+
+        q_0 = jnp.where(direction > 0, state["q_r"], state["q_l"])
+        p_0 = jnp.where(direction > 0, state["p_r"], state["p_l"])
+        lp_0 = jnp.where(direction > 0, state["lp_r"], state["lp_l"])
+        g_0 = jnp.where(direction > 0, state["g_r"], state["g_l"])
+
+        tree = _build_tree(key_sub, q_0, p_0, lp_0, g_0, direction, d,
+                           step_size, log_prob_fn, h0)
+        (t_ql, t_pl, t_lpl, t_gl, t_qr, t_pr, t_lpr, t_gr,
+         t_qp, t_lpp, t_lw, t_bad) = tree
+
+        # Multinomial proposal swap across the doubling.
+        log_sum = jnp.logaddexp(state["log_sum_w"], t_lw)
+        take_new = ((jnp.log(jax.random.uniform(key_pick, ())) <
+                     t_lw - log_sum) & ~t_bad & ~state["done"])
+        grow = ~t_bad & ~state["done"]
+
+        def pick(new, old, cond):
+            return jnp.where(cond, new, old)
+
+        new_right = grow & (direction > 0)
+        new_left = grow & (direction < 0)
+        q_l = pick(t_qr, state["q_l"], new_left)
+        p_l = pick(t_pr, state["p_l"], new_left)
+        q_r = pick(t_qr, state["q_r"], new_right)
+        p_r = pick(t_pr, state["p_r"], new_right)
+        state = dict(
+            q_l=q_l, p_l=p_l,
+            lp_l=pick(t_lpr, state["lp_l"], new_left),
+            g_l=pick(t_gr, state["g_l"], new_left),
+            q_r=q_r, p_r=p_r,
+            lp_r=pick(t_lpr, state["lp_r"], new_right),
+            g_r=pick(t_gr, state["g_r"], new_right),
+            q_prop=pick(t_qp, state["q_prop"], take_new),
+            lp_prop=pick(t_lpp, state["lp_prop"], take_new),
+            log_sum_w=jnp.where(grow, log_sum, state["log_sum_w"]),
+            done=state["done"] | t_bad | _uturn(q_l, p_l, q_r, p_r),
+            depth=state["depth"] + jnp.where(grow, 1, 0),
+        )
+
+    return state["q_prop"], state["lp_prop"], state["depth"]
+
+
+@partial(jax.jit, static_argnames=("log_prob_fn", "n_warmup", "n_steps",
+                                   "max_depth"))
+def run_nuts(key, log_prob_fn, positions0, n_warmup, n_steps,
+             max_depth=6, initial_step_size=0.1, target_accept=0.8):
+    """Multi-chain NUTS with dual-averaging step-size warmup.
+
+    Returns (chain (n_steps, n_chains, n_dim), log_prob, mean_depth,
+    step_size).
+    """
+    gamma, t0, kappa = 0.05, 10.0, 0.75
+    mu = jnp.log(10.0 * initial_step_size)
+    max_len = float(2 ** max_depth)
+
+    def multi_step(key_step, positions, step_size):
+        keys = jax.random.split(key_step, positions.shape[0])
+        q, lp, depth = jax.vmap(
+            lambda k, x: nuts_step(k, x, log_prob_fn, step_size,
+                                   max_depth))(keys, positions)
+        return q, lp, depth
+
+    def warmup_body(carry, key_step):
+        positions, log_eps, log_eps_bar, h_bar, t = carry
+        positions, _, depth = multi_step(key_step, positions,
+                                         jnp.exp(log_eps))
+        # Proxy acceptance statistic: fraction of the maximum tree depth
+        # reached (too-large steps terminate trees early via divergence).
+        accept_proxy = jnp.clip(
+            (2.0 ** depth.astype(jnp.float32)).mean() / max_len * 2.0,
+            0.0, 1.0)
+        t = t + 1.0
+        h_bar = ((1.0 - 1.0 / (t + t0)) * h_bar +
+                 (target_accept - accept_proxy) / (t + t0))
+        log_eps = mu - jnp.sqrt(t) / gamma * h_bar
+        eta = t ** -kappa
+        log_eps_bar = eta * log_eps + (1.0 - eta) * log_eps_bar
+        return (positions, log_eps, log_eps_bar, h_bar, t), None
+
+    key_warm, key_sample = jax.random.split(key)
+    carry0 = (positions0, jnp.log(initial_step_size),
+              jnp.log(initial_step_size), 0.0, 0.0)
+    (positions, _, log_eps_bar, _, _), _ = jax.lax.scan(
+        warmup_body, carry0, jax.random.split(key_warm, n_warmup))
+    step_size = jnp.exp(log_eps_bar)
+
+    def body(positions, key_step):
+        positions, lp, depth = multi_step(key_step, positions, step_size)
+        return positions, (positions, lp, depth.astype(jnp.float32))
+
+    _, (chain, chain_lp, depths) = jax.lax.scan(
+        body, positions, jax.random.split(key_sample, n_steps))
+    return chain, chain_lp, depths.mean(), step_size
+
+
 def make_gaussian_logpost(predict_fn, param_names, base_params, data,
                           inv_cov, bounds=None, ngal_data=None,
                           ngal_sigma=None):

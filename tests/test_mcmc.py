@@ -94,3 +94,39 @@ def test_hmc_adaptive_tunes_step_size():
     samples = np.asarray(chain[100:]).reshape(-1, 2)
     np.testing.assert_allclose(samples.mean(axis=0), [1.0, -2.0],
                                atol=0.3)
+
+
+def test_nuts_samples_gaussian():
+    from tabcorr_tpu.mcmc import run_nuts
+
+    key = jax.random.key(11)
+    positions0 = jax.random.normal(jax.random.key(12), (8, 2))
+    chain, lp, mean_depth, step_size = run_nuts(
+        key, _gaussian_logprob, positions0, n_warmup=100, n_steps=400,
+        max_depth=6, initial_step_size=0.5)
+    samples = np.asarray(chain[100:]).reshape(-1, 2)
+    assert float(mean_depth) >= 1.0
+    np.testing.assert_allclose(samples.mean(axis=0), [1.0, -2.0],
+                               atol=0.25)
+    np.testing.assert_allclose(samples.std(axis=0), [0.5, 2.0], rtol=0.2)
+
+
+def test_nuts_correlated_gaussian():
+    from tabcorr_tpu.mcmc import run_nuts
+
+    cov = jnp.array([[1.0, 0.9], [0.9, 1.0]])
+    prec = jnp.linalg.inv(cov)
+
+    def log_prob(theta):
+        return -0.5 * theta @ prec @ theta
+
+    key = jax.random.key(13)
+    positions0 = 0.1 * jax.random.normal(jax.random.key(14), (8, 2))
+    chain, lp, mean_depth, step_size = run_nuts(
+        key, log_prob, positions0, n_warmup=100, n_steps=600,
+        max_depth=7, initial_step_size=0.3)
+    samples = np.asarray(chain[150:]).reshape(-1, 2)
+    emp_cov = np.cov(samples.T)
+    np.testing.assert_allclose(emp_cov, np.asarray(cov), atol=0.15)
+    # NUTS must exploit the correlated geometry with multi-step trees.
+    assert float(mean_depth) > 1.5
