@@ -171,8 +171,18 @@ def _ap_stretch(halocat, cosmology_obs, mode):
 class _FastPath:
     """Per-statistic estimator over the labeled count tensor."""
 
-    def __init__(self, tpcf_name, tpcf_args, tpcf_kwargs):
+    def __init__(self, tpcf_name, tpcf_args, tpcf_kwargs,
+                 backend="device"):
         self.name = tpcf_name
+        # 'device': the JAX labeled sweep (TPU MXU / CPU scatter);
+        # 'native': the C++/OpenMP cell-list counters via ctypes.
+        if backend == "native":
+            from . import native as native_mod
+            self._count = native_mod.labeled_pair_count
+            self._count_kwargs = {}
+        else:
+            self._count = paircount.labeled_pair_count
+            self._count_kwargs = None  # filled per call (progress/mesh)
         if tpcf_name == "wp":
             self.rp_bins = np.asarray(tpcf_args[0], dtype=np.float64)
             self.pi_max = float(
@@ -198,11 +208,12 @@ class _FastPath:
         volume = np.prod(period)
         outer = np.outer(n_tracers, n_tracers).astype(np.float64)
 
+        extra = (dict(progress=progress, mesh=mesh)
+                 if self._count_kwargs is None else self._count_kwargs)
         if self.name == "wp":
-            counts = paircount.labeled_pair_count(
+            counts = self._count(
                 pos, labels, n_bins, period=period, kind="rppi",
-                r_edges=self.rp_bins, pi_max=self.pi_max,
-                progress=progress, mesh=mesh)
+                r_edges=self.rp_bins, pi_max=self.pi_max, **extra)
             n_exp = (outer[:, :, None] / volume * np.pi *
                      np.diff(self.rp_bins**2) * 2 * self.pi_max)
             with np.errstate(invalid="ignore", divide="ignore"):
@@ -211,10 +222,9 @@ class _FastPath:
             return np.moveaxis(xi, -1, 0)
 
         if self.name == "s_mu_tpcf":
-            counts = paircount.labeled_pair_count(
+            counts = self._count(
                 pos, labels, n_bins, period=period, kind="smu",
-                r_edges=self.s_bins, mu_edges=self.mu_bins,
-                progress=progress, mesh=mesh)
+                r_edges=self.s_bins, mu_edges=self.mu_bins, **extra)
             n_mu = len(self.mu_bins) - 1
             n_exp = (outer[:, :, None, None] / volume * 4 * np.pi / 3 *
                      np.diff(self.s_bins**3)[:, None] / n_mu)
@@ -238,10 +248,12 @@ class _FastPath:
 
         rp_mids = np.sqrt(self.rp_bins[:-1] * self.rp_bins[1:])
         all_edges = np.sort(np.concatenate([[0.0], self.rp_bins, rp_mids]))
-        counts = paircount.labeled_pair_count(
+        extra = (dict(progress=progress, mesh=mesh)
+                 if self._count_kwargs is None else self._count_kwargs)
+        counts = self._count(
             pos, labels, n_bins, pos2=self.ptcl_pos, weights2=masses,
             period=period, kind="proj", r_edges=all_edges,
-            progress=progress, mesh=mesh)[:, 0, :]
+            **extra)[:, 0, :]
         cum = np.cumsum(counts, axis=-1)
         mass_at = {r: cum[:, i] for i, r in enumerate(all_edges[1:])}
 
@@ -276,7 +288,8 @@ def tabulate(cls, halocat, tpcf, *tpcf_args, mode="auto",
              sats_per_prim_haloprop=3e-12, downsample=1.0, verbose=False,
              redshift_space_distortions=True, cens_prof_model=None,
              sats_prof_model=None, project_xyz=False, cosmology_obs=None,
-             num_threads=1, seed=None, mesh=None, **tpcf_kwargs):
+             num_threads=1, seed=None, mesh=None, backend="device",
+             **tpcf_kwargs):
     """Tabulate halo correlation functions (see class docstring).
 
     Signature-compatible with the reference (tabcorr/tabcorr.py:24-34);
@@ -287,6 +300,8 @@ def tabulate(cls, halocat, tpcf, *tpcf_args, mode="auto",
     mock-population randomness.  ``num_threads`` is accepted for
     compatibility; the fast path is device-parallel instead, and ``mesh``
     shards the pair-count sweeps across a multi-chip device mesh.
+    ``backend='native'`` routes the pair counting through the C++/OpenMP
+    cell-list counters (for hosts without an accelerator).
     """
     if "period" in tpcf_kwargs:
         # The reference warns and overrides (tabcorr/tabcorr.py:134-138).
@@ -404,8 +419,8 @@ def tabulate(cls, halocat, tpcf, *tpcf_args, mode="auto",
     vel_raw = mock["vel"][keep]
     labels = labels_full[keep]
 
-    fast_path = _FastPath(tpcf_name, tpcf_args, tpcf_kwargs) if fast \
-        else None
+    fast_path = _FastPath(tpcf_name, tpcf_args, tpcf_kwargs,
+                          backend=backend) if fast else None
     tpcf_matrix = None
     period = halocat.Lbox * lbox_stretch
 

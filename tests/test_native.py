@@ -84,3 +84,23 @@ def test_native_negative_labels_ignored(data):
     got = native.labeled_pair_count(
         pos, labels, 3, period=L, kind="rppi", r_edges=rp_bins, pi_max=5.0)
     np.testing.assert_array_equal(got, want)
+
+
+def test_native_backend_tabulate_matches_device():
+    import tabcorr_tpu as tt
+    from test_tabulate import synthetic_halocat
+
+    halocat = synthetic_halocat(n_halos=500, seed=2)
+    rp_bins = np.logspace(-0.3, 1.0, 4)
+    kwargs = dict(mode="auto", prim_haloprop_bins=4,
+                  Num_ptcl_requirement=300, sats_per_prim_haloprop=1e-12,
+                  seed=31)
+    tab_dev = tt.TabCorr.tabulate(halocat, tt.corrfunc.wp, rp_bins, 10.0,
+                                  **kwargs)
+    tab_nat = tt.TabCorr.tabulate(halocat, tt.corrfunc.wp, rp_bins, 10.0,
+                                  backend="native", **kwargs)
+    # Identical mock realization (same seed); identical counts: the device
+    # kernel computes pair geometry in float32 vs the native counter's
+    # float64, so only bin-edge pairs can differ.
+    np.testing.assert_allclose(tab_nat.tpcf_matrix, tab_dev.tpcf_matrix,
+                               rtol=1e-4, atol=1e-4)
