@@ -42,7 +42,6 @@ def compute_conditional_percentiles(prim_haloprop, sec_haloprop,
                         max(len(edges) - 2, 0))
     percentile = np.empty(len(prim_haloprop), dtype=np.float64)
     order = np.argsort(bin_index, kind="stable")
-    start = 0
     bins_sorted = bin_index[order]
     boundaries = np.flatnonzero(np.diff(bins_sorted)) + 1
     for seg in np.split(order, boundaries):
@@ -50,7 +49,6 @@ def compute_conditional_percentiles(prim_haloprop, sec_haloprop,
         ranks = np.empty(len(seg), dtype=np.float64)
         ranks[np.argsort(sec, kind="stable")] = np.arange(1, len(seg) + 1)
         percentile[seg] = ranks / len(seg)
-        start += len(seg)
     return percentile
 
 
