@@ -14,11 +14,13 @@ from .halocat import HaloCatalog, ParticleCatalog
 from .interpolator import Interpolator
 from .models import AssembiasZheng07Model, HodModel, Zheng07Model
 from .table import TabCorr
-from .tabulate import distribution_index, sort_into_bins
+from .tabulate import (compute_tpcf_matrix, distribution_index,
+                       sort_into_bins)
 from .utils.packing import symmetric_matrix_to_array
 
 __version__ = "0.1.0"
 __all__ = ["TabCorr", "Interpolator", "HodModel", "Zheng07Model",
            "AssembiasZheng07Model", "HaloCatalog", "ParticleCatalog",
            "cosmology", "database", "corrfunc", "sort_into_bins",
-           "distribution_index", "symmetric_matrix_to_array"]
+           "distribution_index", "symmetric_matrix_to_array",
+           "compute_tpcf_matrix"]

@@ -491,6 +491,35 @@ def tabulate(cls, halocat, tpcf, *tpcf_args, mode="auto",
     return halotab
 
 
+def compute_tpcf_matrix(mode, pos, tpcf, period, tpcf_args, tpcf_kwargs,
+                        num_threads=1, verbose=False):
+    """Correlation-function matrix between ragged per-bin samples.
+
+    Signature-compatible with the reference's module helper
+    (reference: tabcorr/tabcorr.py:846-922) for code that drives the
+    bin-pair computation directly: ``pos`` is a list of per-bin position
+    arrays; returns (tpcf_matrix, tpcf_shape) with the matrix dense
+    (n_xi, n_bins[, n_bins]).  ``num_threads`` is accepted for
+    compatibility (the built-in statistics are device-parallel; arbitrary
+    callables run sequentially).
+    """
+    labels = np.concatenate([
+        np.full(len(p), i, dtype=np.int32) for i, p in enumerate(pos)])
+    flat_pos = np.concatenate([np.asarray(p).reshape(-1, 3) for p in pos]) \
+        if any(len(p) for p in pos) else np.zeros((0, 3))
+
+    tpcf_name = tpcf if isinstance(tpcf, str) else tpcf.__name__
+    if tpcf_name in _FAST_TPCFS:
+        fast = _FastPath(tpcf_name, tpcf_args, tpcf_kwargs)
+        if mode == "auto":
+            matrix = fast.matrix_auto(flat_pos, labels, len(pos), period)
+        else:
+            matrix = fast.matrix_cross(flat_pos, labels, len(pos), period)
+        return matrix, fast.shape
+    return _generic_tpcf_matrix(mode, flat_pos, labels, len(pos), tpcf,
+                                period, tpcf_args, tpcf_kwargs, verbose)
+
+
 def _generic_tpcf_matrix(mode, pos, labels, n_bins, tpcf, period,
                          tpcf_args, tpcf_kwargs, verbose):
     """Generic per-bin-pair loop for arbitrary halotools-signature tpcfs.

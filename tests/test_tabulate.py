@@ -259,3 +259,23 @@ def test_tabulate_explicit_prim_bins(halocat):
         tab.gal_type["log_prim_haloprop_min"],
         tab.gal_type["log_prim_haloprop_max"]]))
     assert np.all(np.isin(np.round(got_edges, 10), np.round(edges, 10)))
+
+
+def test_compute_tpcf_matrix_ragged_api(halocat):
+    # Reference-style module helper over ragged per-bin samples
+    # (reference: tabcorr/tabcorr.py:846-922).
+    from tabcorr_tpu import compute_tpcf_matrix, sort_into_bins
+
+    rng = np.random.default_rng(1)
+    pos = [rng.uniform(0, 150, (n, 3)) for n in (400, 300, 500)]
+    rp_bins = np.logspace(-0.3, 1.0, 4)
+    matrix, shape = compute_tpcf_matrix(
+        "auto", pos, tt.corrfunc.wp, np.full(3, 150.0), (rp_bins,),
+        {"pi_max": 10.0})
+    assert matrix.shape == (3, 3, 3)
+    assert shape == (3,)
+    np.testing.assert_allclose(matrix, np.swapaxes(matrix, 1, 2),
+                               rtol=1e-12)
+    # Diagonal equals a direct auto wp of that bin's sample.
+    direct = tt.corrfunc.wp(pos[0], rp_bins, 10.0, period=150.0)
+    np.testing.assert_allclose(matrix[:, 0, 0], direct, rtol=1e-6)
