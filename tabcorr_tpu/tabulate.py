@@ -561,8 +561,6 @@ def _generic_tpcf_matrix(mode, pos, labels, n_bins, tpcf, period,
             tpcf_shape = xi.shape
 
         if mode == "auto":
-            i_1, i_2 = (task if len(pos_bins[task[0]]) <=
-                        len(pos_bins[task[1]]) else task[::-1])
             tpcf_matrix[:, task[0], task[1]] = xi.ravel()
             tpcf_matrix[:, task[1], task[0]] = xi.ravel()
         else:
