@@ -142,3 +142,33 @@ def test_sharded_tabulate_matches_plain():
                                       10.0, mesh=mesh, **kwargs)
     np.testing.assert_allclose(tab_sharded.tpcf_matrix,
                                tab_plain.tpcf_matrix, rtol=1e-6)
+
+
+def test_interpolator_predictor_multi_axis(ds_interpolator, model):
+    # Synthetic 2-axis (4 x 4) grid built from the fixture's tabulation:
+    # exercises the multi-pass grid spline inside the jitted path.
+    import copy
+    from tabcorr_tpu.io import ColumnTable
+
+    base = ds_interpolator.tabcorr_list[0]
+    tabs, alphas, etas = [], [], []
+    for a in np.linspace(0.9, 1.2, 4):
+        for e in np.linspace(-0.3, 0.3, 4):
+            tab = copy.deepcopy(base)
+            tab.tpcf_matrix = base.tpcf_matrix * (1 + 0.1 * a + 0.05 * e**2)
+            tabs.append(tab)
+            alphas.append(a)
+            etas.append(e)
+    table = ColumnTable({"alpha_s": np.array(alphas),
+                         "log_eta": np.array(etas)})
+    interp = tt.Interpolator(tabs, table)
+
+    model.param_dict["alpha_s"] = 1.07
+    model.param_dict["log_eta"] = -0.12
+    want = interp.predict(model, check_consistency=False)
+
+    f = make_predictor(interp, model, dtype=jnp.float64)
+    params = params_batch(model, {}, (2,), dtype=jnp.float64)
+    ngal, xi = f(params)
+    assert np.isclose(float(ngal[0]), want[0], rtol=1e-10)
+    np.testing.assert_allclose(np.asarray(xi[0]), want[1], rtol=1e-10)
