@@ -156,6 +156,8 @@ def test_interpolator_predictor_multi_axis(ds_interpolator, model):
         for e in np.linspace(-0.3, 0.3, 4):
             tab = copy.deepcopy(base)
             tab.tpcf_matrix = base.tpcf_matrix * (1 + 0.1 * a + 0.05 * e**2)
+            # Mutating tpcf_matrix invalidates the device-pytree cache.
+            tab._table_data_cache = {}
             tabs.append(tab)
             alphas.append(a)
             etas.append(e)
