@@ -162,8 +162,14 @@ class TabCorr:
         return self.tpcf_matrix
 
     def table_data(self, n_gauss=10, dtype=jnp.float32) -> TableData:
-        """Device pytree for the pure-JAX prediction kernels (cached)."""
-        key = (n_gauss, jnp.dtype(dtype).name)
+        """Device pytree for the pure-JAX prediction kernels (cached).
+
+        The cache keys on the identity of ``tpcf_matrix`` so assigning a
+        new matrix (e.g. the multipole converter) invalidates it; callers
+        that mutate the array *in place* must clear
+        ``_table_data_cache`` themselves.
+        """
+        key = (n_gauss, jnp.dtype(dtype).name, id(self.tpcf_matrix))
         if key not in self._table_data_cache:
             log_quad, weight = self._quadrature(n_gauss)
             self._table_data_cache[key] = TableData(
