@@ -155,11 +155,16 @@ class TabCorr:
         """Unpack the stored matrix to its dense contraction form (float64).
 
         Auto mode: (n_xi, n_bins, n_bins) symmetric; cross mode: unchanged
-        (n_xi, n_bins).
+        (n_xi, n_bins).  Cached per matrix identity (the host ``predict``
+        is often called in loops).
         """
-        if self.mode == AUTO:
-            return array_to_symmetric_matrix(self.tpcf_matrix)
-        return self.tpcf_matrix
+        if self.mode != AUTO:
+            return self.tpcf_matrix
+        cache = getattr(self, "_dense_cache", None)
+        if cache is None or cache[0] != id(self.tpcf_matrix):
+            self._dense_cache = (id(self.tpcf_matrix),
+                                 array_to_symmetric_matrix(self.tpcf_matrix))
+        return self._dense_cache[1]
 
     def table_data(self, n_gauss=10, dtype=jnp.float32) -> TableData:
         """Device pytree for the pure-JAX prediction kernels (cached).
