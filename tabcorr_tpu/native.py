@@ -94,7 +94,16 @@ def labeled_pair_count(pos1, labels1, n_labels_1, pos2=None, labels2=None,
         np.broadcast_to(np.asarray(period, dtype=np.float64), (3,)))
     r_edges = np.ascontiguousarray(r_edges, dtype=np.float64)
     n_r = len(r_edges) - 1
-    n_mu = len(mu_edges) - 1 if kind == "smu" else 1
+    if kind == "smu":
+        # The C++ kernel bins mu as floor(mu * n_mu): uniform [0, 1] bins
+        # only (the device kernel searchsorts arbitrary edges instead).
+        mu_edges = np.asarray(mu_edges, dtype=np.float64)
+        if not np.allclose(mu_edges, np.linspace(0, 1, len(mu_edges))):
+            raise ValueError("The native backend requires uniform mu bins "
+                             "from 0 to 1.")
+        n_mu = len(mu_edges) - 1
+    else:
+        n_mu = 1
 
     auto = pos2 is None
     pos1 = np.ascontiguousarray(pos1, dtype=np.float64)

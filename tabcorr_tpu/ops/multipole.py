@@ -4,10 +4,12 @@ Equivalent of halotools' ``tpcf_multipole`` (the reference uses it to
 convert tabulated xi(s, mu) matrices to xi_0/2/4,
 scripts/tabulate_snapshot.py:102-113):
 
-    xi_ell(s) = (2 ell + 1) * sum_j xi(s, mu_j) P_ell(mu_j) dmu_j
+    xi_ell(s) = (2 ell + 1)/2 * sum_j xi(s, mu_j)
+                * [P_ell(mu_j) + P_ell(-mu_j)] dmu_j
 
-with mu on [0, 1] (the factor 2 from LOS symmetry cancels against the
-normalization (2 ell + 1)/2 of the full [-1, 1] integral).
+with mu on [0, 1]: the integrand is mirrored to [-1, 1] exactly as
+halotools does, so even orders pick up a factor 2 that cancels the 1/2
+normalization and odd orders vanish identically (LOS symmetry).
 """
 
 from __future__ import annotations
@@ -35,6 +37,20 @@ def legendre(order, x):
     raise ValueError(f"Legendre order {order} not implemented.")
 
 
+def _multipole_weights(order, mu_bins):
+    """Quadrature weights projecting xi(s, mu) on [0, 1] onto P_order.
+
+    Mirrors the mu column to [-1, 1] like halotools' ``tpcf_multipole``:
+    weights = (2 order + 1)/2 * [P(mu) + P(-mu)] * dmu, which doubles even
+    orders (cancelling the 1/2) and returns exactly zero for odd orders.
+    """
+    mu_bins = np.asarray(mu_bins, dtype=np.float64)
+    mu_centers = 0.5 * (mu_bins[1:] + mu_bins[:-1])
+    dmu = np.diff(mu_bins)
+    return ((2 * order + 1) / 2.0 * dmu *
+            (legendre(order, mu_centers) + legendre(order, -mu_centers)))
+
+
 def tpcf_multipole(s_mu_tpcf_result, mu_bins, order=0):
     """Multipole of xi(s, mu) sampled on mu bins.
 
@@ -52,10 +68,7 @@ def tpcf_multipole(s_mu_tpcf_result, mu_bins, order=0):
     xi_ell : (..., n_s) array
     """
     xp = get_namespace(s_mu_tpcf_result)
-    mu_bins = np.asarray(mu_bins, dtype=np.float64)
-    mu_centers = 0.5 * (mu_bins[1:] + mu_bins[:-1])
-    dmu = np.diff(mu_bins)
-    weights = (2 * order + 1) * legendre(order, mu_centers) * dmu
+    weights = _multipole_weights(order, mu_bins)
     return xp.sum(s_mu_tpcf_result * weights, axis=-1)
 
 
@@ -73,9 +86,7 @@ def tabcorr_s_mu_to_multipole(halotab_s_mu, mu_bins, order):
     n_s, n_mu = halotab_s_mu.tpcf_shape
     matrix = halotab_s_mu.tpcf_matrix.reshape(
         n_s, n_mu, halotab_s_mu.tpcf_matrix.shape[1])
-    mu_centers = 0.5 * (np.asarray(mu_bins)[1:] + np.asarray(mu_bins)[:-1])
-    dmu = np.diff(np.asarray(mu_bins))
-    weights = (2 * order + 1) * legendre(order, mu_centers) * dmu
+    weights = _multipole_weights(order, mu_bins)
     halotab.tpcf_matrix = np.einsum("smp,m->sp", matrix, weights)
     halotab.tpcf_shape = (n_s,)
     halotab._table_data_cache = {}

@@ -21,6 +21,15 @@ one float32 ulp of a bin edge can classify differently from a float64
 counter (measured ~1 unordered pair per ~10^6.5; far below the sampling
 noise of any tabulation).
 
+Accumulation precision: the device histogram is float32 but only holds ONE
+i-chunk's partial counts; every dispatch is flushed into a host float64
+accumulator (overlapped with the next dispatch, so the device never
+idles).  A single histogram cell therefore only needs float32 integer
+exactness within one i-chunk — bounded by CHUNK * (j tracers in the z
+window) and in practice far below 2^24 — while totals across the sweep
+(which can reach 1e9-1e10 pairs per cell at production tabulation scale)
+accumulate exactly in float64 on the host.
+
 Three binning geometries:
 
 * ``rppi``  — projected radius bins with a |dz| < pi_max cut (for wp; the
@@ -398,16 +407,21 @@ def labeled_pair_count(pos1, labels1, n_labels_1, pos2=None, labels2=None,
 
     n_hist_r = n_r * (n_mu if kind == "smu" else 1)
     n_hist = n_labels_1 * n_labels_2 * n_hist_r
-    hist = jnp.zeros(n_hist + 1, dtype=weights2.dtype)
 
-    # One dispatch per i-chunk (hist donated between calls): bounded kernel
-    # runtimes and natural host-side progress/interruption points.
+    # One dispatch per i-chunk: bounded kernel runtimes and natural
+    # host-side progress/interruption points.  Each dispatch gets a FRESH
+    # zero histogram and the previous dispatch's partial is reduced into a
+    # float64 host accumulator while the new one runs — float32 only ever
+    # accumulates one i-chunk's counts (see module docstring).
+    host_hist = np.zeros(n_hist + 1, dtype=np.float64)
+    pending = None
     starts = range(0, pos1.shape[0], CHUNK)
     if progress:
         import tqdm
         starts = tqdm.tqdm(starts, smoothing=0, desc="pair counting")
     for start in starts:
         j_start, j_count = windows[start // CHUNK]
+        hist = jnp.zeros(n_hist + 1, dtype=weights2.dtype)
         chunk_args = (
             hist, pos1[start:start + CHUNK],
             labels1[start:start + CHUNK], idx1[start:start + CHUNK],
@@ -424,8 +438,13 @@ def labeled_pair_count(pos1, labels1, n_labels_1, pos2=None, labels2=None,
                 n_labels_1=int(n_labels_1), n_labels_2=int(n_labels_2),
                 n_r=n_r, n_mu=n_mu, exclude_self=auto,
                 strategy=strategy)
+        if pending is not None:
+            host_hist += np.asarray(pending, dtype=np.float64)
+        pending = hist
+    if pending is not None:
+        host_hist += np.asarray(pending, dtype=np.float64)
 
-    counts = np.asarray(hist[:n_hist], dtype=np.float64)
+    counts = host_hist[:n_hist]
     if kind == "smu":
         return counts.reshape(n_labels_1, n_labels_2, n_r, n_mu)
     return counts.reshape(n_labels_1, n_labels_2, n_r)
@@ -521,22 +540,23 @@ def mean_delta_sigma(galaxies, particles, particle_masses, rp_bins,
     if particle_masses.ndim == 0:
         particle_masses = np.full(len(particles), particle_masses)
 
-    # One histogram over the combined edge list [0, mids+edges sorted]:
-    # cumulative sums then give cylinder masses at every radius.
-    all_edges = np.sort(np.concatenate([[0.0], rp_bins, rp_mids]))
+    # One histogram over the combined edge list [0, mids+edges deduped]:
+    # cumulative sums then give cylinder masses at every radius.  Edges
+    # are deduplicated (a geometric mid can coincide bitwise with a bin
+    # edge) and cylinder masses looked up by searchsorted index, never by
+    # float dict key.
+    all_edges = np.unique(np.concatenate([[0.0], rp_bins, rp_mids]))
     counts = labeled_pair_count(
         galaxies, np.zeros(len(galaxies), dtype=np.int32), 1,
         pos2=particles, weights2=particle_masses, period=period,
         kind="proj", r_edges=all_edges)[0, 0]
     cum_mass = np.concatenate([[0.0], np.cumsum(counts)])
-    mass_at = dict(zip(all_edges[1:], np.cumsum(counts)))
+
+    def mass_at(r):
+        return cum_mass[np.searchsorted(all_edges, r)]
 
     n_gal = len(galaxies)
-    sigma_bar = np.array([mass_at[r] for r in rp_mids]) / (
-        np.pi * rp_mids**2 * n_gal)
-    annulus_mass = np.array(
-        [mass_at[hi] - mass_at[lo]
-         for lo, hi in zip(rp_bins[:-1], rp_bins[1:])])
+    sigma_bar = mass_at(rp_mids) / (np.pi * rp_mids**2 * n_gal)
+    annulus_mass = mass_at(rp_bins[1:]) - mass_at(rp_bins[:-1])
     sigma = annulus_mass / (np.pi * np.diff(rp_bins**2) * n_gal)
-    del cum_mass
     return sigma_bar - sigma

@@ -35,12 +35,26 @@ class TabCorr:
     def __init__(self):
         self.attrs = {}
         self.gal_type = None
-        self.tpcf_matrix = None
+        self._tpcf_matrix = None
+        self._matrix_version = 0
         self.tpcf_args = ()
         self.tpcf_kwargs = {}
         self.tpcf_shape = ()
         self._quad_cache = {}
         self._table_data_cache = {}
+
+    @property
+    def tpcf_matrix(self):
+        return self._tpcf_matrix
+
+    @tpcf_matrix.setter
+    def tpcf_matrix(self, value):
+        # Version counter keys the derived-data caches: unlike id(), it can
+        # never alias a new array with a garbage-collected one.  In-place
+        # mutation of the array still requires bumping the version (assign
+        # through this setter).
+        self._tpcf_matrix = value
+        self._matrix_version += 1
 
     # ------------------------------------------------------------------
     @classmethod
@@ -155,26 +169,26 @@ class TabCorr:
         """Unpack the stored matrix to its dense contraction form (float64).
 
         Auto mode: (n_xi, n_bins, n_bins) symmetric; cross mode: unchanged
-        (n_xi, n_bins).  Cached per matrix identity (the host ``predict``
+        (n_xi, n_bins).  Cached per matrix version (the host ``predict``
         is often called in loops).
         """
         if self.mode != AUTO:
             return self.tpcf_matrix
         cache = getattr(self, "_dense_cache", None)
-        if cache is None or cache[0] != id(self.tpcf_matrix):
-            self._dense_cache = (id(self.tpcf_matrix),
+        if cache is None or cache[0] != self._matrix_version:
+            self._dense_cache = (self._matrix_version,
                                  array_to_symmetric_matrix(self.tpcf_matrix))
         return self._dense_cache[1]
 
     def table_data(self, n_gauss=10, dtype=jnp.float32) -> TableData:
         """Device pytree for the pure-JAX prediction kernels (cached).
 
-        The cache keys on the identity of ``tpcf_matrix`` so assigning a
-        new matrix (e.g. the multipole converter) invalidates it; callers
-        that mutate the array *in place* must clear
-        ``_table_data_cache`` themselves.
+        The cache keys on the ``tpcf_matrix`` version counter so assigning
+        a new matrix (e.g. the multipole converter) invalidates it; callers
+        that mutate the array *in place* must reassign ``tpcf_matrix`` (or
+        clear ``_table_data_cache``) themselves.
         """
-        key = (n_gauss, jnp.dtype(dtype).name, id(self.tpcf_matrix))
+        key = (n_gauss, jnp.dtype(dtype).name, self._matrix_version)
         if key not in self._table_data_cache:
             log_quad, weight = self._quadrature(n_gauss)
             self._table_data_cache[key] = TableData(

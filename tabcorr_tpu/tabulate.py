@@ -244,24 +244,28 @@ class _FastPath:
         if masses.ndim == 0:
             masses = np.full(len(self.ptcl_pos), masses)
 
+        # Deduplicated edge list (a geometric mid can coincide bitwise
+        # with a bin edge); cylinder masses looked up by searchsorted
+        # index, never by float dict key.
         rp_mids = np.sqrt(self.rp_bins[:-1] * self.rp_bins[1:])
-        all_edges = np.sort(np.concatenate([[0.0], self.rp_bins, rp_mids]))
+        all_edges = np.unique(
+            np.concatenate([[0.0], self.rp_bins, rp_mids]))
         extra = (dict(progress=progress, mesh=mesh)
                  if self._count_kwargs is None else self._count_kwargs)
         counts = self._count(
             pos, labels, n_bins, pos2=self.ptcl_pos, weights2=masses,
             period=period, kind="proj", r_edges=all_edges,
             **extra)[:, 0, :]
-        cum = np.cumsum(counts, axis=-1)
-        mass_at = {r: cum[:, i] for i, r in enumerate(all_edges[1:])}
+        cum = np.concatenate(
+            [np.zeros((n_bins, 1)), np.cumsum(counts, axis=-1)], axis=-1)
+
+        def mass_at(r):
+            return cum[:, np.searchsorted(all_edges, r)]
 
         with np.errstate(invalid="ignore", divide="ignore"):
-            sigma_bar = np.stack(
-                [mass_at[r] for r in rp_mids], axis=-1) / (
+            sigma_bar = mass_at(rp_mids) / (
                 np.pi * rp_mids**2 * n_tracers[:, None])
-            annulus = np.stack(
-                [mass_at[hi] - mass_at[lo] for lo, hi in
-                 zip(self.rp_bins[:-1], self.rp_bins[1:])], axis=-1)
+            annulus = mass_at(self.rp_bins[1:]) - mass_at(self.rp_bins[:-1])
             sigma = annulus / (np.pi * np.diff(self.rp_bins**2) *
                                n_tracers[:, None])
             ds = sigma_bar - sigma
@@ -295,14 +299,18 @@ def tabulate(cls, halocat, tpcf, *tpcf_args, mode="auto",
     ``s_mu_tpcf``, ``mean_delta_sigma`` from :mod:`tabcorr_tpu.ops.paircount`
     or their names as strings) for the on-device fast path, or any
     halotools-signature callable for the generic path.  ``seed`` fixes the
-    mock-population randomness.  ``num_threads`` is accepted for
-    compatibility; the fast path is device-parallel instead, and ``mesh``
-    shards the pair-count sweeps across a multi-chip device mesh.
+    mock-population randomness.  ``num_threads`` parallelizes the
+    generic-callable fallback over a thread pool (the built-in statistics
+    are device-parallel and ignore it), and ``mesh`` shards the pair-count
+    sweeps across a multi-chip device mesh.
     ``backend='native'`` routes the pair counting through the C++/OpenMP
     cell-list counters (for hosts without an accelerator).
     """
     if "period" in tpcf_kwargs:
         # The reference warns and overrides (tabcorr/tabcorr.py:134-138).
+        print("Warning: TabCorr will pass the box size of the halo catalog "
+              "as the 'period' argument. The value you provided will be "
+              "ignored.")
         del tpcf_kwargs["period"]
 
     tpcf_name = tpcf if isinstance(tpcf, str) else tpcf.__name__
@@ -401,17 +409,27 @@ def tabulate(cls, halocat, tpcf, *tpcf_args, mode="auto",
     else:
         frac = np.minimum(downsample(gal_prim), 1.0)
     keep = rng.random(len(labels_full)) < frac
-    # Force >= 2 tracers per non-empty bin.
-    for label in range(n_bins_total):
-        in_bin = labels_full == label
-        n_total = int(np.sum(in_bin))
-        if n_total > 1 and int(np.sum(keep & in_bin)) <= 1:
-            pick = rng.choice(np.flatnonzero(in_bin), size=2,
-                              replace=False)
-            keep[pick] = True
-        elif n_total == 1:
-            keep[in_bin] = True
-    keep &= labels_full >= 0
+    # Force >= 2 tracers per non-empty bin.  Deficient bins are found with
+    # two bincounts and repaired via a grouped index array, touching each
+    # tracer O(1) times total (the naive per-bin full-array mask scan is
+    # O(n_bins * n_tracers) — prohibitive at the published ds config).
+    valid = labels_full >= 0
+    total_counts = np.bincount(labels_full[valid], minlength=n_bins_total)
+    kept_counts = np.bincount(labels_full[valid & keep],
+                              minlength=n_bins_total)
+    deficient = np.flatnonzero(
+        ((total_counts > 1) & (kept_counts <= 1)) | (total_counts == 1))
+    if len(deficient):
+        idx_by_label = np.flatnonzero(valid)[
+            np.argsort(labels_full[valid], kind="stable")]
+        starts = np.concatenate([[0], np.cumsum(total_counts)])
+        for label in deficient:
+            group = idx_by_label[starts[label]:starts[label + 1]]
+            if len(group) == 1:
+                keep[group] = True
+            else:
+                keep[rng.choice(group, size=2, replace=False)] = True
+    keep &= valid
 
     pos_raw = mock["pos"][keep]
     vel_raw = mock["vel"][keep]
@@ -446,7 +464,7 @@ def tabulate(cls, halocat, tpcf, *tpcf_args, mode="auto",
         else:
             matrix, shape = _generic_tpcf_matrix(
                 mode, pos, labels, n_bins_total, tpcf, period, tpcf_args,
-                tpcf_kwargs, verbose)
+                tpcf_kwargs, verbose, num_threads=num_threads)
 
         tpcf_matrix = matrix if tpcf_matrix is None else \
             tpcf_matrix + matrix
@@ -499,9 +517,9 @@ def compute_tpcf_matrix(mode, pos, tpcf, period, tpcf_args, tpcf_kwargs,
     (reference: tabcorr/tabcorr.py:846-922) for code that drives the
     bin-pair computation directly: ``pos`` is a list of per-bin position
     arrays; returns (tpcf_matrix, tpcf_shape) with the matrix dense
-    (n_xi, n_bins[, n_bins]).  ``num_threads`` is accepted for
-    compatibility (the built-in statistics are device-parallel; arbitrary
-    callables run sequentially).
+    (n_xi, n_bins[, n_bins]).  ``num_threads > 1`` farms arbitrary
+    callables over a thread pool (the built-in statistics are
+    device-parallel and ignore it).
     """
     labels = np.concatenate([
         np.full(len(p), i, dtype=np.int32) for i, p in enumerate(pos)])
@@ -517,30 +535,35 @@ def compute_tpcf_matrix(mode, pos, tpcf, period, tpcf_args, tpcf_kwargs,
             matrix = fast.matrix_cross(flat_pos, labels, len(pos), period)
         return matrix, fast.shape
     return _generic_tpcf_matrix(mode, flat_pos, labels, len(pos), tpcf,
-                                period, tpcf_args, tpcf_kwargs, verbose)
+                                period, tpcf_args, tpcf_kwargs, verbose,
+                                num_threads=num_threads)
 
 
 def _generic_tpcf_matrix(mode, pos, labels, n_bins, tpcf, period,
-                         tpcf_args, tpcf_kwargs, verbose):
-    """Generic per-bin-pair loop for arbitrary halotools-signature tpcfs.
+                         tpcf_args, tpcf_kwargs, verbose, num_threads=1):
+    """Generic per-bin-pair farm for arbitrary halotools-signature tpcfs.
 
-    Sequential host loop (the fast path above replaces the reference's
-    process pool for the built-in statistics; this fallback exists for
-    API completeness with custom callables,
-    reference: tabcorr/tabcorr.py:846-922).
+    The built-in statistics use the labeled device sweep instead; this
+    path exists for API completeness with custom callables and fills the
+    role of the reference's process-pool farm
+    (reference: tabcorr/tabcorr.py:846-922): tasks are all occupied bins
+    (cross) or bin-pairs (auto), shuffled for load balance, executed on a
+    ``num_threads``-wide thread pool.  Threads rather than processes:
+    realistic generic callables are GIL-releasing native pair counters
+    (Corrfunc/Cython/our C++ backend), and forking a process that holds
+    live JAX/XLA runtime threads is deadlock-prone.
     """
     import itertools
 
     pos_bins = [pos[labels == i] for i in range(n_bins)]
     occupied = [i for i in range(n_bins) if len(pos_bins[i]) > 0]
 
-    tpcf_matrix = None
     if mode == "auto":
         tasks = list(itertools.combinations_with_replacement(occupied, 2))
     else:
-        tasks = occupied
+        tasks = list(occupied)
 
-    for task in tasks:
+    def worker(task):
         if mode == "auto":
             i_1, i_2 = task
             if len(pos_bins[i_1]) > len(pos_bins[i_2]):
@@ -552,14 +575,36 @@ def _generic_tpcf_matrix(mode, pos, labels, n_bins, tpcf, period,
         else:
             xi = tpcf(pos_bins[task], *tpcf_args, period=period,
                       **tpcf_kwargs)
+        return task, np.asarray(xi)
 
+    if num_threads is not None and num_threads > 1 and len(tasks) > 1:
+        from concurrent.futures import ThreadPoolExecutor
+
+        # Shuffle so expensive (high-occupancy) tasks spread over workers.
+        shuffled = list(tasks)
+        np.random.default_rng(42).shuffle(shuffled)
+        with ThreadPoolExecutor(num_threads) as pool:
+            results = pool.map(worker, shuffled)
+            if verbose:
+                import tqdm
+                results = tqdm.tqdm(results, total=len(shuffled))
+            results = list(results)
+    else:
+        iterator = tasks
+        if verbose:
+            import tqdm
+            iterator = tqdm.tqdm(iterator, total=len(tasks))
+        results = [worker(task) for task in iterator]
+
+    tpcf_matrix = None
+    tpcf_shape = None
+    for task, xi in results:
         if tpcf_matrix is None:
             if mode == "auto":
                 tpcf_matrix = np.zeros((xi.size, n_bins, n_bins))
             else:
                 tpcf_matrix = np.zeros((xi.size, n_bins))
             tpcf_shape = xi.shape
-
         if mode == "auto":
             tpcf_matrix[:, task[0], task[1]] = xi.ravel()
             tpcf_matrix[:, task[1], task[0]] = xi.ravel()

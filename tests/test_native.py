@@ -104,3 +104,13 @@ def test_native_backend_tabulate_matches_device():
     # float64, so only bin-edge pairs can differ.
     np.testing.assert_allclose(tab_nat.tpcf_matrix, tab_dev.tpcf_matrix,
                                rtol=1e-4, atol=1e-4)
+
+
+def test_native_nonuniform_mu_raises(data):
+    pos, labels = data[0], data[1]
+    mu_edges = np.array([0.0, 0.3, 1.0])
+    s_edges = np.logspace(-0.5, 1.0, 4)
+    with pytest.raises(ValueError, match="uniform"):
+        native.labeled_pair_count(
+            pos, labels, 4, period=50.0, kind="smu", r_edges=s_edges,
+            mu_edges=mu_edges)

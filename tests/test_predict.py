@@ -179,3 +179,23 @@ def test_consistency_checks_raise(wp_tabcorr):
                            prim_haloprop_key="halo_m200m")
     with pytest.raises(ValueError):
         wp_tabcorr.predict(bad2)
+
+
+def test_matrix_reassignment_invalidates_caches(wp_tabcorr, bol_model):
+    # Version-counter cache keying: assigning a new tpcf_matrix must
+    # invalidate both the dense-matrix and device-pytree caches (id()
+    # keying could alias a garbage-collected array's address).
+    import copy
+
+    tab = copy.deepcopy(wp_tabcorr)
+    ngal, xi = tab.predict(bol_model)
+    tab.table_data()  # populate the device cache
+
+    tab.tpcf_matrix = tab.tpcf_matrix * 2.0
+    ngal2, xi2 = tab.predict(bol_model)
+    np.testing.assert_allclose(xi2, 2.0 * xi, rtol=1e-12)
+
+    data = tab.table_data()
+    np.testing.assert_allclose(
+        np.asarray(data.tpcf_dense),
+        np.asarray(tab.dense_matrix()).astype(np.float32), rtol=1e-6)

@@ -279,3 +279,103 @@ def test_compute_tpcf_matrix_ragged_api(halocat):
     # Diagonal equals a direct auto wp of that bin's sample.
     direct = tt.corrfunc.wp(pos[0], rp_bins, 10.0, period=150.0)
     np.testing.assert_allclose(matrix[:, 0, 0], direct, rtol=1e-6)
+
+
+def _numpy_pair_fraction(sample1, rp_bins, sample2=None, period=None,
+                         do_auto=True, do_cross=False, **kwargs):
+    """Pure-numpy halotools-signature statistic for pool tests (no JAX)."""
+    import time
+    time.sleep(float(kwargs.get("sleep", 0.0)))
+    period = np.broadcast_to(np.asarray(period, dtype=np.float64), (3,))
+    other = sample1 if sample2 is None else sample2
+    d = sample1[:, None, :] - other[None, :, :]
+    d -= period * np.round(d / period)
+    rp = np.sqrt(d[..., 0] ** 2 + d[..., 1] ** 2)
+    if sample2 is None:
+        np.fill_diagonal(rp, np.inf)
+    counts = np.histogram(rp.ravel(), bins=rp_bins)[0]
+    return counts / (len(sample1) * len(other))
+
+
+def test_generic_path_parallel_matches_sequential(halocat):
+    # num_threads > 1 farms the generic-callable path over a worker pool
+    # (reference: tabcorr/tabcorr.py:880-922); results must be identical
+    # to the sequential loop.
+    rp_bins = np.logspace(-0.3, 1.0, 4)
+    kwargs = dict(mode="auto", prim_haloprop_bins=4,
+                  Num_ptcl_requirement=300, sats_per_prim_haloprop=1e-12,
+                  seed=11)
+    tab_seq = tt.TabCorr.tabulate(
+        halocat, _numpy_pair_fraction, rp_bins, num_threads=1, **kwargs)
+    tab_par = tt.TabCorr.tabulate(
+        halocat, _numpy_pair_fraction, rp_bins, num_threads=4, **kwargs)
+    np.testing.assert_allclose(tab_par.tpcf_matrix, tab_seq.tpcf_matrix,
+                               rtol=1e-12, atol=1e-15)
+
+
+def test_generic_path_parallel_scales():
+    # With a task-dominated callable, the pool must deliver real speedup.
+    import time
+
+    from tabcorr_tpu.tabulate import _generic_tpcf_matrix
+
+    rng = np.random.default_rng(2)
+    n_bins = 6  # 21 auto tasks
+    pos = rng.uniform(0, 50, (n_bins * 20, 3))
+    labels = np.repeat(np.arange(n_bins, dtype=np.int32), 20)
+    rp_bins = np.logspace(-0.3, 1.0, 4)
+    args = ("auto", pos, labels, n_bins, _numpy_pair_fraction,
+            np.full(3, 50.0), (rp_bins,), {"sleep": 0.05}, False)
+
+    t0 = time.perf_counter()
+    m1, _ = _generic_tpcf_matrix(*args, num_threads=1)
+    t_seq = time.perf_counter() - t0
+    t0 = time.perf_counter()
+    m4, _ = _generic_tpcf_matrix(*args, num_threads=4)
+    t_par = time.perf_counter() - t0
+
+    np.testing.assert_allclose(m4, m1, rtol=1e-12, atol=1e-15)
+    # 21 x 0.05s sequential floor ~1.05s; 4 workers should beat 60% of it
+    # comfortably even with fork overhead.
+    assert t_par < 0.6 * t_seq, (t_par, t_seq)
+
+
+def test_downsample_keeps_two_tracers_per_bin(halocat):
+    # Extreme downsampling: every non-empty bin must still retain >= 2
+    # tracers so the auto pair estimator stays defined.
+    rp_bins = np.logspace(-0.3, 1.0, 4)
+    tab = tt.TabCorr.tabulate(
+        halocat, tt.corrfunc.wp, rp_bins, 10.0, mode="auto",
+        prim_haloprop_bins=4, Num_ptcl_requirement=300,
+        sats_per_prim_haloprop=1e-12, downsample=1e-6, seed=13)
+    assert np.all(np.isfinite(tab.tpcf_matrix))
+
+
+def test_period_kwarg_override_warns(halocat, capsys):
+    # The reference warns and overrides a user-passed 'period'
+    # (reference: tabcorr/tabcorr.py:134-138).
+    rp_bins = np.logspace(-0.3, 1.0, 4)
+    tt.TabCorr.tabulate(
+        halocat, tt.corrfunc.wp, rp_bins, 10.0, mode="auto",
+        prim_haloprop_bins=4, Num_ptcl_requirement=300,
+        sats_per_prim_haloprop=1e-12, seed=5, period=123.0)
+    assert "period" in capsys.readouterr().out
+
+
+def test_odd_multipoles_vanish():
+    # halotools' tpcf_multipole mirrors mu to [-1, 1], so odd orders are
+    # identically zero; ours must match (see ops/multipole.py).
+    from tabcorr_tpu.ops.multipole import tpcf_multipole
+
+    rng = np.random.default_rng(8)
+    mu_bins = np.linspace(0, 1, 21)
+    xi = rng.normal(size=(5, 20))
+    for order in (1, 3):
+        np.testing.assert_array_equal(
+            tpcf_multipole(xi, mu_bins, order), np.zeros(5))
+    # Even orders: (2l+1) * sum xi P_l dmu.
+    mu_c = 0.5 * (mu_bins[1:] + mu_bins[:-1])
+    want = 5 * np.sum(xi * 0.5 * (3 * mu_c**2 - 1) * np.diff(mu_bins),
+                      axis=-1)
+    np.testing.assert_allclose(tpcf_multipole(xi, mu_bins, 2), want,
+                               rtol=1e-12)
