@@ -1,23 +1,41 @@
 """Snapshot ingestion CLI: raw N-body outputs -> database snapshot.hdf5.
 
 Equivalent of the reference's scripts/parse_snapshot.py: converts raw
-simulation products (Gadget-2 binaries, Rockstar halo lists, AbacusSummit
-CompaSO catalogs, AemulusAlpha downloads) into the database's uniform
-``snapshot.hdf5`` with tables ``halos`` and (optionally) ``particles``.
+simulation products into the database's uniform ``snapshot.hdf5`` with
+tables ``halos`` and ``particles`` (one table per invocation, appended,
+like the reference):
+
+* AemulusAlpha halos: the bgc2-based catalogs ``outbgc2_{n}.list``
+  (true M200b/R200b) with ``halo_rs`` merged row-wise from the matching
+  ``out_{n}.list`` (reference: scripts/parse_snapshot.py:143-185).
+* AemulusAlpha particles: the 512-chunk Gadget-2 snapshot download with a
+  1% subsample (reference: scripts/parse_snapshot.py:188-222).
+* AbacusSummit halos: CompaSO catalogs, N >= 300, box recentered by
+  +BoxSize/2, r_s = rvcirc_max / 2.16258
+  (reference: scripts/parse_snapshot.py:225-253).
+* AbacusSummit particles: the 34-chunk ``{field,halo}_rv_A`` asdf
+  A-subsample thinned to 0.025% of all particles (0.00025/0.03 of the 3%
+  subsample), box recentered, with an ``htar`` tape-retrieval hook for the
+  redshifts whose field files are archived
+  (reference: scripts/parse_snapshot.py:256-290).
 
 Self-contained readers: Gadget-2 format-1 binary blocks and Rockstar ASCII
-halo lists.  Network ingestion (AemulusAlpha basic-auth download) and
-AbacusSummit CompaSO reading require ``requests`` / ``abacusnbody``, which
-are optional: a clear error tells the user what to install.
+halo lists.  External transports are injectable for offline testing: the
+Aemulus functions take a ``fetch(relative_path) -> bytes`` callable
+(default: basic-auth HTTP via env credentials, or a local --raw_dir), the
+Abacus particle reader takes ``asdf_reader`` / ``tape_retrieve`` hooks
+(defaults: abacusutils / htar, each raising a clear error if unavailable).
 
 Usage:
     python scripts/parse_snapshot.py AemulusAlpha 0.25 --cosmo 0
+    python scripts/parse_snapshot.py AbacusSummit 0.5 --raw_dir ... --particles
 """
 
 import argparse
 import io
 import os
 import struct
+import subprocess
 from pathlib import Path
 
 import h5py
@@ -27,20 +45,48 @@ from tabcorr_tpu import database
 
 GADGET_HEADER = struct.Struct("<6I6dddii6Iiiddddii6Ii")
 
+# AemulusAlpha snapshot scale factors; a requested redshift must match one
+# to within 0.005 (reference: scripts/parse_snapshot.py:152-161).
+AEMULUS_SCALE_FACTORS = np.array([0.25, 0.333333, 0.5, 0.540541, 0.588235,
+                                  0.645161, 0.714286, 0.8, 0.909091, 1.0])
+AEMULUS_BASE_URL = "https://www.slac.stanford.edu/~jderose/aemulus/phase1"
+AEMULUS_N_PARTICLE_CHUNKS = 512
 
-def read_gadget_snapshot(path, read_pos=True, read_vel=True,
-                         read_id=False, subsample=1.0, seed=42):
-    """Read a Gadget-2 format-1 binary snapshot (single file).
+# The rv_A asdf files hold a 3% subsample of all particles; the database
+# keeps 0.025% of all particles, i.e. 0.00025/0.03 of the A subsample
+# (reference: scripts/parse_snapshot.py:272-273).
+ABACUS_A_SUBSAMPLE = 0.03
+ABACUS_PARTICLE_FRACTION = 0.00025
+ABACUS_N_PARTICLE_CHUNKS = 34
+# NERSC tape archive holding the field_rv_A files for z = 0.3 / 0.4
+# (reference: scripts/parse_snapshot.py:21, :260-265).
+ABACUS_SUMMIT_PATH_TAPE = Path("/nersc/projects/desi/cosmosim/Abacus")
+
+
+def aemulus_snapshot_number(redshift):
+    """Snapshot index for an AemulusAlpha redshift (0.005 tolerance)."""
+    redshift_snapshots = 1.0 / AEMULUS_SCALE_FACTORS - 1.0
+    if np.amin(np.abs(redshift_snapshots - redshift)) >= 0.005:
+        raise ValueError(f"No snapshot for redshift {redshift:.2f}.")
+    return int(np.argmin(np.abs(redshift_snapshots - redshift)))
+
+
+def read_gadget_snapshot(source, read_pos=True, read_vel=True,
+                         read_id=False, subsample=1.0, seed=42, rng=None):
+    """Read a Gadget-2 format-1 binary snapshot (single file or stream).
 
     Returns a dict with 'header' plus requested blocks for all particle
     types concatenated. Block layout: header, positions (3f4 per
     particle), velocities (3f4), ids. Each block is wrapped in 4-byte
     Fortran record markers.
     """
-    rng = np.random.default_rng(seed)
+    if rng is None:
+        rng = np.random.default_rng(seed)
     out = {}
-    with open(path, "rb") as stream:
-        def read_block(expected=None):
+    own_stream = not hasattr(source, "read")
+    stream = open(source, "rb") if own_stream else source
+    try:
+        def read_block():
             raw = stream.read(4)
             if len(raw) < 4:
                 return None
@@ -79,41 +125,72 @@ def read_gadget_snapshot(path, read_pos=True, read_vel=True,
         if read_id:
             data = np.frombuffer(read_block(), dtype="<u4")
             out["id"] = np.array(data[keep])
+    finally:
+        if own_stream:
+            stream.close()
     return out
+
+
+def parse_rockstar_ascii(text):
+    """Parse a Rockstar ASCII list: commented header line -> column dict."""
+    lines = text.splitlines()
+    if not lines or not lines[0].startswith("#"):
+        raise ValueError("Expected a commented header line.")
+    names = lines[0].lstrip("#").split()
+    data = np.atleast_2d(np.genfromtxt(io.StringIO(text), comments="#"))
+    if data.shape[1] != len(names):
+        raise ValueError(
+            f"Header names {len(names)} != data columns {data.shape[1]}.")
+    return {name.split("(")[0]: data[:, i] for i, name in enumerate(names)}
 
 
 def read_rockstar_halos(path, mdef="200m"):
-    """Read a Rockstar out_*.list ASCII halo catalog into column arrays."""
+    """Read a Rockstar out_*.list ASCII halo catalog into column arrays.
+
+    Raises if the requested mass definition is absent: substituting
+    another definition (e.g. Mvir) silently would poison every mass bin
+    downstream.
+    """
     with open(path) as stream:
-        header = stream.readline().lstrip("#").split()
-    columns = {name.split("(")[0].lower(): i
-               for i, name in enumerate(header)}
-    data = np.loadtxt(path)
-    mass_col = columns.get(f"m{mdef}", columns.get("mvir"))
+        text = stream.read()
+    raw = parse_rockstar_ascii(text)
+    columns = {name.lower(): name for name in raw}
+    if f"m{mdef}" not in columns:
+        raise ValueError(
+            f"No M{mdef} column in {path}; refusing to substitute another "
+            f"mass definition. Available: {sorted(raw)}")
     out = {
-        "halo_x": data[:, columns["x"]],
-        "halo_y": data[:, columns["y"]],
-        "halo_z": data[:, columns["z"]],
-        "halo_vx": data[:, columns["vx"]],
-        "halo_vy": data[:, columns["vy"]],
-        "halo_vz": data[:, columns["vz"]],
-        f"halo_m{mdef}": data[:, mass_col],
-        "halo_rs": data[:, columns["rs"]] / 1e3,  # kpc/h -> Mpc/h
+        "halo_x": raw[columns["x"]],
+        "halo_y": raw[columns["y"]],
+        "halo_z": raw[columns["z"]],
+        "halo_vx": raw[columns["vx"]],
+        "halo_vy": raw[columns["vy"]],
+        "halo_vz": raw[columns["vz"]],
+        f"halo_m{mdef}": raw[columns[f"m{mdef}"]],
+        "halo_rs": raw[columns["rs"]] / 1e3,  # kpc/h -> Mpc/h
     }
     if "rvir" in columns:
-        out[f"halo_r{mdef}"] = data[:, columns["rvir"]] / 1e3
+        out[f"halo_r{mdef}"] = raw[columns["rvir"]] / 1e3
     if "vmax" in columns:
-        out["halo_vmax"] = data[:, columns["vmax"]]
+        out["halo_vmax"] = raw[columns["vmax"]]
     return out
 
 
-def download_aemulus_alpha(suite_dir, name, redshift):
-    """Download AemulusAlpha halo catalogs (basic-auth, env credentials).
+def make_aemulus_fetch(simulation, raw_dir=None):
+    """``fetch(relative_path) -> bytes`` for AemulusAlpha products.
 
-    Mirrors the reference's ingestion (scripts/parse_snapshot.py:143-222);
-    requires the AEMULUS_USERNAME / AEMULUS_PASSWORD environment variables
-    and the ``requests`` package.
+    Default transport: basic-auth HTTP against the SLAC server using the
+    AEMULUS_USERNAME / AEMULUS_PASSWORD environment variables (reference:
+    scripts/parse_snapshot.py:145-150, :163-164).  With ``raw_dir``, reads
+    the same relative layout from local disk instead.
     """
+    if raw_dir is not None:
+        root = Path(raw_dir)
+
+        def fetch(relpath):
+            return (root / relpath).read_bytes()
+        return fetch
+
     try:
         import requests
     except ImportError:
@@ -122,39 +199,117 @@ def download_aemulus_alpha(suite_dir, name, redshift):
         auth = (os.environ["AEMULUS_USERNAME"],
                 os.environ["AEMULUS_PASSWORD"])
     except KeyError:
-        raise RuntimeError("Set AEMULUS_USERNAME and AEMULUS_PASSWORD.")
+        raise RuntimeError("Set the AEMULUS_USERNAME and AEMULUS_PASSWORD "
+                           "environment variables.")
+    base = f"{AEMULUS_BASE_URL}/{simulation}"
 
-    scale_factor = 1.0 / (1.0 + redshift)
-    base = "https://www.slac.stanford.edu/~sean/aemulus"
-    url = f"{base}/{name}/out_{scale_factor:.4f}.list"
-    response = requests.get(url, auth=auth, timeout=600)
-    response.raise_for_status()
-    return io.StringIO(response.text)
+    def fetch(relpath):
+        response = requests.get(f"{base}/{relpath}", auth=auth,
+                                timeout=600)
+        response.raise_for_status()
+        return response.content
+    return fetch
+
+
+def download_aemulus_alpha_halos(simulation, redshift, fetch=None):
+    """AemulusAlpha host-halo catalog from the bgc2-based lists.
+
+    Reads ``halos/m200b/outbgc2_{n}.list`` (true M200b/R200b from bgc2)
+    and merges ``halo_rs`` row-wise from the matching ``out_{n}.list``
+    (Rockstar Rs column, kpc/h), keeping hosts (Parent_ID == -1) only —
+    the reference's exact recipe (scripts/parse_snapshot.py:143-185).
+    """
+    snapnum = aemulus_snapshot_number(redshift)
+    if fetch is None:
+        fetch = make_aemulus_fetch(simulation)
+
+    bgc2 = parse_rockstar_ascii(
+        fetch(f"halos/m200b/outbgc2_{snapnum}.list").decode())
+    out_list = np.atleast_2d(np.genfromtxt(io.StringIO(
+        fetch(f"halos/m200b/out_{snapnum}.list").decode()), comments="#"))
+    if len(out_list) != len(next(iter(bgc2.values()))):
+        raise ValueError("outbgc2 and out lists have different row counts; "
+                         "cannot merge halo_rs row-wise.")
+
+    halos = {
+        # M200b/R200b relabeled m200m/r200m like the reference (:175-176).
+        "halo_m200m": bgc2["M200b"],
+        "halo_r200m": bgc2["R200b"] / 1e3,       # kpc/h -> Mpc/h (:173)
+        "halo_vmax": bgc2["Vmax"],
+        "halo_x": bgc2["X"], "halo_y": bgc2["Y"], "halo_z": bgc2["Z"],
+        "halo_vx": bgc2["VX"], "halo_vy": bgc2["VY"], "halo_vz": bgc2["VZ"],
+        # Rockstar out_*.list column 7 (1-indexed) is Rs [kpc/h] (:169-172).
+        "halo_rs": out_list[:, 6] / 1e3,
+    }
+    hosts = bgc2["Parent_ID"] == -1
+    return {key: value[hosts] for key, value in halos.items()}
+
+
+def download_aemulus_alpha_particles(simulation, redshift, fetch=None,
+                                     subsample=0.01, seed=None,
+                                     n_chunks=AEMULUS_N_PARTICLE_CHUNKS,
+                                     progress=True):
+    """AemulusAlpha particle subsample from the Gadget snapshot chunks.
+
+    Fetches all snapshot chunks
+    ``output/snapdir_{n:03d}/snapshot_{n:03d}.{chunk}``, keeps a random
+    ``subsample`` fraction of the positions from each (reference keeps 1%,
+    scripts/parse_snapshot.py:188-222).
+    """
+    snapnum = aemulus_snapshot_number(redshift)
+    if fetch is None:
+        fetch = make_aemulus_fetch(simulation)
+    rng = np.random.default_rng(seed)
+
+    chunks = range(n_chunks)
+    if progress:
+        import tqdm
+        chunks = tqdm.tqdm(chunks, desc="particle chunks")
+    positions = []
+    for chunk in chunks:
+        relpath = (f"output/snapdir_{snapnum:03d}/"
+                   f"snapshot_{snapnum:03d}.{chunk}")
+        snap = read_gadget_snapshot(
+            io.BytesIO(fetch(relpath)), read_pos=True, read_vel=False,
+            subsample=subsample, rng=rng)
+        positions.append(snap["pos"])
+    positions = np.vstack(positions)
+    return {"x": positions[:, 0], "y": positions[:, 1],
+            "z": positions[:, 2]}
 
 
 def read_abacus_summit_halos(raw_dir, n_min=300):
-    """Read an AbacusSummit CompaSO halo catalog (requires abacusnbody)."""
+    """Read an AbacusSummit CompaSO halo catalog (requires abacusutils).
+
+    Reference recipe (scripts/parse_snapshot.py:225-253): N >= n_min
+    particles, mass = N * particle mass under the L1 SO definition, radius
+    = r100_L2com, r_s = rvcirc_max_L2com / 2.16258 (the NFW relation),
+    positions recentered from [-L/2, L/2) to [0, L) by +BoxSize/2 (the
+    same recentering as the particle reader, keeping halo and particle
+    coordinates consistent for lensing).
+    """
     try:
         from abacusnbody.data.compaso_halo_catalog import CompaSOHaloCatalog
     except ImportError:
         raise RuntimeError(
             "AbacusSummit ingestion requires the 'abacusutils' package.")
     cat = CompaSOHaloCatalog(
-        raw_dir, fields=["N", "x_L2com", "v_L2com", "SO_radius",
-                         "rvcirc_max_L2com"])
-    halos = cat.halos[cat.halos["N"] >= n_min]
+        raw_dir, fields=["N", "x_L2com", "v_L2com", "r100_L2com",
+                         "rvcirc_max_L2com"],
+        filter_func=lambda h: h["N"] >= n_min)
+    halos = cat.halos
     meta = cat.header
     lbox = meta["BoxSize"]
     particle_mass = meta["ParticleMassHMsun"]
     mdef = "{:.0f}m".format(meta["SODensityL1"])
-    pos = np.asarray(halos["x_L2com"]) % lbox
+    pos = np.asarray(halos["x_L2com"]) + lbox / 2.0
     out = {
         "halo_x": pos[:, 0], "halo_y": pos[:, 1], "halo_z": pos[:, 2],
         "halo_vx": np.asarray(halos["v_L2com"])[:, 0],
         "halo_vy": np.asarray(halos["v_L2com"])[:, 1],
         "halo_vz": np.asarray(halos["v_L2com"])[:, 2],
         f"halo_m{mdef}": np.asarray(halos["N"]) * particle_mass,
-        f"halo_r{mdef}": np.asarray(halos["SO_radius"]),
+        f"halo_r{mdef}": np.asarray(halos["r100_L2com"]),
         # NFW scale radius from the peak-circular-velocity radius:
         # r_s = r_vmax / 2.16258 (the NFW relation).
         "halo_rs": np.asarray(halos["rvcirc_max_L2com"]) / 2.16258,
@@ -162,72 +317,185 @@ def read_abacus_summit_halos(raw_dir, n_min=300):
     return out, meta
 
 
-def write_snapshot(path, halos, meta, particles=None):
-    """Write the database's snapshot.hdf5 (tables 'halos'/'particles')."""
+def _default_asdf_reader(path):
+    """(N, 3) particle positions from an AbacusSummit rv_A asdf file."""
+    try:
+        from abacusnbody.data.read_abacus import read_asdf
+    except ImportError:
+        raise RuntimeError(
+            "AbacusSummit particle ingestion requires the 'abacusutils' "
+            "package (pass asdf_reader= to inject another reader).")
+    return np.asarray(read_asdf(path, load=["pos"])["pos"])
+
+
+def make_htar_retrieve(simulation,
+                       tape_path=ABACUS_SUMMIT_PATH_TAPE):
+    """Tape-retrieval hook extracting archived field_rv_A files via htar.
+
+    NERSC-specific (reference: scripts/parse_snapshot.py:260-265): the
+    z = 0.3 / 0.4 field A-subsamples live only in the tape archive.
+    Returns a callable ``retrieve(member) -> extraction_root``.
+    """
+    def retrieve(member):
+        archive = (Path(tape_path) / f"AbacusSummit_{simulation}" /
+                   f"Abacus_AbacusSummit_{simulation}_halos.tar")
+        subprocess.run(["htar", "-x", "-f", str(archive), f"./{member}"],
+                       check=True)
+        return Path(".")
+    return retrieve
+
+
+def read_abacus_par_boxsize(path):
+    """BoxSize from an AbacusSummit info/abacus.par parameter file."""
+    with open(path) as stream:
+        for line in stream:
+            key, _, value = line.partition("=")
+            if key.strip() == "BoxSize":
+                return float(value.split("#")[0])
+    raise ValueError(f"No BoxSize entry in {path}.")
+
+
+def read_abacus_summit_particles(raw_dir, redshift, simulation=None,
+                                 fraction=ABACUS_PARTICLE_FRACTION,
+                                 asdf_reader=None, tape_retrieve=None,
+                                 n_chunks=ABACUS_N_PARTICLE_CHUNKS,
+                                 seed=None, boxsize=None, progress=True):
+    """AbacusSummit particle subsample from the rv_A asdf chunks.
+
+    Reads the ``field`` and ``halo`` A-subsample files under
+    ``{raw_dir}/halos/z{z:.3f}/{type}_rv_A/``, thins each chunk to
+    ``fraction`` of ALL simulation particles (i.e. fraction/0.03 of the 3%
+    A subsample), and recenters by +BoxSize/2 (read from info/abacus.par
+    unless ``boxsize`` is given).  For the redshifts whose field files are
+    tape-archived (z = 0.3/0.4), ``tape_retrieve(member) -> root`` is
+    called first (see :func:`make_htar_retrieve`).
+    Reference: scripts/parse_snapshot.py:256-290.
+    """
+    rng = np.random.default_rng(seed)
+    if asdf_reader is None:
+        asdf_reader = _default_asdf_reader
+    raw_dir = Path(raw_dir)
+    thin = fraction / ABACUS_A_SUBSAMPLE
+    retrieved_root = None
+
+    positions = []
+    for ptcl_type in ("field", "halo"):
+        base = raw_dir
+        if ptcl_type == "field" and np.any(np.isclose(redshift,
+                                                      [0.3, 0.4])):
+            if tape_retrieve is None:
+                if simulation is None:
+                    raise RuntimeError(
+                        "field_rv_A for z=0.3/0.4 is tape-archived; pass "
+                        "tape_retrieve= (or simulation= for the default "
+                        "htar hook).")
+                tape_retrieve = make_htar_retrieve(simulation)
+            member = f"halos/z{redshift:.3f}/field_rv_A"
+            base = Path(tape_retrieve(member))
+            retrieved_root = base
+        subdir = base / "halos" / f"z{redshift:.3f}" / f"{ptcl_type}_rv_A"
+        chunks = range(n_chunks)
+        if progress:
+            import tqdm
+            chunks = tqdm.tqdm(chunks, desc=f"{ptcl_type} chunks")
+        for i in chunks:
+            pos = np.asarray(
+                asdf_reader(subdir / f"{ptcl_type}_rv_A_{i:03d}.asdf"))
+            positions.append(pos[rng.random(len(pos)) < thin])
+
+    positions = np.vstack(positions)
+    if retrieved_root is not None:
+        import shutil
+        shutil.rmtree(retrieved_root / "halos", ignore_errors=True)
+
+    if boxsize is None:
+        boxsize = read_abacus_par_boxsize(raw_dir / "info" / "abacus.par")
+    positions = positions + boxsize / 2.0
+    return {"x": positions[:, 0], "y": positions[:, 1],
+            "z": positions[:, 2]}
+
+
+def append_snapshot_table(path, name, table, attrs=None):
+    """Write/overwrite one table in snapshot.hdf5, keeping the others."""
     from tabcorr_tpu.io import ColumnTable
 
+    path = Path(path)
     path.parent.mkdir(parents=True, exist_ok=True)
-    with h5py.File(path, "w") as fstream:
-        table = ColumnTable({k: np.asarray(v) for k, v in halos.items()})
-        fstream["halos"] = table.as_structured_array()
-        for key, value in meta.items():
-            fstream["halos"].attrs[key] = value
-        if particles is not None:
-            ptcl = ColumnTable(
-                {k: np.asarray(v) for k, v in particles.items()})
-            fstream["particles"] = ptcl.as_structured_array()
+    with h5py.File(path, "a") as fstream:
+        if name in fstream:
+            del fstream[name]
+        data = ColumnTable({k: np.asarray(v) for k, v in table.items()})
+        fstream[name] = data.as_structured_array()
+        for key, value in (attrs or {}).items():
+            fstream[name].attrs[key] = value
+
+
+def write_snapshot(path, halos, meta, particles=None):
+    """Write the database's snapshot.hdf5 (tables 'halos'/'particles')."""
+    append_snapshot_table(path, "halos", halos, attrs=meta)
+    if particles is not None:
+        append_snapshot_table(path, "particles", particles)
 
 
 def main():
     parser = argparse.ArgumentParser(
-        description="Parse a raw simulation snapshot into the database.")
+        description="Download/read and reduce an AemulusAlpha or "
+                    "AbacusSummit simulation into the database.")
     parser.add_argument("suite", choices=["AemulusAlpha", "AbacusSummit"])
     parser.add_argument("redshift", type=float)
-    parser.add_argument("--cosmo", type=int, default=0)
-    parser.add_argument("--phase", type=int, default=0)
+    parser.add_argument("--cosmo", type=int, default=0,
+                        help="simulation cosmology, default is 0")
+    parser.add_argument("--phase", type=int, default=0,
+                        help="simulation phase, default is 0")
     parser.add_argument("--config", default=None,
-                        help="simulation configuration")
+                        help="simulation configuration to assume")
+    parser.add_argument("--particles", action="store_true",
+                        help="ingest the particle subsample instead of "
+                             "halos")
     parser.add_argument("--raw_dir", default=None,
                         help="local directory with the raw simulation "
-                             "products (skips any download)")
-    parser.add_argument("--particles", action="store_true",
-                        help="also ingest a particle subsample")
-    parser.add_argument("--subsample", type=float, default=0.01,
-                        help="particle subsample fraction")
+                             "products (skips any download; required for "
+                             "AbacusSummit)")
+    parser.add_argument("--subsample", type=float, default=None,
+                        help="particle subsample fraction (default: 0.01 "
+                             "of all particles for AemulusAlpha, 0.00025 "
+                             "for AbacusSummit)")
     args = parser.parse_args()
 
     name = database.simulation_name(
         args.suite, i_cosmo=args.cosmo, i_phase=args.phase,
         config=args.config)
+    print(f"Parsing data for {name} at z={args.redshift:.2f}...")
     out_path = database.directory(
         args.suite, args.redshift, i_cosmo=args.cosmo,
         i_phase=args.phase, config=args.config) / "snapshot.hdf5"
 
     if args.suite == "AemulusAlpha":
-        if args.raw_dir is not None:
-            source = Path(args.raw_dir) / \
-                f"out_{1.0 / (1.0 + args.redshift):.4f}.list"
+        fetch = make_aemulus_fetch(name, raw_dir=args.raw_dir)
+        if args.particles:
+            table = download_aemulus_alpha_particles(
+                name, args.redshift, fetch=fetch,
+                subsample=args.subsample or 0.01)
+            append_snapshot_table(out_path, "particles", table)
         else:
-            source = download_aemulus_alpha(args.suite, name,
-                                            args.redshift)
-        halos = read_rockstar_halos(source)
-        meta = {"BoxSize": 1050.0}
-        particles = None
-        if args.particles and args.raw_dir is not None:
-            snap = read_gadget_snapshot(
-                Path(args.raw_dir) / "snapshot.gadget",
-                subsample=args.subsample)
-            particles = {"x": snap["pos"][:, 0], "y": snap["pos"][:, 1],
-                         "z": snap["pos"][:, 2]}
+            table = download_aemulus_alpha_halos(name, args.redshift,
+                                                 fetch=fetch)
+            append_snapshot_table(out_path, "halos", table,
+                                  attrs={"BoxSize": 1050.0})
     else:
         if args.raw_dir is None:
             raise RuntimeError(
                 "AbacusSummit ingestion reads local CompaSO products; "
                 "pass --raw_dir.")
-        halos, meta = read_abacus_summit_halos(args.raw_dir)
-        particles = None
+        if args.particles:
+            table = read_abacus_summit_particles(
+                args.raw_dir, args.redshift, simulation=name,
+                fraction=args.subsample or ABACUS_PARTICLE_FRACTION)
+            append_snapshot_table(out_path, "particles", table)
+        else:
+            halos, meta = read_abacus_summit_halos(args.raw_dir)
+            append_snapshot_table(out_path, "halos", halos, attrs=meta)
 
-    write_snapshot(out_path, halos, meta, particles)
     print(f"Wrote {out_path}")
 
 

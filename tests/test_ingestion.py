@@ -1,0 +1,346 @@
+"""Offline ingestion tests on fabricated Aemulus/Abacus fixtures.
+
+Covers the network/tape ingestion half of the snapshot parser
+(reference: scripts/parse_snapshot.py:143-290) with all external
+transports mocked: HTTP fetch -> fabricated bgc2 / out / Gadget bytes,
+asdf reader -> fabricated position arrays, htar -> a local directory.
+"""
+
+import io
+import struct
+import sys
+from pathlib import Path
+
+import h5py
+import numpy as np
+import pytest
+
+sys.path.insert(0, str(Path(__file__).absolute().parent.parent / "scripts"))
+
+import parse_snapshot  # noqa: E402
+
+
+# ----------------------------------------------------------------------
+# Fabricated fixtures
+# ----------------------------------------------------------------------
+def _gadget_bytes(pos, boxsize=1050.0, redshift=1.0):
+    def block(data):
+        return struct.pack("<I", len(data)) + data + \
+            struct.pack("<I", len(data))
+
+    n = len(pos)
+    header = struct.pack("<6I", 0, n, 0, 0, 0, 0)
+    header += struct.pack("<6d", 0, 1e9, 0, 0, 0, 0)
+    header += struct.pack("<dd", 1.0 / (1 + redshift), redshift)
+    header += struct.pack("<ii", 0, 0)
+    header += struct.pack("<6I", 0, n, 0, 0, 0, 0)
+    header += struct.pack("<ii", 0, 1)
+    header += struct.pack("<dddd", boxsize, 0.3, 0.7, 0.7)
+    header = header.ljust(256, b"\0")
+    vel = np.zeros_like(pos)
+    return (block(header) + block(np.asarray(pos, "<f4").tobytes()) +
+            block(vel.astype("<f4").tobytes()))
+
+
+def _bgc2_fixture(n=6, seed=3):
+    """(outbgc2 text, out text, truth dict) with 2 subhalos mixed in."""
+    rng = np.random.default_rng(seed)
+    parent_id = np.full(n, -1)
+    parent_id[[1, 4]] = 7  # subhalos
+    m200b = 10 ** rng.uniform(13, 15, n)
+    r200b = rng.uniform(300, 2000, n)          # kpc/h
+    vmax = rng.uniform(200, 1500, n)
+    xyz = rng.uniform(0, 1050, (n, 3))
+    vel = rng.normal(0, 500, (n, 3))
+    rs = rng.uniform(20, 300, n)               # kpc/h, lives in out list
+
+    bgc2_header = ("#ID DescID M200b Vmax Vrms R200b Rs Np X Y Z "
+                   "VX VY VZ Parent_ID\n")
+    bgc2_rows = "".join(
+        f"{i} -1 {m200b[i]:.6e} {vmax[i]:.3f} 0.0 {r200b[i]:.3f} 0.0 500 "
+        f"{xyz[i, 0]:.5f} {xyz[i, 1]:.5f} {xyz[i, 2]:.5f} "
+        f"{vel[i, 0]:.3f} {vel[i, 1]:.3f} {vel[i, 2]:.3f} {parent_id[i]}\n"
+        for i in range(n))
+    out_header = "#ID DescID Mvir Vmax Vrms Rvir Rs Np X Y Z VX VY VZ\n"
+    out_extra = "#a = 0.50000\n#Om = 0.3; Ol = 0.7; h = 0.7\n"
+    out_rows = "".join(
+        f"{i} -1 {m200b[i]:.6e} {vmax[i]:.3f} 0.0 {r200b[i]:.3f} "
+        f"{rs[i]:.4f} 500 {xyz[i, 0]:.5f} {xyz[i, 1]:.5f} {xyz[i, 2]:.5f} "
+        f"{vel[i, 0]:.3f} {vel[i, 1]:.3f} {vel[i, 2]:.3f}\n"
+        for i in range(n))
+    hosts = parent_id == -1
+    truth = dict(m200m=m200b[hosts], r200m=r200b[hosts] / 1e3,
+                 vmax=vmax[hosts], x=xyz[hosts, 0], rs=rs[hosts] / 1e3)
+    return (bgc2_header + bgc2_rows,
+            out_header + out_extra + out_rows, truth)
+
+
+# ----------------------------------------------------------------------
+# AemulusAlpha halos (bgc2 path)
+# ----------------------------------------------------------------------
+def test_aemulus_bgc2_halo_ingestion():
+    bgc2_text, out_text, truth = _bgc2_fixture()
+    requested = []
+
+    def fetch(relpath):
+        requested.append(relpath)
+        if relpath.startswith("halos/m200b/outbgc2_"):
+            return bgc2_text.encode()
+        if relpath.startswith("halos/m200b/out_"):
+            return out_text.encode()
+        raise KeyError(relpath)
+
+    halos = parse_snapshot.download_aemulus_alpha_halos(
+        "Box000", 1.0, fetch=fetch)
+
+    # z=1.0 -> a=0.5 -> snapshot 2 in the published scale-factor table.
+    assert requested == ["halos/m200b/outbgc2_2.list",
+                         "halos/m200b/out_2.list"]
+    # Subhalos dropped; masses are TRUE M200b, never a relabeled Mvir.
+    np.testing.assert_allclose(halos["halo_m200m"], truth["m200m"],
+                               rtol=1e-6)
+    np.testing.assert_allclose(halos["halo_r200m"], truth["r200m"],
+                               rtol=1e-5)
+    np.testing.assert_allclose(halos["halo_vmax"], truth["vmax"],
+                               rtol=1e-5)
+    np.testing.assert_allclose(halos["halo_x"], truth["x"], rtol=1e-6)
+    # halo_rs merged row-wise from the out list, kpc -> Mpc.
+    np.testing.assert_allclose(halos["halo_rs"], truth["rs"], rtol=1e-4)
+
+
+def test_aemulus_snapshot_number_validation():
+    assert parse_snapshot.aemulus_snapshot_number(3.0) == 0
+    assert parse_snapshot.aemulus_snapshot_number(0.0) == 9
+    assert parse_snapshot.aemulus_snapshot_number(0.25) == 7
+    with pytest.raises(ValueError, match="No snapshot"):
+        parse_snapshot.aemulus_snapshot_number(0.42)
+
+
+def test_aemulus_bgc2_row_count_mismatch_raises():
+    bgc2_text, out_text, _ = _bgc2_fixture()
+    out_text = "".join(out_text.splitlines(keepends=True)[:-1])
+
+    def fetch(relpath):
+        return (bgc2_text if "outbgc2" in relpath else out_text).encode()
+
+    with pytest.raises(ValueError, match="row counts"):
+        parse_snapshot.download_aemulus_alpha_halos("Box000", 1.0,
+                                                    fetch=fetch)
+
+
+def test_rockstar_reader_refuses_wrong_mass_definition(tmp_path):
+    path = tmp_path / "out_0.list"
+    path.write_text("#ID DescID Mvir Vmax Vrms Rvir Rs Np X Y Z VX VY VZ\n"
+                    "0 -1 1e13 400 0 500 50 500 1 2 3 0 0 0\n")
+    with pytest.raises(ValueError, match="M200m"):
+        parse_snapshot.read_rockstar_halos(path, mdef="200m")
+
+
+# ----------------------------------------------------------------------
+# AemulusAlpha particles (chunked Gadget download)
+# ----------------------------------------------------------------------
+def test_aemulus_particle_ingestion():
+    rng = np.random.default_rng(11)
+    chunk_pos = [rng.uniform(0, 1050, (400, 3)).astype(np.float32)
+                 for _ in range(4)]
+    requested = []
+
+    def fetch(relpath):
+        requested.append(relpath)
+        i = int(relpath.rsplit(".", 1)[1])
+        return _gadget_bytes(chunk_pos[i])
+
+    ptcls = parse_snapshot.download_aemulus_alpha_particles(
+        "Box000", 1.0, fetch=fetch, subsample=0.25, seed=5, n_chunks=4,
+        progress=False)
+
+    assert requested[0] == "output/snapdir_002/snapshot_002.0"
+    assert len(requested) == 4
+    n = len(ptcls["x"])
+    assert 200 < n < 600  # ~25% of 1600
+    # Every kept particle is one of the fabricated ones.
+    all_pos = np.vstack(chunk_pos)
+    got = np.stack([ptcls["x"], ptcls["y"], ptcls["z"]], axis=-1)
+    match = (np.abs(all_pos[None, :, :] -
+                    got[:, None, :]).max(axis=-1) < 1e-4).any(axis=1)
+    assert match.all()
+
+
+# ----------------------------------------------------------------------
+# AbacusSummit particles (asdf A-subsample with tape hook)
+# ----------------------------------------------------------------------
+def _fake_asdf_store(redshift, n_per_chunk=500, n_chunks=3, seed=7,
+                     lbox=2000.0):
+    rng = np.random.default_rng(seed)
+    store = {}
+    for ptcl_type in ("field", "halo"):
+        for i in range(n_chunks):
+            key = (f"halos/z{redshift:.3f}/{ptcl_type}_rv_A/"
+                   f"{ptcl_type}_rv_A_{i:03d}.asdf")
+            store[key] = rng.uniform(-lbox / 2, lbox / 2,
+                                     (n_per_chunk, 3))
+    return store
+
+
+def test_abacus_particle_ingestion(tmp_path):
+    lbox = 2000.0
+    store = _fake_asdf_store(0.5, lbox=lbox)
+    (tmp_path / "info").mkdir()
+    (tmp_path / "info" / "abacus.par").write_text(
+        "SimName = AbacusSummit_base_c000_ph000\nNP = 6912**3\n"
+        "CPD = 1701\nBoxSize = 2000.\nw0 = -1.0\n")
+
+    reads = []
+
+    def asdf_reader(path):
+        rel = "/".join(Path(path).parts[-4:])
+        reads.append(rel)
+        return store[rel]
+
+    ptcls = parse_snapshot.read_abacus_summit_particles(
+        tmp_path, 0.5, asdf_reader=asdf_reader, n_chunks=3, seed=1,
+        fraction=0.015, progress=False)  # thin = 0.5 of the A subsample
+
+    assert len(reads) == 6  # field + halo, 3 chunks each
+    assert reads[0].startswith("halos/z0.500/field_rv_A/")
+    n = len(ptcls["x"])
+    assert 1100 < n < 1900  # ~50% of 3000
+    # Recentring: [-L/2, L/2) -> [0, L).
+    got = np.stack([ptcls["x"], ptcls["y"], ptcls["z"]], axis=-1)
+    assert got.min() >= 0 and got.max() <= lbox
+    all_pos = np.vstack(list(store.values())) + lbox / 2
+    match = (np.abs(all_pos[None, :, :] -
+                    got[:, None, :]).max(axis=-1) < 1e-9).any(axis=1)
+    assert match.all()
+
+
+def test_abacus_particle_default_thinning_constant():
+    # The published database keeps 0.00025 of all particles out of the 3%
+    # A subsample (reference: scripts/parse_snapshot.py:272-273).
+    assert np.isclose(parse_snapshot.ABACUS_PARTICLE_FRACTION /
+                      parse_snapshot.ABACUS_A_SUBSAMPLE, 0.00025 / 0.03)
+
+
+@pytest.mark.parametrize("redshift", [0.3, 0.4])
+def test_abacus_tape_retrieval_hook(tmp_path, redshift):
+    lbox = 1000.0
+    # Disk root holds only the halo subsample + abacus.par ...
+    disk = tmp_path / "disk"
+    (disk / "info").mkdir(parents=True)
+    (disk / "info" / "abacus.par").write_text("BoxSize = 1000.\n")
+    # ... the field subsample is "on tape", extracted to the cwd-root.
+    tape_root = tmp_path / "extracted"
+    store = _fake_asdf_store(redshift, n_chunks=2, lbox=lbox)
+    retrieved = []
+
+    def tape_retrieve(member):
+        retrieved.append(member)
+        (tape_root / member).mkdir(parents=True, exist_ok=True)
+        return tape_root
+
+    def asdf_reader(path):
+        rel = "/".join(Path(path).parts[-4:])
+        root = Path(*Path(path).parts[:-4])
+        expected = tape_root if "field" in rel else disk
+        assert root == expected, (root, expected)
+        return store[rel]
+
+    ptcls = parse_snapshot.read_abacus_summit_particles(
+        disk, redshift, asdf_reader=asdf_reader, tape_retrieve=tape_retrieve,
+        n_chunks=2, seed=2, fraction=0.03, progress=False)  # keep all
+
+    assert retrieved == [f"halos/z{redshift:.3f}/field_rv_A"]
+    assert len(ptcls["x"]) == 2000
+    # The extracted tape payload is cleaned up afterwards.
+    assert not (tape_root / "halos").exists()
+
+
+def test_abacus_tape_requires_hook_or_simulation(tmp_path, monkeypatch):
+    with pytest.raises(RuntimeError, match="tape"):
+        parse_snapshot.read_abacus_summit_particles(
+            tmp_path, 0.3, asdf_reader=lambda p: np.zeros((1, 3)),
+            n_chunks=1, progress=False)
+
+
+def test_abacus_par_boxsize(tmp_path):
+    par = tmp_path / "abacus.par"
+    par.write_text("SimName = x\nBoxSize = 2000.  # Mpc/h\nCPD = 3\n")
+    assert parse_snapshot.read_abacus_par_boxsize(par) == 2000.0
+    par.write_text("SimName = x\n")
+    with pytest.raises(ValueError, match="BoxSize"):
+        parse_snapshot.read_abacus_par_boxsize(par)
+
+
+# ----------------------------------------------------------------------
+# snapshot.hdf5 assembly: halos and particles in separate invocations
+# ----------------------------------------------------------------------
+def test_append_snapshot_table_roundtrip(tmp_path):
+    path = tmp_path / "snapshot.hdf5"
+    bgc2_text, out_text, _ = _bgc2_fixture()
+
+    def fetch(relpath):
+        if "outbgc2" in relpath:
+            return bgc2_text.encode()
+        if relpath.startswith("halos"):
+            return out_text.encode()
+        return _gadget_bytes(
+            np.random.default_rng(0).uniform(0, 1050, (300, 3)))
+
+    halos = parse_snapshot.download_aemulus_alpha_halos(
+        "Box000", 1.0, fetch=fetch)
+    parse_snapshot.append_snapshot_table(path, "halos", halos,
+                                         attrs={"BoxSize": 1050.0})
+    ptcls = parse_snapshot.download_aemulus_alpha_particles(
+        "Box000", 1.0, fetch=fetch, subsample=0.5, n_chunks=2, seed=3,
+        progress=False)
+    parse_snapshot.append_snapshot_table(path, "particles", ptcls)
+
+    with h5py.File(path, "r") as fstream:
+        assert set(fstream) == {"halos", "particles"}
+        assert fstream["halos"].attrs["BoxSize"] == 1050.0
+        assert len(fstream["particles"][()]) == len(ptcls["x"])
+        # Appending particles did not clobber halos.
+        np.testing.assert_allclose(fstream["halos"][()]["halo_m200m"],
+                                   halos["halo_m200m"])
+
+
+def test_ingested_snapshot_loads_with_particles(tmp_path, monkeypatch):
+    # Full chain: bgc2 halos + particle download -> snapshot.hdf5 ->
+    # read_simulation_snapshot yields a HaloCatalog with a ParticleCatalog
+    # (the input the ds tabulation pipeline needs).
+    import tabulate_snapshot
+
+    monkeypatch.setenv("TABCORR_DATABASE", str(tmp_path))
+    import tabcorr_tpu as tt
+    path = (tt.database.directory("AemulusAlpha", 1.0, i_cosmo=0) /
+            "snapshot.hdf5")
+
+    bgc2_text, out_text, _ = _bgc2_fixture(n=40)
+
+    def fetch(relpath):
+        if "outbgc2" in relpath:
+            return bgc2_text.encode()
+        if relpath.startswith("halos"):
+            return out_text.encode()
+        i = int(relpath.rsplit(".", 1)[1])
+        return _gadget_bytes(
+            np.random.default_rng(i).uniform(0, 1050, (200, 3)))
+
+    halos = parse_snapshot.download_aemulus_alpha_halos(
+        "Box000", 1.0, fetch=fetch)
+    parse_snapshot.append_snapshot_table(path, "halos", halos,
+                                         attrs={"BoxSize": 1050.0})
+    ptcls = parse_snapshot.download_aemulus_alpha_particles(
+        "Box000", 1.0, fetch=fetch, subsample=1.0, n_chunks=2,
+        progress=False)
+    parse_snapshot.append_snapshot_table(path, "particles", ptcls)
+
+    halocat = tabulate_snapshot.read_simulation_snapshot(
+        "AemulusAlpha", 1.0, i_cosmo=0)
+    assert len(halocat.halo_table) == len(halos["halo_x"])
+    assert halocat.ptcl_catalog is not None
+    assert len(halocat.ptcl_catalog.positions) == 400
+    # Concentration derived from the bgc2 radius and the out-list rs.
+    np.testing.assert_allclose(
+        halocat.halo_table["halo_nfw_conc"],
+        halos["halo_r200m"] / halos["halo_rs"], rtol=1e-6)
