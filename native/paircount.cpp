@@ -118,7 +118,7 @@ void count_pairs(const double* pos1, const int32_t* labels1, int64_t n1,
                  const double* weights2, int64_t n2, int autocorr,
                  int n_labels_1, int n_labels_2, const double* r_edges_sq,
                  int n_r, double pi_max, int n_mu, const double* period,
-                 int kind, double* out) {
+                 int kind, int pair_weight, double* out) {
     double rmax[3];
     double r_max = std::sqrt(r_edges_sq[n_r]);
     if (kind == 2) {  // smu: isotropic search radius
@@ -199,7 +199,13 @@ void count_pairs(const double* pos1, const int32_t* labels1, int64_t n1,
                     sub = bin_of(rp_sq, r_edges_sq, n_r);
                     if (sub < 0) continue;
                 }
-                hist[(base1 + l2) * n_sub + sub] += grid.weight[j];
+                double w = grid.weight[j];
+                // pair_weight 1: accumulate w * ln(rp) for the exact
+                // annulus-averaged delta-sigma estimator (rp floored so a
+                // coincident pair stays finite).
+                if (pair_weight == 1)
+                    w *= 0.5 * std::log(std::max(rp_sq, 1e-20));
+                hist[(base1 + l2) * n_sub + sub] += w;
             }
         };
 
@@ -246,12 +252,12 @@ void tabcorr_count_pairs(const double* pos1, const int32_t* labels1,
                          int64_t n2, int autocorr, int n_labels_1,
                          int n_labels_2, const double* r_edges_sq, int n_r,
                          double pi_max, int n_mu, const double* period,
-                         int kind, double* out) {
+                         int kind, int pair_weight, double* out) {
     count_pairs(pos1, labels1, n1, pos2, labels2, weights2, n2, autocorr,
                 n_labels_1, n_labels_2, r_edges_sq, n_r, pi_max, n_mu,
-                period, kind, out);
+                period, kind, pair_weight, out);
 }
 
-int tabcorr_native_version() { return 1; }
+int tabcorr_native_version() { return 2; }
 
 }  // extern "C"

@@ -90,11 +90,15 @@ def spline_interpolate(x, xp, a, yp, extrapolate=False):
     return yp
 
 
-def spline_eval(x, xp, a, yp):
+def spline_eval(x, xp, a, yp, extrapolate=True):
     """Pure-JAX spline evaluation along the leading axis of ``yp``.
 
-    Clamps out-of-range ``x`` to the edge splines (extrapolation);
-    differentiable and vmap-able.  ``xp``/``a`` are device arrays.
+    Differentiable and vmap-able; ``xp``/``a`` are device arrays.  With
+    ``extrapolate=True`` out-of-range ``x`` clamps to the edge splines;
+    with ``extrapolate=False`` the result is NaN outside [xp[0], xp[-1]]
+    — the jit-able analog of the reference's out-of-range ValueError
+    (reference: tabcorr/interpolator.py:322-327), so an MCMC walker
+    outside the grid poisons its likelihood instead of silently clamping.
     """
     import jax.numpy as jnp
 
@@ -105,7 +109,11 @@ def spline_eval(x, xp, a, yp):
     # exponent is NaN, unlike numpy's integer-exponent fast path.
     one = jnp.ones((), dtype=yp.dtype)
     powers = jnp.stack([one, dx, dx * dx, dx * dx * dx])
-    return jnp.einsum("pj,j...,p->...", a[i], yp, powers)
+    out = jnp.einsum("pj,j...,p->...", a[i], yp, powers)
+    if not extrapolate:
+        in_range = (x >= xp[0]) & (x <= xp[-1])
+        out = jnp.where(in_range, out, jnp.nan)
+    return out
 
 
 class Interpolator:

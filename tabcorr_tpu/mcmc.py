@@ -241,7 +241,11 @@ def _build_tree(key, q, p, logp, grad, direction, depth, step_size,
     selected.
 
     Returns (q_l, p_l, logp_l, grad_l, q_r, p_r, logp_r, grad_r,
-    q_prop, logp_prop, log_sum_w, turning_or_divergent).
+    q_prop, logp_prop, log_sum_w, turning_or_divergent, alpha_sum,
+    n_alpha) where alpha_sum / n_alpha is the accumulated Metropolis
+    accept statistic min(1, exp(H0 - H)) over every leapfrog state in the
+    subtree (Hoffman & Gelman 2014, algorithm 6) — the quantity the
+    dual-averaging warmup adapts on.
     """
     if depth == 0:
         q_new, p_new, logp_new, grad_new = _leapfrog(
@@ -250,22 +254,25 @@ def _build_tree(key, q, p, logp, grad, direction, depth, step_size,
         h_new = -logp_new + 0.5 * jnp.sum(p_new**2)
         divergent = (h_new - h0) > 1000.0
         log_w = jnp.where(divergent, -jnp.inf, h0 - h_new)
+        alpha = jnp.minimum(1.0, jnp.exp(h0 - h_new))
+        alpha = jnp.where(jnp.isnan(alpha), 0.0, alpha)
         return (q_new, p_new, logp_new, grad_new,
                 q_new, p_new, logp_new, grad_new,
-                q_new, logp_new, log_w, divergent)
+                q_new, logp_new, log_w, divergent, alpha,
+                jnp.ones((), q.dtype))
 
     key_1, key_2, key_pick = jax.random.split(key, 3)
     first = _build_tree(key_1, q, p, logp, grad, direction, depth - 1,
                         step_size, log_prob_fn, h0)
     (q_l1, p_l1, lp_l1, g_l1, q_r1, p_r1, lp_r1, g_r1,
-     q_p1, lp_p1, lw_1, bad_1) = first
+     q_p1, lp_p1, lw_1, bad_1, a_1, n_1) = first
 
     # Continue from the outward end of the first half (direction-aware:
     # the tree grows outward from (q, p) in `direction`).
     second = _build_tree(key_2, q_r1, p_r1, lp_r1, g_r1, direction,
                          depth - 1, step_size, log_prob_fn, h0)
     (q_l2, p_l2, lp_l2, g_l2, q_r2, p_r2, lp_r2, g_r2,
-     q_p2, lp_p2, lw_2, bad_2) = second
+     q_p2, lp_p2, lw_2, bad_2, a_2, n_2) = second
 
     lw_2 = jnp.where(bad_1, -jnp.inf, lw_2)
     log_sum = jnp.logaddexp(lw_1, lw_2)
@@ -285,13 +292,15 @@ def _build_tree(key, q, p, logp, grad, direction, depth, step_size,
     turning = _uturn(q_minus, p_minus, q_plus, p_plus)
     bad = bad_1 | bad_2 | turning
     return (q_l1, p_l1, lp_l1, g_l1, q_r2, p_r2, lp_r2, g_r2,
-            q_prop, lp_prop, log_sum, bad)
+            q_prop, lp_prop, log_sum, bad, a_1 + a_2, n_1 + n_2)
 
 
 def nuts_step(key, q, log_prob_fn, step_size, max_depth=6):
     """One No-U-Turn step for a single chain (static max_depth doublings).
 
-    Returns (q_new, logp_new, depth_reached).
+    Returns (q_new, logp_new, depth_reached, accept_stat) where
+    accept_stat is the mean Metropolis statistic over the trajectory's
+    leapfrog states (Hoffman & Gelman 2014, algorithm 6).
     """
     key_mom, key_tree = jax.random.split(key)
     p = jax.random.normal(key_mom, q.shape, dtype=q.dtype)
@@ -303,7 +312,9 @@ def nuts_step(key, q, log_prob_fn, step_size, max_depth=6):
                  q_prop=q, lp_prop=logp,
                  log_sum_w=jnp.zeros((), q.dtype),
                  done=jnp.bool_(False),
-                 depth=jnp.zeros((), jnp.int32))
+                 depth=jnp.zeros((), jnp.int32),
+                 alpha_sum=jnp.zeros((), q.dtype),
+                 n_alpha=jnp.zeros((), q.dtype))
 
     keys = jax.random.split(key_tree, max_depth)
     for d in range(max_depth):
@@ -319,7 +330,7 @@ def nuts_step(key, q, log_prob_fn, step_size, max_depth=6):
         tree = _build_tree(key_sub, q_0, p_0, lp_0, g_0, direction, d,
                            step_size, log_prob_fn, h0)
         (t_ql, t_pl, t_lpl, t_gl, t_qr, t_pr, t_lpr, t_gr,
-         t_qp, t_lpp, t_lw, t_bad) = tree
+         t_qp, t_lpp, t_lw, t_bad, t_alpha, t_n) = tree
 
         # Multinomial proposal swap across the doubling.
         log_sum = jnp.logaddexp(state["log_sum_w"], t_lw)
@@ -348,9 +359,17 @@ def nuts_step(key, q, log_prob_fn, step_size, max_depth=6):
             log_sum_w=jnp.where(grow, log_sum, state["log_sum_w"]),
             done=state["done"] | t_bad | _uturn(q_l, p_l, q_r, p_r),
             depth=state["depth"] + jnp.where(grow, 1, 0),
+            # Accept statistic accumulates over every attempted doubling
+            # while the trajectory is alive (the final, tree-terminating
+            # doubling included, as in Hoffman & Gelman's algorithm 6).
+            alpha_sum=state["alpha_sum"] +
+            jnp.where(state["done"], 0.0, t_alpha),
+            n_alpha=state["n_alpha"] +
+            jnp.where(state["done"], 0.0, t_n),
         )
 
-    return state["q_prop"], state["lp_prop"], state["depth"]
+    accept_stat = state["alpha_sum"] / jnp.maximum(state["n_alpha"], 1.0)
+    return state["q_prop"], state["lp_prop"], state["depth"], accept_stat
 
 
 @partial(jax.jit, static_argnames=("log_prob_fn", "n_warmup", "n_steps",
@@ -364,27 +383,24 @@ def run_nuts(key, log_prob_fn, positions0, n_warmup, n_steps,
     """
     gamma, t0, kappa = 0.05, 10.0, 0.75
     mu = jnp.log(10.0 * initial_step_size)
-    max_len = float(2 ** max_depth)
 
     def multi_step(key_step, positions, step_size):
         keys = jax.random.split(key_step, positions.shape[0])
-        q, lp, depth = jax.vmap(
+        q, lp, depth, accept = jax.vmap(
             lambda k, x: nuts_step(k, x, log_prob_fn, step_size,
                                    max_depth))(keys, positions)
-        return q, lp, depth
+        return q, lp, depth, accept
 
     def warmup_body(carry, key_step):
         positions, log_eps, log_eps_bar, h_bar, t = carry
-        positions, _, depth = multi_step(key_step, positions,
-                                         jnp.exp(log_eps))
-        # Proxy acceptance statistic: fraction of the maximum tree depth
-        # reached (too-large steps terminate trees early via divergence).
-        accept_proxy = jnp.clip(
-            (2.0 ** depth.astype(jnp.float32)).mean() / max_len * 2.0,
-            0.0, 1.0)
+        positions, _, _, accept = multi_step(key_step, positions,
+                                             jnp.exp(log_eps))
+        # Dual averaging on the accumulated Metropolis accept statistic
+        # (mean alpha over all leapfrog states; Hoffman & Gelman 2014,
+        # algorithm 6), averaged across chains.
         t = t + 1.0
         h_bar = ((1.0 - 1.0 / (t + t0)) * h_bar +
-                 (target_accept - accept_proxy) / (t + t0))
+                 (target_accept - accept.mean()) / (t + t0))
         log_eps = mu - jnp.sqrt(t) / gamma * h_bar
         eta = t ** -kappa
         log_eps_bar = eta * log_eps + (1.0 - eta) * log_eps_bar
@@ -398,7 +414,8 @@ def run_nuts(key, log_prob_fn, positions0, n_warmup, n_steps,
     step_size = jnp.exp(log_eps_bar)
 
     def body(positions, key_step):
-        positions, lp, depth = multi_step(key_step, positions, step_size)
+        positions, lp, depth, _ = multi_step(key_step, positions,
+                                             step_size)
         return positions, (positions, lp, depth.astype(jnp.float32))
 
     _, (chain, chain_lp, depths) = jax.lax.scan(
@@ -428,6 +445,10 @@ def make_gaussian_logpost(predict_fn, param_names, base_params, data,
         logp = -0.5 * resid @ inv_cov @ resid
         if ngal_data is not None:
             logp = logp - 0.5 * ((ngal - ngal_data) / ngal_sigma) ** 2
+        # Out-of-grid Interpolator predictions are NaN (extrapolate=False,
+        # the reference's reject semantics); such walkers get -inf, not a
+        # plausible-looking clamped likelihood.
+        logp = jnp.where(jnp.isfinite(logp), logp, -jnp.inf)
         if bounds is not None:
             inside = jnp.bool_(True)
             for i, name in enumerate(names):

@@ -66,6 +66,7 @@ def load_library():
         ctypes.c_int,                      # n_mu
         ctypes.POINTER(ctypes.c_double),   # period
         ctypes.c_int,                      # kind
+        ctypes.c_int,                      # pair_weight (0 unit, 1 log_rp)
         ctypes.POINTER(ctypes.c_double),   # out
     ]
     lib.tabcorr_native_version.restype = ctypes.c_int
@@ -87,7 +88,7 @@ _KINDS = {"rppi": 0, "proj": 1, "smu": 2}
 def labeled_pair_count(pos1, labels1, n_labels_1, pos2=None, labels2=None,
                        n_labels_2=None, weights2=None, period=1.0,
                        kind="rppi", r_edges=None, pi_max=None,
-                       mu_edges=None):
+                       mu_edges=None, pair_weight="unit"):
     """Native twin of :func:`tabcorr_tpu.ops.paircount.labeled_pair_count`."""
     lib = load_library()
     period = np.ascontiguousarray(
@@ -139,6 +140,7 @@ def labeled_pair_count(pos1, labels1, n_labels_1, pos2=None, labels2=None,
         ptr(edges_sq, ctypes.c_double), n_r,
         float(pi_max if pi_max is not None else 0.0), n_mu,
         ptr(period, ctypes.c_double), _KINDS[kind],
+        {"unit": 0, "log_rp": 1}[pair_weight],
         ptr(out, ctypes.c_double))
 
     if kind == "smu":

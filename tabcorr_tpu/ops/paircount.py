@@ -76,7 +76,7 @@ def _min_image(delta, period):
 
 def _tile_geometry(p1, l1, i1, p2, l2, i2, w2, period, r_edges_sq, pi_max,
                    mu_edges, kind, n_r, n_mu, exclude_self):
-    """Per-tile pair geometry: (sub_bin (C,C) int, valid (C,C) bool)."""
+    """Per-tile pair geometry: (sub_bin, valid, rp_sq), each (C, C)."""
     d = p1[:, None, :] - p2[None, :, :]
     d = _min_image(d, period)
     rp_sq = d[..., 0] ** 2 + d[..., 1] ** 2
@@ -103,14 +103,14 @@ def _tile_geometry(p1, l1, i1, p2, l2, i2, w2, period, r_edges_sq, pi_max,
             jnp.searchsorted(mu_edges, mu, side="right") - 1, 0, n_mu - 1)
         valid &= (s_bin >= 0) & (s_bin < n_r) & (s > 0)
         sub_bin = s_bin * n_mu + mu_bin
-    return sub_bin, valid
+    return sub_bin, valid, rp_sq
 
 
 def _sweep_impl(hist, pos1, labels1, idx1, pos2, labels2, idx2,
                 weights2, period, r_edges_sq, pi_max, mu_edges,
                 j_start, j_count,
                 kind, n_labels_1, n_labels_2, n_r, n_mu,
-                exclude_self, strategy="matmul"):
+                exclude_self, strategy="matmul", pair_weight="unit"):
     """Accumulate one i-chunk against all j-chunks into ``hist``.
 
     Dispatched once per i-chunk from the host so no single device kernel
@@ -133,21 +133,33 @@ def _sweep_impl(hist, pos1, labels1, idx1, pos2, labels2, idx2,
     n2_chunks = pos2.shape[0] // CHUNK
     dtype = weights2.dtype
 
-    def tile_scatter(l1, l2, w2, sub_bin, valid, hist_inner):
+    def pair_weights(w2, rp_sq, valid):
+        """Per-pair weight matrix: w2, optionally times ln(rp).
+
+        'log_rp' supports the exact annulus-averaged delta-sigma
+        estimator (Sum m ln rp per bin); rp_sq is floored to keep an
+        exactly coincident pair finite (it can only land in the unused
+        innermost cylinder bin anyway).
+        """
+        w = jnp.broadcast_to(w2[None, :], valid.shape)
+        if pair_weight == "log_rp":
+            w = w * 0.5 * jnp.log(jnp.maximum(rp_sq, 1e-20))
+        return jnp.where(valid, w, jnp.zeros((), dtype))
+
+    def tile_scatter(l1, l2, w2, sub_bin, valid, rp_sq, hist_inner):
         flat = ((l1[:, None] * n_labels_2 + l2[None, :]) * n_hist_r +
                 sub_bin)
         flat = jnp.where(valid, flat, n_hist)
-        w = jnp.broadcast_to(w2[None, :], flat.shape)
-        w = jnp.where(valid, w, 0.0)
+        w = pair_weights(w2, rp_sq, valid)
         return hist_inner.at[flat.ravel()].add(w.ravel())
 
-    def tile_matmul(l1, l2, w2, sub_bin, valid, hist_inner):
+    def tile_matmul(l1, l2, w2, sub_bin, valid, rp_sq, hist_inner):
         # One-hot label matrices; invalid labels (< 0) one-hot to zero.
         oh1 = (l1[:, None] ==
                jnp.arange(n_labels_1)[None, :]).astype(dtype)
         oh2 = (l2[:, None] ==
                jnp.arange(n_labels_2)[None, :]).astype(dtype)
-        wvalid = jnp.where(valid, w2[None, :], jnp.zeros((), dtype))
+        wvalid = pair_weights(w2, rp_sq, valid)
 
         slab = hist_inner[:n_hist].reshape(n_labels_1, n_labels_2,
                                            n_hist_r)
@@ -190,28 +202,30 @@ def _sweep_impl(hist, pos1, labels1, idx1, pos2, labels2, idx2,
         i2 = jax.lax.dynamic_slice(idx2, (j_chunk * CHUNK,), (CHUNK,))
         w2 = jax.lax.dynamic_slice(weights2, (j_chunk * CHUNK,),
                                    (CHUNK,))
-        sub_bin, valid = _tile_geometry(
+        sub_bin, valid, rp_sq = _tile_geometry(
             pos1, labels1, idx1, p2, l2, i2, w2, period, r_edges_sq,
             pi_max, mu_edges, kind, n_r, n_mu, exclude_self)
-        return tile_fn(labels1, l2, w2, sub_bin, valid, hist_inner)
+        return tile_fn(labels1, l2, w2, sub_bin, valid, rp_sq, hist_inner)
 
     return jax.lax.fori_loop(0, j_count, j_body, hist)
 
 
 _sweep_i_chunk = partial(jax.jit, static_argnames=(
     "kind", "n_labels_1", "n_labels_2", "n_r", "n_mu", "exclude_self",
-    "strategy"),
+    "strategy", "pair_weight"),
     donate_argnums=(0,))(_sweep_impl)
 
 
 @partial(jax.jit, static_argnames=("mesh", "kind", "n_labels_1",
                                    "n_labels_2", "n_r", "n_mu",
-                                   "exclude_self", "strategy"),
+                                   "exclude_self", "strategy",
+                                   "pair_weight"),
          donate_argnums=(0,))
 def _sweep_i_chunk_sharded(hist, pos1, labels1, idx1, pos2, labels2, idx2,
                            weights2, period, r_edges_sq, pi_max, mu_edges,
                            mesh, kind, n_labels_1, n_labels_2, n_r, n_mu,
-                           exclude_self, strategy="matmul"):
+                           exclude_self, strategy="matmul",
+                           pair_weight="unit"):
     """Mesh-sharded sweep: the j-tracer set is split across devices.
 
     Each device accumulates its local partial histogram over its shard of
@@ -234,7 +248,8 @@ def _sweep_i_chunk_sharded(hist, pos1, labels1, idx1, pos2, labels2, idx2,
         partial_hist = _sweep_impl(
             partial_hist, p1, l1, i1, p2, l2, i2, w2, period, r_edges_sq,
             pi_max, mu_edges, 0, p2.shape[0] // CHUNK, kind, n_labels_1,
-            n_labels_2, n_r, n_mu, exclude_self, strategy=strategy)
+            n_labels_2, n_r, n_mu, exclude_self, strategy=strategy,
+            pair_weight=pair_weight)
         return jax.lax.psum(partial_hist, axis)
 
     partial_hist = shard_map(
@@ -285,7 +300,7 @@ def labeled_pair_count(pos1, labels1, n_labels_1, pos2=None, labels2=None,
                        n_labels_2=None, weights2=None, period=1.0,
                        kind="rppi", r_edges=None, pi_max=None,
                        mu_edges=None, progress=False, mesh=None,
-                       strategy="auto", sort=True):
+                       strategy="auto", sort=True, pair_weight="unit"):
     """Count pairs between labeled tracer sets (host-facing wrapper).
 
     Parameters
@@ -310,6 +325,10 @@ def labeled_pair_count(pos1, labels1, n_labels_1, pos2=None, labels2=None,
         window of j-chunks within the line-of-sight cut (pi_max for
         'rppi', s_max for 'smu') — the TPU analog of a cell list along
         the z axis.  No effect on results.  Default is True.
+    pair_weight : str, optional
+        'unit' (default) accumulates weights2 per pair; 'log_rp'
+        accumulates weights2 * ln(rp) per pair (for the exact
+        annulus-averaged delta-sigma estimator).
 
     Returns
     -------
@@ -347,11 +366,18 @@ def labeled_pair_count(pos1, labels1, n_labels_1, pos2=None, labels2=None,
                    if labels2 is None else
                    np.asarray(labels2, dtype=np.int32))
         n_labels_2 = n_labels_2 or int(labels2.max()) + 1
+    # Weights are normalized to order unity on device and rescaled in
+    # float64 on the host: accumulating raw large weights (e.g. particle
+    # masses ~1e9) in the float32 per-chunk partials rounds each add to
+    # the partial's ulp, a systematic ~1e-4 bias.
+    weight_scale = 1.0
     if weights2 is not None:
-        weights2 = np.asarray(weights2, dtype=np.float32)
+        weights2 = np.asarray(weights2, dtype=np.float64)
         if weights2.ndim == 0:
             weights2 = np.full(len(pos2) if not auto else len(pos1),
-                               weights2, dtype=np.float32)
+                               weights2, dtype=np.float64)
+        weight_scale = float(np.max(np.abs(weights2))) or 1.0
+        weights2 = (weights2 / weight_scale).astype(np.float32)
 
     if use_sort:
         order1 = np.argsort(pos1[:, 2], kind="stable")
@@ -431,20 +457,20 @@ def labeled_pair_count(pos1, labels1, n_labels_1, pos2=None, labels2=None,
             hist = _sweep_i_chunk(
                 *chunk_args, j_start, j_count, kind, int(n_labels_1),
                 int(n_labels_2), n_r, n_mu, exclude_self=auto,
-                strategy=strategy)
+                strategy=strategy, pair_weight=pair_weight)
         else:
             hist = _sweep_i_chunk_sharded(
                 *chunk_args, mesh=mesh, kind=kind,
                 n_labels_1=int(n_labels_1), n_labels_2=int(n_labels_2),
                 n_r=n_r, n_mu=n_mu, exclude_self=auto,
-                strategy=strategy)
+                strategy=strategy, pair_weight=pair_weight)
         if pending is not None:
             host_hist += np.asarray(pending, dtype=np.float64)
         pending = hist
     if pending is not None:
         host_hist += np.asarray(pending, dtype=np.float64)
 
-    counts = host_hist[:n_hist]
+    counts = host_hist[:n_hist] * weight_scale
     if kind == "smu":
         return counts.reshape(n_labels_1, n_labels_2, n_r, n_mu)
     return counts.reshape(n_labels_1, n_labels_2, n_r)
@@ -519,27 +545,74 @@ def s_mu_tpcf(sample1, s_bins, mu_bins, sample2=None, period=None,
     return counts[0, 0] / n_exp[:, None] - 1
 
 
+def delta_sigma_from_mass_profiles(rp_bins, mass_in, mass_annulus,
+                                   log_mass_annulus, n_gal):
+    """Exact annulus-averaged delta-sigma from per-annulus mass sums.
+
+    With Sigma_bar(<r) = M(<r) / (pi r^2 N) and Sigma(r) r dr = dM/(2 pi N),
+    the area-weighted mean of delta-sigma(r) = Sigma_bar(<r) - Sigma(r)
+    over the annulus [r1, r2] has the closed form
+
+        <ds>_i = 2 / (pi (r2^2 - r1^2) N) *
+                 [ ln(r2/r1) M(<r1) + S0_i ln(r2) - SL_i - S0_i / 2 ]
+
+    where S0_i is the pair mass in the annulus and SL_i = Sum m ln(rp)
+    over pairs in the annulus — every term is an exact pair-count sum, no
+    midpoint evaluation or profile interpolation.  Leading axes of the
+    mass arrays broadcast (e.g. one profile per halo bin).
+    """
+    r1, r2 = rp_bins[:-1], rp_bins[1:]
+    bracket = (np.log(r2 / r1) * mass_in + mass_annulus * np.log(r2) -
+               log_mass_annulus - 0.5 * mass_annulus)
+    return 2.0 * bracket / (np.pi * (r2**2 - r1**2) * n_gal)
+
+
 def mean_delta_sigma(galaxies, particles, particle_masses, rp_bins,
-                     period=None):
+                     period=None, estimator="annulus_mean"):
     """Mean excess surface density delta-sigma(rp) [h Msun / Mpc^2].
 
-    Galaxy-particle cross pair mass sums in projected annuli (full periodic
-    z column), with the standard estimator
+    Galaxy-particle cross pair mass sums in projected annuli (full
+    periodic z column).  Functional replacement for halotools'
+    ``mean_delta_sigma`` (used by the reference at
+    scripts/tabulate_snapshot.py:235-237).
 
-        delta_sigma_i = sigma_bar(< r_mid_i) - sigma(annulus_i),
+    Estimators:
 
-    where r_mid is the geometric bin center, sigma_bar the mean surface
-    density of the stacked cylinder and sigma the annulus surface density.
-    Functional replacement for halotools' ``mean_delta_sigma``
-    (used by the reference at scripts/tabulate_snapshot.py:235-237).
+    * ``'annulus_mean'`` (default): the exact area-weighted average of
+      delta-sigma(r) over each annulus, evaluated in closed form from
+      pair-count sums (see :func:`delta_sigma_from_mass_profiles`) —
+      no midpoint choice, no interpolation.
+    * ``'midpoint'``: sigma_bar(< r_mid) - sigma(annulus) at the
+      geometric bin center r_mid = sqrt(r1 r2).
+
+    Both agree to O((dr/r)^2) for smooth profiles.
     """
     period = np.broadcast_to(np.asarray(period, dtype=np.float64), (3,))
     rp_bins = np.asarray(rp_bins, dtype=np.float64)
-    rp_mids = np.sqrt(rp_bins[:-1] * rp_bins[1:])
     particle_masses = np.asarray(particle_masses, dtype=np.float64)
     if particle_masses.ndim == 0:
         particle_masses = np.full(len(particles), particle_masses)
+    n_gal = len(galaxies)
+    labels = np.zeros(n_gal, dtype=np.int32)
 
+    if estimator == "annulus_mean":
+        edges = np.concatenate([[0.0], rp_bins])
+        mass = labeled_pair_count(
+            galaxies, labels, 1, pos2=particles,
+            weights2=particle_masses, period=period, kind="proj",
+            r_edges=edges)[0, 0]
+        log_mass = labeled_pair_count(
+            galaxies, labels, 1, pos2=particles,
+            weights2=particle_masses, period=period, kind="proj",
+            r_edges=edges, pair_weight="log_rp")[0, 0]
+        mass_in = np.cumsum(mass)[:-1]  # M(< r1) per annulus
+        return delta_sigma_from_mass_profiles(
+            rp_bins, mass_in, mass[1:], log_mass[1:], n_gal)
+
+    if estimator != "midpoint":
+        raise ValueError(f"Unknown estimator '{estimator}'.")
+
+    rp_mids = np.sqrt(rp_bins[:-1] * rp_bins[1:])
     # One histogram over the combined edge list [0, mids+edges deduped]:
     # cumulative sums then give cylinder masses at every radius.  Edges
     # are deduplicated (a geometric mid can coincide bitwise with a bin
@@ -547,15 +620,13 @@ def mean_delta_sigma(galaxies, particles, particle_masses, rp_bins,
     # float dict key.
     all_edges = np.unique(np.concatenate([[0.0], rp_bins, rp_mids]))
     counts = labeled_pair_count(
-        galaxies, np.zeros(len(galaxies), dtype=np.int32), 1,
-        pos2=particles, weights2=particle_masses, period=period,
-        kind="proj", r_edges=all_edges)[0, 0]
+        galaxies, labels, 1, pos2=particles, weights2=particle_masses,
+        period=period, kind="proj", r_edges=all_edges)[0, 0]
     cum_mass = np.concatenate([[0.0], np.cumsum(counts)])
 
     def mass_at(r):
         return cum_mass[np.searchsorted(all_edges, r)]
 
-    n_gal = len(galaxies)
     sigma_bar = mass_at(rp_mids) / (np.pi * rp_mids**2 * n_gal)
     annulus_mass = mass_at(rp_bins[1:]) - mass_at(rp_bins[:-1])
     sigma = annulus_mass / (np.pi * np.diff(rp_bins**2) * n_gal)

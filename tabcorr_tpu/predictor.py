@@ -54,17 +54,70 @@ def _tabcorr_predict_fn(halotab, model, n_gauss, dtype, separate_gal_type):
     return one
 
 
+def _pad_table_data(table, n_cen, n_sat):
+    """Pad a TableData to (n_cen centrals + n_sat satellites) bins.
+
+    Bins are ordered [centrals..., satellites...]; zero rows are inserted
+    after each block.  Padded bins carry quad_weight = 0 (mean occupation
+    exactly 0), n_h = 0 and zero matrix rows/columns, so they contribute
+    nothing to any contraction — this is what lets Interpolator nodes with
+    different halo binnings share one stacked jitted pipeline (the
+    reference's heterogeneous-binning support, interpolator.py:63-70).
+    """
+    import numpy as np
+
+    from .ops.predict import TableData
+
+    n_bins = table.n_h.shape[0]
+    old_cen = table.n_centrals
+    pad_c = n_cen - old_cen
+    pad_s = n_sat - (n_bins - old_cen)
+    if pad_c == 0 and pad_s == 0:
+        return table
+    if pad_c < 0 or pad_s < 0:
+        raise ValueError("Cannot pad to fewer bins.")
+
+    def pad_axis(array, axis):
+        array = np.asarray(array)
+        index = [slice(None)] * array.ndim
+        index[axis] = slice(0, old_cen)
+        cen = array[tuple(index)]
+        index[axis] = slice(old_cen, None)
+        sat = array[tuple(index)]
+        pad_cen = [(0, 0)] * array.ndim
+        pad_cen[axis] = (0, pad_c)
+        pad_sat = [(0, 0)] * array.ndim
+        pad_sat[axis] = (0, pad_s)
+        return np.concatenate([np.pad(cen, pad_cen), np.pad(sat, pad_sat)],
+                              axis=axis)
+
+    dense = pad_axis(table.tpcf_dense, 1)
+    if table.mode == "auto":
+        dense = pad_axis(dense, 2)
+    return TableData(
+        tpcf_dense=jnp.asarray(dense, dtype=table.tpcf_dense.dtype),
+        n_h=jnp.asarray(pad_axis(table.n_h, 0), dtype=table.n_h.dtype),
+        log_prim_quad=jnp.asarray(pad_axis(table.log_prim_quad, 0),
+                                  dtype=table.log_prim_quad.dtype),
+        quad_weight=jnp.asarray(pad_axis(table.quad_weight, 0),
+                                dtype=table.quad_weight.dtype),
+        sec_perc=jnp.asarray(pad_axis(table.sec_perc, 0),
+                             dtype=table.sec_perc.dtype),
+        mode=table.mode, tpcf_shape=table.tpcf_shape, n_centrals=n_cen)
+
+
 def _interpolator_predict_fn(interp, model, n_gauss, dtype,
-                             separate_gal_type):
+                             separate_gal_type, extrapolate):
     # Stack the per-node tables; grid order = the sorted param_dict_table
     # (reference: interpolator.py:59-61,188-194).
     order = [int(i) for i in interp.param_dict_table["tabcorr_index"]]
     tables = [interp.tabcorr_list[i].table_data(n_gauss=n_gauss, dtype=dtype)
               for i in order]
-    n_centrals = {t.n_centrals for t in tables}
-    if len(n_centrals) != 1 or len({t.n_bins for t in tables}) != 1:
-        raise ValueError("Interpolator nodes must share a halo binning for "
-                         "the jitted path.")
+    # Heterogeneous node binnings: zero-pad every node to the widest
+    # (centrals, satellites) block sizes so the tables stack.
+    n_cen = max(t.n_centrals for t in tables)
+    n_sat = max(t.n_h.shape[0] - t.n_centrals for t in tables)
+    tables = [_pad_table_data(t, n_cen, n_sat) for t in tables]
     stacked = jax.tree.map(lambda *xs: jnp.stack(xs), *tables)
 
     # Unique halo binnings (usually one): occupations computed once per
@@ -95,32 +148,36 @@ def _interpolator_predict_fn(interp, model, n_gauss, dtype,
             out_ngal, out_xi = {}, {}
             for key, val in ngal_nodes.items():
                 out_ngal[key] = _spline_over_grid(
-                    params, keys, xp_dev, a_dev, grid_shape, val)
+                    params, keys, xp_dev, a_dev, grid_shape, val,
+                    extrapolate)
             for key, val in xi_nodes.items():
                 out_xi[key] = _spline_over_grid(
-                    params, keys, xp_dev, a_dev, grid_shape, val)
+                    params, keys, xp_dev, a_dev, grid_shape, val,
+                    extrapolate)
             return out_ngal, out_xi
 
         ngal_nodes, xi_nodes = jax.vmap(
             predict_from_occupation)(stacked, occ_nodes)
         ngal = _spline_over_grid(params, keys, xp_dev, a_dev, grid_shape,
-                                 ngal_nodes)
+                                 ngal_nodes, extrapolate)
         xi = _spline_over_grid(params, keys, xp_dev, a_dev, grid_shape,
-                               xi_nodes)
+                               xi_nodes, extrapolate)
         return ngal, xi.reshape(tables[0].tpcf_shape)
 
     return one
 
 
-def _spline_over_grid(params, keys, xp_dev, a_dev, grid_shape, values):
+def _spline_over_grid(params, keys, xp_dev, a_dev, grid_shape, values,
+                      extrapolate=True):
     """Reduce the leading grid axes of ``values`` one spline pass per key."""
     y = values.reshape(grid_shape + values.shape[1:])
     for key, xp, a in zip(keys, xp_dev, a_dev):
-        y = spline_eval(params[key], xp, a, y)
+        y = spline_eval(params[key], xp, a, y, extrapolate=extrapolate)
     return y
 
 
-def _interpolator_fused_predict_fn(interp, model, n_gauss, dtype):
+def _interpolator_fused_predict_fn(interp, model, n_gauss, dtype,
+                                   extrapolate):
     """Fused-engine Interpolator path (single shared halo binning).
 
     All grid nodes' dense matrices stack along the statistic axis, so the
@@ -171,7 +228,7 @@ def _interpolator_fused_predict_fn(interp, model, n_gauss, dtype):
 
         def spline_one(p, xi_n):
             return _spline_over_grid(p, keys, xp_dev, a_dev, grid_shape,
-                                     xi_n)
+                                     xi_n, extrapolate)
 
         xi = jax.vmap(spline_one)(params_padded, xi_nodes)
         xi = xi[:batch].reshape((batch,) + tuple(base.tpcf_shape))
@@ -184,7 +241,7 @@ def _interpolator_fused_predict_fn(interp, model, n_gauss, dtype):
 
 def make_predictor(obj, model, n_gauss=10, dtype=jnp.float32,
                    separate_gal_type=False, vectorized=True, jit=True,
-                   engine="auto"):
+                   engine="auto", extrapolate=False):
     """Build a batched prediction function for a tabulation or interpolator.
 
     Parameters
@@ -209,13 +266,23 @@ def make_predictor(obj, model, n_gauss=10, dtype=jnp.float32,
         'xla', 'fused' (Pallas VMEM-resident contraction; TabCorr-only,
         vectorized, no separate_gal_type) or 'auto' (fused on TPU when
         eligible). Default 'auto'.
+    extrapolate : bool, optional
+        Interpolator grids only.  False (default, matching the reference's
+        out-of-range ValueError, tabcorr/interpolator.py:322-327) returns
+        NaN for parameters outside the grid — pair with a log posterior
+        that maps non-finite predictions to -inf.  True clamps to the
+        edge splines.
 
     Returns
     -------
     callable
         ``f(params) -> (ngal, xi)``.
     """
+    # Pallas/Mosaic has no float64 matmul: the fused engine is only
+    # eligible for the f32/bf16 fast path.
     fused_eligible = (vectorized and not separate_gal_type and
+                      jnp.dtype(dtype) in (jnp.dtype(jnp.float32),
+                                           jnp.dtype(jnp.bfloat16)) and
                       (isinstance(obj, TabCorr) or
                        (isinstance(obj, Interpolator) and
                         len(obj.unique_gal_type_index) == 1)))
@@ -226,18 +293,19 @@ def make_predictor(obj, model, n_gauss=10, dtype=jnp.float32,
         if not fused_eligible:
             raise ValueError(
                 "engine='fused' requires vectorized=True, "
-                "separate_gal_type=False and a TabCorr (or an Interpolator "
-                "whose nodes share one halo binning).")
+                "separate_gal_type=False, a float32/bfloat16 dtype and a "
+                "TabCorr (or an Interpolator whose nodes share one halo "
+                "binning).")
         if isinstance(obj, Interpolator):
             return _interpolator_fused_predict_fn(obj, model, n_gauss,
-                                                  dtype)
+                                                  dtype, extrapolate)
         from .ops.fused import make_fused_predictor
         table = obj.table_data(n_gauss=n_gauss, dtype=dtype)
         return make_fused_predictor(table, *occupation_functions(model))
 
     if isinstance(obj, Interpolator):
         one = _interpolator_predict_fn(obj, model, n_gauss, dtype,
-                                       separate_gal_type)
+                                       separate_gal_type, extrapolate)
     elif isinstance(obj, TabCorr):
         one = _tabcorr_predict_fn(obj, model, n_gauss, dtype,
                                   separate_gal_type)

@@ -34,7 +34,8 @@ class TabCorr:
 
     def __init__(self):
         self.attrs = {}
-        self.gal_type = None
+        self._gal_type = None
+        self._gal_type_version = 0
         self._tpcf_matrix = None
         self._matrix_version = 0
         self.tpcf_args = ()
@@ -43,18 +44,28 @@ class TabCorr:
         self._quad_cache = {}
         self._table_data_cache = {}
 
+    # Version counters key the derived-data caches: unlike id(), they can
+    # never alias a new array with a garbage-collected one.  In-place
+    # mutation still requires reassigning through the setter.
     @property
     def tpcf_matrix(self):
         return self._tpcf_matrix
 
     @tpcf_matrix.setter
     def tpcf_matrix(self, value):
-        # Version counter keys the derived-data caches: unlike id(), it can
-        # never alias a new array with a garbage-collected one.  In-place
-        # mutation of the array still requires bumping the version (assign
-        # through this setter).
         self._tpcf_matrix = value
         self._matrix_version += 1
+
+    @property
+    def gal_type(self):
+        return self._gal_type
+
+    @gal_type.setter
+    def gal_type(self, value):
+        self._gal_type = value
+        self._gal_type_version += 1
+        # Quadrature nodes/weights derive from gal_type columns only.
+        self._quad_cache = {}
 
     # ------------------------------------------------------------------
     @classmethod
@@ -188,7 +199,8 @@ class TabCorr:
         that mutate the array *in place* must reassign ``tpcf_matrix`` (or
         clear ``_table_data_cache``) themselves.
         """
-        key = (n_gauss, jnp.dtype(dtype).name, self._matrix_version)
+        key = (n_gauss, jnp.dtype(dtype).name, self._matrix_version,
+               self._gal_type_version)
         if key not in self._table_data_cache:
             log_quad, weight = self._quadrature(n_gauss)
             self._table_data_cache[key] = TableData(

@@ -56,17 +56,42 @@ def distribution_index(x_min, x_max, x_mean):
     """Effective power-law index reproducing a bin's mean
     (reference: tabcorr/tabcorr.py:740-767).
 
-    Finds n such that p(x) ~ x^n on [x_min, x_max] has mean x_mean, via
-    cubic inverse interpolation on n in [-10, 10]; clamped at the ends.
+    Finds n such that p(x) ~ x^n on [x_min, x_max] has mean x_mean: a
+    cubic inverse interpolation on n in [-10, 10] (the reference's
+    method) seeds a Newton refinement, so the fitted measure reproduces
+    the bin's mean halo mass to machine precision — which makes the
+    mean-occupation quadrature exact for occupations linear in mass,
+    and the wp/ds number densities binning-independent at the 1e-4
+    cross-check level (reference: tests/test_database.py:29-31).
     """
     x_max = x_max / x_min
     x_mean = x_mean / x_min
+
+    def mean_of(n):
+        return ((n + 1) / (n + 2) *
+                (x_max ** (n + 2) - 1) / (x_max ** (n + 1) - 1))
+
     n_grid = np.linspace(-10, 10, 100)
-    mean_grid = ((n_grid + 1) / (n_grid + 2) *
-                 (x_max ** (n_grid + 2) - 1) / (x_max ** (n_grid + 1) - 1))
-    return float(interp1d(mean_grid, n_grid, kind="cubic",
-                          fill_value=(-10.0, 10.0), bounds_error=False)(
-                              x_mean))
+    n = float(interp1d(mean_of(n_grid), n_grid, kind="cubic",
+                       fill_value=(-10.0, 10.0), bounds_error=False)(
+                           x_mean))
+    if not -10.0 < n < 10.0:
+        return float(np.clip(n, -10.0, 10.0))
+    # Newton with numeric derivative; mean_of is smooth and monotone in n
+    # (singularities at n = -1, -2 are removable and never hit exactly).
+    for _ in range(8):
+        f = mean_of(n) - x_mean
+        h = 1e-6
+        df = (mean_of(n + h) - mean_of(n - h)) / (2 * h)
+        if not np.isfinite(f) or not np.isfinite(df) or df == 0:
+            break
+        step = f / df
+        n_new = float(np.clip(n - step, -10.0, 10.0))
+        if abs(n_new - n) < 1e-12:
+            n = n_new
+            break
+        n = n_new
+    return n
 
 
 def sort_into_bins(log_prim_haloprop, log_prim_haloprop_bins,
@@ -195,6 +220,7 @@ class _FastPath:
             self.ptcl_pos = np.asarray(tpcf_args[0], dtype=np.float64)
             self.ptcl_mass = tpcf_args[1]
             self.rp_bins = np.asarray(tpcf_args[2], dtype=np.float64)
+            self.estimator = tpcf_kwargs.get("estimator", "annulus_mean")
             self.shape = (len(self.rp_bins) - 1,)
         else:
             raise ValueError(tpcf_name)
@@ -243,15 +269,34 @@ class _FastPath:
         masses = np.asarray(self.ptcl_mass, dtype=np.float64)
         if masses.ndim == 0:
             masses = np.full(len(self.ptcl_pos), masses)
+        extra = (dict(progress=progress, mesh=mesh)
+                 if self._count_kwargs is None else self._count_kwargs)
 
-        # Deduplicated edge list (a geometric mid can coincide bitwise
-        # with a bin edge); cylinder masses looked up by searchsorted
-        # index, never by float dict key.
+        if self.estimator == "annulus_mean":
+            from .ops.paircount import delta_sigma_from_mass_profiles
+            edges = np.concatenate([[0.0], self.rp_bins])
+            mass = self._count(
+                pos, labels, n_bins, pos2=self.ptcl_pos, weights2=masses,
+                period=period, kind="proj", r_edges=edges,
+                **extra)[:, 0, :]
+            log_mass = self._count(
+                pos, labels, n_bins, pos2=self.ptcl_pos, weights2=masses,
+                period=period, kind="proj", r_edges=edges,
+                pair_weight="log_rp", **extra)[:, 0, :]
+            mass_in = np.cumsum(mass, axis=-1)[:, :-1]
+            with np.errstate(invalid="ignore", divide="ignore"):
+                ds = delta_sigma_from_mass_profiles(
+                    self.rp_bins, mass_in, mass[:, 1:], log_mass[:, 1:],
+                    n_tracers[:, None])
+            ds[n_tracers == 0] = 0.0
+            return ds.T
+
+        # 'midpoint': deduplicated edge list (a geometric mid can coincide
+        # bitwise with a bin edge); cylinder masses looked up by
+        # searchsorted index, never by float dict key.
         rp_mids = np.sqrt(self.rp_bins[:-1] * self.rp_bins[1:])
         all_edges = np.unique(
             np.concatenate([[0.0], self.rp_bins, rp_mids]))
-        extra = (dict(progress=progress, mesh=mesh)
-                 if self._count_kwargs is None else self._count_kwargs)
         counts = self._count(
             pos, labels, n_bins, pos2=self.ptcl_pos, weights2=masses,
             period=period, kind="proj", r_edges=all_edges,
@@ -277,7 +322,9 @@ class _FastPath:
             return (self.rp_bins,), {"pi_max": self.pi_max}
         if self.name == "s_mu_tpcf":
             return (self.s_bins, self.mu_bins), {}
-        return (self.ptcl_pos, self.ptcl_mass, self.rp_bins), {}
+        kwargs = ({} if self.estimator == "annulus_mean"
+                  else {"estimator": self.estimator})
+        return (self.ptcl_pos, self.ptcl_mass, self.rp_bins), kwargs
 
 
 _FAST_TPCFS = {"wp", "s_mu_tpcf", "mean_delta_sigma"}

@@ -73,3 +73,122 @@ def test_full_wp_pipeline(tmp_path, monkeypatch):
         "tabulate_snapshot.py", "AemulusAlpha", "0.25", "--tpcf", "wp",
         "--tab_config", "efficient", "--seed", "1", "--resume"])
     tabulate_snapshot.main()
+
+
+@pytest.mark.slow
+def test_full_ds_pipeline_and_density_crosscheck(tmp_path, monkeypatch):
+    """ds pipeline end-to-end: snapshot with particles -> ds_efficient.hdf5
+    structurally identical to the reference fixture, plus the reference's
+    wp/ds number-density cross-check (tests/test_database.py:12-31)."""
+    import h5py
+    import parse_snapshot
+    import tabulate_snapshot
+
+    monkeypatch.setenv("TABCORR_DATABASE", str(tmp_path))
+
+    rng = np.random.default_rng(7)
+    # 300 ds mass bins need enough halos that every occupied bin draws
+    # satellites in the dense mock; a low-mass population keeps the
+    # satellite (tracer) count small enough for CI.
+    n = 12000
+    mdef = "200m"
+    mass = 10.0 ** rng.uniform(13.0, 13.3, n)
+    halos = {
+        "halo_x": rng.uniform(0, 1050, n),
+        "halo_y": rng.uniform(0, 1050, n),
+        "halo_z": rng.uniform(0, 1050, n),
+        "halo_vx": 300 * rng.normal(size=n),
+        "halo_vy": 300 * rng.normal(size=n),
+        "halo_vz": 300 * rng.normal(size=n),
+        f"halo_m{mdef}": mass,
+        f"halo_r{mdef}": 1.2 * (mass / 1e14) ** (1 / 3),
+        "halo_rs": 0.15 * (mass / 1e14) ** (1 / 3),
+        # Wide vmax scatter: a tight vmax-mass relation makes the
+        # percentile-conditioned in-bin mass distributions steeper than
+        # the distribution-index clamp (n in [-10, 10], same clamp as the
+        # reference) can represent, degrading the 1e-4 density check.
+        "halo_vmax": 400 * (mass / 1e14) ** 0.3 *
+        np.exp(0.5 * rng.normal(size=n)),
+    }
+    # Small particle set: the structural and density checks don't need
+    # pair-count statistics, only the full pipeline machinery to run.
+    ptcls = {"x": rng.uniform(0, 1050, 5000),
+             "y": rng.uniform(0, 1050, 5000),
+             "z": rng.uniform(0, 1050, 5000)}
+    out_path = (tt.database.directory("AemulusAlpha", 0.25, i_cosmo=0) /
+                "snapshot.hdf5")
+    parse_snapshot.write_snapshot(out_path, halos, {"BoxSize": 1050.0},
+                                  particles=ptcls)
+
+    monkeypatch.setattr(sys, "argv", [
+        "tabulate_snapshot.py", "AemulusAlpha", "0.25", "--tpcf", "ds",
+        "--tab_config", "efficient", "--seed", "1"])
+    tabulate_snapshot.main()
+
+    # --- structural identity with the reference's published ds file ----
+    ref_path = (Path(__file__).absolute().parent / "data" / "AbacusSummit" /
+                "base_c000_ph000" / "0p50" / "ds_efficient.hdf5")
+    made_path = (tt.database.directory("AemulusAlpha", 0.25, i_cosmo=0) /
+                 "ds_efficient.hdf5")
+
+    def structure(path):
+        items = {}
+        with h5py.File(path, "r") as fstream:
+            def visit(name, obj):
+                if name.split("/")[-1].startswith("arg_"):
+                    return  # presence depends on max_args_size vs data
+                items[name] = (type(obj).__name__,
+                               tuple(sorted(obj.attrs)))
+            fstream.visititems(visit)
+            gal_cols = fstream["tabcorr_0/gal_type"].dtype.names
+            params = fstream["param_dict_table"].dtype.names
+        return items, gal_cols, params
+
+    ref_items, ref_gal_cols, ref_params = structure(ref_path)
+    got_items, got_gal_cols, got_params = structure(made_path)
+    assert got_items == ref_items
+    assert got_gal_cols == ref_gal_cols
+    assert got_params == ref_params
+
+    # --- wp/ds number-density cross-check (reference rtol 1e-4) --------
+    # wp corrects for the observed cosmology (auto mode applies the AP
+    # volume stretch to the densities) while ds does not; densities from
+    # the two tabulations must agree after undoing the stretch.  One wp
+    # tabulation suffices: ngal is independent of the phase-space grid.
+    config = tt.database.configuration("efficient")
+    halocat = tabulate_snapshot.read_simulation_snapshot(
+        "AemulusAlpha", 0.25, i_cosmo=0)
+    halotab_wp = tt.TabCorr.tabulate(
+        halocat, tt.corrfunc.wp, config["rp_wp_bins"], config["pi_max"],
+        mode="auto", prim_haloprop_bins=30,
+        prim_haloprop_key=f"halo_m{mdef}", sec_haloprop_key="halo_vmax",
+        sec_haloprop_percentile_bins=0.5, Num_ptcl_requirement=99,
+        sats_per_prim_haloprop=config["sats_per_prim_haloprop"],
+        downsample=config["downsample"], cosmology_obs=config["cosmo_obs"],
+        seed=2)
+    halotab_ds = tt.database.read("AemulusAlpha", 0.25, "ds",
+                                  tab_config="efficient")
+    model = tt.Zheng07Model(threshold=-20, redshift=0.25,
+                            prim_haloprop_key=f"halo_m{mdef}",
+                            logMmin=12.4, sigma_logM=0.15, logM0=12.0,
+                            logM1=13.8, alpha=1.0)
+    model.param_dict["alpha_s"] = 1.0
+    model.param_dict["alpha_c"] = 0.0
+    model.param_dict["log_eta"] = 0.0
+
+    ngal_wp = halotab_wp.predict(model, separate_gal_type=True,
+                                 check_consistency=False)[0]
+    ngal_ds = halotab_ds.predict(model, separate_gal_type=True,
+                                 check_consistency=False)[0]
+
+    cosmology = tt.database.cosmology("AemulusAlpha", 0)
+    cosmo_obs = tt.database.configuration("efficient")["cosmo_obs"]
+    z = 0.25
+    rp_stretch = ((cosmo_obs.comoving_distance(z) * cosmo_obs.H0) /
+                  (cosmology.comoving_distance(z) * cosmology.H0))
+    pi_stretch = cosmology.efunc(z) / cosmo_obs.efunc(z)
+    vol_stretch = rp_stretch**2 * pi_stretch
+
+    for gal_type in ["centrals", "satellites"]:
+        assert np.isclose(ngal_wp[gal_type] * vol_stretch,
+                          ngal_ds[gal_type], atol=0, rtol=1e-4)

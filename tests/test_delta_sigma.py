@@ -1,0 +1,155 @@
+"""Exact-semantics tests for the delta-sigma estimators.
+
+The ``annulus_mean`` estimator is the exact area-weighted average of
+delta-sigma(r) over each radial bin, computable in closed form from pair
+counts (ops/paircount.py:delta_sigma_from_mass_profiles); these tests pin
+it against hand-integrable particle configurations.
+"""
+
+import numpy as np
+import pytest
+
+from tabcorr_tpu.ops import paircount
+
+
+LBOX = 200.0
+RP_BINS = np.array([0.5, 1.0, 2.0, 4.0, 8.0])
+
+
+def _ring(center, r0, n, rng):
+    """n particles at exact projected radius r0, random angle/z offset."""
+    phi = rng.uniform(0, 2 * np.pi, n)
+    dz = rng.uniform(-5, 5, n)
+    return center + np.column_stack(
+        [r0 * np.cos(phi), r0 * np.sin(phi), dz])
+
+
+def _analytic_annulus_mean(rp_bins, shell_r, shell_mass):
+    """<ds> per annulus for point-mass shells around the one galaxy.
+
+    For total mass M at projected radius r0, Sigma_bar(<r) = M/(pi r^2)
+    for r > r0, so the area-weighted annulus mean over [r1, r2] is
+    2 M [ln(r2/max(r1, r0)) - (1/2) 1{r1 <= r0 < r2}] / (pi (r2^2-r1^2)).
+    """
+    r1, r2 = rp_bins[:-1], rp_bins[1:]
+    ds = np.zeros(len(r1))
+    for r0, m in zip(shell_r, shell_mass):
+        inside = r0 < r2
+        lo = np.maximum(r1, r0)
+        contrib = np.where(
+            inside,
+            np.log(np.maximum(r2 / lo, 1.0)) -
+            0.5 * ((r1 <= r0) & (r0 < r2)),
+            0.0)
+        ds += 2 * m * contrib / (np.pi * (r2**2 - r1**2))
+    return ds
+
+
+def test_annulus_mean_matches_analytic_shells():
+    rng = np.random.default_rng(0)
+    center = np.full(3, LBOX / 2)
+    shells = [(0.0, 200), (0.7, 300), (1.5, 400), (3.0, 500), (6.0, 600)]
+    ptcls = np.vstack([_ring(center, r0, n, rng) for r0, n in shells])
+    mass = 2.5e9
+
+    ds = paircount.mean_delta_sigma(
+        center[None, :], ptcls, mass, RP_BINS, period=LBOX,
+        estimator="annulus_mean")
+    want = _analytic_annulus_mean(
+        RP_BINS, [s[0] for s in shells],
+        [mass * s[1] for s in shells])
+    # float32 pair geometry bounds the agreement (~1e-6 relative in rp).
+    np.testing.assert_allclose(ds, want, rtol=3e-5)
+
+
+def test_midpoint_matches_analytic_point_mass():
+    rng = np.random.default_rng(1)
+    center = np.full(3, LBOX / 2)
+    n_in = 500
+    ptcls = _ring(center, 0.1, n_in, rng)
+    mass = 1e10
+
+    ds = paircount.mean_delta_sigma(
+        center[None, :], ptcls, mass, RP_BINS, period=LBOX,
+        estimator="midpoint")
+    # Sigma_bar(< sqrt(r1 r2)) = M / (pi r1 r2), Sigma(annulus) = 0.
+    want = n_in * mass / (np.pi * RP_BINS[:-1] * RP_BINS[1:])
+    np.testing.assert_allclose(ds, want, rtol=1e-5)
+
+    ds_am = paircount.mean_delta_sigma(
+        center[None, :], ptcls, mass, RP_BINS, period=LBOX,
+        estimator="annulus_mean")
+    want_am = (2 * n_in * mass * np.log(RP_BINS[1:] / RP_BINS[:-1]) /
+               (np.pi * (RP_BINS[1:]**2 - RP_BINS[:-1]**2)))
+    np.testing.assert_allclose(ds_am, want_am, rtol=1e-5)
+
+
+def test_estimators_agree_on_smooth_profile():
+    # For a smooth profile both estimators are O((dr/r)^2)-consistent
+    # point estimates of the same physical quantity.
+    rng = np.random.default_rng(2)
+    gals = rng.uniform(0, LBOX, (20, 3))
+    rows = np.repeat(np.arange(20), 3000)
+    r = rng.power(0.5, len(rows)) * 10.0  # p(r) ~ r^-0.5, projected-ish
+    phi = rng.uniform(0, 2 * np.pi, len(rows))
+    ptcls = gals[rows] + np.column_stack(
+        [r * np.cos(phi), r * np.sin(phi), rng.uniform(-8, 8, len(rows))])
+    ptcls %= LBOX
+
+    rp_bins = np.logspace(-0.3, 0.9, 9)
+    kwargs = dict(period=LBOX)
+    ds_am = paircount.mean_delta_sigma(gals, ptcls, 1e9, rp_bins,
+                                       estimator="annulus_mean", **kwargs)
+    ds_mid = paircount.mean_delta_sigma(gals, ptcls, 1e9, rp_bins,
+                                        estimator="midpoint", **kwargs)
+    np.testing.assert_allclose(ds_am, ds_mid, rtol=0.05)
+
+
+def test_unknown_estimator_raises():
+    with pytest.raises(ValueError, match="estimator"):
+        paircount.mean_delta_sigma(
+            np.zeros((1, 3)), np.zeros((1, 3)), 1.0, RP_BINS,
+            period=LBOX, estimator="nope")
+
+
+def test_tabulated_ds_columns_match_direct_estimator():
+    # Every column of the cross tpcf matrix must equal mean_delta_sigma
+    # called directly on that bin's galaxy sample (same estimator).
+    from tabcorr_tpu.tabulate import compute_tpcf_matrix
+
+    rng = np.random.default_rng(3)
+    pos = [rng.uniform(0, LBOX, (n, 3)) for n in (50, 80, 30)]
+    ptcls = rng.uniform(0, LBOX, (5000, 3))
+    matrix, shape = compute_tpcf_matrix(
+        "cross", pos, "mean_delta_sigma", LBOX,
+        (ptcls, 1e9, RP_BINS), {})
+    assert shape == (len(RP_BINS) - 1,)
+    for b in range(3):
+        direct = paircount.mean_delta_sigma(pos[b], ptcls, 1e9, RP_BINS,
+                                            period=LBOX)
+        np.testing.assert_allclose(matrix[:, b], direct, rtol=1e-6,
+                                   atol=1e-8)
+
+
+def test_log_weighted_histogram_matches_numpy():
+    # The 'log_rp' pair weight against a brute-force numpy reference.
+    rng = np.random.default_rng(4)
+    gals = rng.uniform(0, 60.0, (40, 3)).astype(np.float32)
+    ptcls = rng.uniform(0, 60.0, (3000, 3)).astype(np.float32)
+    w = rng.uniform(0.5, 2.0, 3000).astype(np.float32)
+    edges = np.array([0.0, 1.0, 3.0, 9.0])
+
+    got = paircount.labeled_pair_count(
+        gals, np.zeros(40, np.int32), 1, pos2=ptcls, weights2=w,
+        period=60.0, kind="proj", r_edges=edges,
+        pair_weight="log_rp")[0, 0]
+
+    d = gals[:, None, :] - ptcls[None, :, :]
+    d -= 60.0 * np.round(d / 60.0)
+    rp = np.hypot(d[..., 0], d[..., 1])
+    want = np.zeros(3)
+    for k, (lo, hi) in enumerate(zip(edges[:-1], edges[1:])):
+        sel = (rp >= lo) & (rp < hi) & (rp > 0)
+        want[k] = np.sum((w[None, :] * np.log(rp, where=rp > 0,
+                                              out=np.zeros_like(rp)))[sel])
+    np.testing.assert_allclose(got, want, rtol=1e-4)

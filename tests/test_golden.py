@@ -107,8 +107,11 @@ def test_ds_prediction_matches_direct_mock():
             mock["pos"], ptcl.positions, ptcl.effective_particle_mass,
             rp_bins, period=halocat.Lbox))
     ds_mean = np.mean(ds_direct, axis=0)
-    np.testing.assert_allclose(ds_pred, ds_mean, rtol=0.15,
-                               atol=0.02 * np.max(np.abs(ds_mean)))
+    # Matches the reference's golden standard (tests/test_database.py:88-91,
+    # rtol 1e-2 on the real snapshot); measured agreement here is <= 0.9%
+    # with ~0.4% mock noise, so 3e-2 has 3x headroom.
+    np.testing.assert_allclose(ds_pred, ds_mean, rtol=0.03,
+                               atol=0.005 * np.max(np.abs(ds_mean)))
 
 
 @pytest.mark.slow

@@ -130,3 +130,45 @@ def test_nuts_correlated_gaussian():
     np.testing.assert_allclose(emp_cov, np.asarray(cov), atol=0.15)
     # NUTS must exploit the correlated geometry with multi-step trees.
     assert float(mean_depth) > 1.5
+
+
+def test_nuts_accept_stat_in_range():
+    # The warmup adapts on the accumulated Metropolis alpha (Hoffman &
+    # Gelman 2014, alg. 6): it must be a proper statistic in [0, 1] that
+    # decreases with step size.
+    from tabcorr_tpu.mcmc import nuts_step
+
+    accepts = []
+    for eps in (0.05, 5.0):
+        _, _, _, accept = nuts_step(
+            jax.random.key(0), jnp.zeros(2), _gaussian_logprob, eps,
+            max_depth=5)
+        a = float(accept)
+        assert 0.0 <= a <= 1.0
+        accepts.append(a)
+    assert accepts[0] > 0.9       # tiny steps: near-perfect integration
+    assert accepts[1] < accepts[0]  # huge steps: worse energy error
+
+
+def test_nuts_stable_on_heavy_tailed_target():
+    # Student-t (df=3): heavy tails defeat naive tuning; the warmup must
+    # still deliver a usable step size and calibrated samples.
+    from tabcorr_tpu.mcmc import run_nuts
+
+    df = 3.0
+
+    def logprob(x):
+        return jnp.sum(-0.5 * (df + 1) * jnp.log1p(x**2 / df))
+
+    walkers0 = 0.5 * jax.random.normal(jax.random.key(1), (8, 1),
+                                       dtype=jnp.float64)
+    chain, lp, mean_depth, step_size = run_nuts(
+        jax.random.key(2), logprob, walkers0, n_warmup=100, n_steps=300,
+        max_depth=5)
+    samples = np.asarray(chain[80:]).ravel()
+    assert np.isfinite(float(step_size)) and float(step_size) > 1e-3
+    assert np.all(np.isfinite(samples))
+    # Median absolute value of Student-t(3) is ~0.765; the empirical
+    # median is robust against the heavy tails.
+    med = np.median(np.abs(samples))
+    assert 0.5 < med < 1.1, med

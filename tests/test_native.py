@@ -114,3 +114,42 @@ def test_native_nonuniform_mu_raises(data):
         native.labeled_pair_count(
             pos, labels, 4, period=50.0, kind="smu", r_edges=s_edges,
             mu_edges=mu_edges)
+
+
+def test_native_log_weight_matches_jax(data):
+    L, pos, labels = data
+    ptcls = np.random.default_rng(9).uniform(0, L, (700, 3))
+    edges = np.array([0.0, 1.0, 3.0, 9.0])
+    want = paircount.labeled_pair_count(
+        pos, labels, 3, pos2=ptcls, period=L, kind="proj",
+        r_edges=edges, pair_weight="log_rp")
+    got = native.labeled_pair_count(
+        pos, labels, 3, pos2=ptcls, period=L, kind="proj",
+        r_edges=edges, pair_weight="log_rp")
+    np.testing.assert_allclose(got, want, rtol=1e-4)
+
+
+def test_native_backend_delta_sigma_matches_device():
+    # The annulus_mean estimator through the native counters equals the
+    # device path.
+    from tabcorr_tpu.tabulate import _FastPath
+
+    rng = np.random.default_rng(12)
+    L = 80.0
+    pos = rng.uniform(0, L, (600, 3))
+    labels = rng.integers(0, 3, 600).astype(np.int32)
+    ptcls = rng.uniform(0, L, (4000, 3))
+    rp_bins = np.logspace(-0.3, 1.0, 5)
+    args = (ptcls, 1e9, rp_bins)
+
+    m_dev = _FastPath("mean_delta_sigma", args, {}).matrix_cross(
+        pos, labels, 3, np.full(3, L))
+    m_nat = _FastPath("mean_delta_sigma", args, {},
+                      backend="native").matrix_cross(
+        pos, labels, 3, np.full(3, L))
+    # Uniform-random particles make delta-sigma a near-cancelling
+    # difference, amplifying the device kernel's float32 pair geometry
+    # against the native float64 one; compare against the overall
+    # delta-sigma scale rather than per-element (near-zero entries).
+    np.testing.assert_allclose(m_nat, m_dev, rtol=2e-3,
+                               atol=2e-4 * np.max(np.abs(m_dev)))

@@ -174,3 +174,87 @@ def test_interpolator_predictor_multi_axis(ds_interpolator, model):
     ngal, xi = f(params)
     assert np.isclose(float(ngal[0]), want[0], rtol=1e-10)
     np.testing.assert_allclose(np.asarray(xi[0]), want[1], rtol=1e-10)
+
+
+def test_extrapolate_false_yields_nan_outside_grid(ds_interpolator, model):
+    # Reference semantics: out-of-range interpolation is rejected
+    # (ValueError on the host path, tabcorr/interpolator.py:322-327); the
+    # jitted path signals it with NaN instead of silently clamping.
+    f = make_predictor(ds_interpolator, model, dtype=jnp.float64)
+    lo, hi = ds_interpolator.xp[0][0], ds_interpolator.xp[0][-1]
+    inside = 0.5 * (lo + hi)
+    params = params_batch(
+        model, {"log_eta": np.array([inside, hi + 0.5, lo - 0.5, hi])},
+        (4,), dtype=jnp.float64)
+    ngal, xi = f(params)
+    assert np.isfinite(float(ngal[0])) and np.all(np.isfinite(xi[0]))
+    assert np.isnan(float(ngal[1])) and np.all(np.isnan(xi[1]))
+    assert np.isnan(float(ngal[2])) and np.all(np.isnan(xi[2]))
+    # The grid edge itself is in range.
+    assert np.isfinite(float(ngal[3]))
+
+    # extrapolate=True restores edge-spline clamping.
+    f_clamp = make_predictor(ds_interpolator, model, dtype=jnp.float64,
+                             extrapolate=True)
+    ngal_c, xi_c = f_clamp(params)
+    assert np.all(np.isfinite(np.asarray(ngal_c)))
+    assert np.all(np.isfinite(np.asarray(xi_c)))
+    # Clamped values equal the edge value for a 1-axis grid evaluated
+    # beyond the edge only in the spline sense; at the edge they agree.
+    np.testing.assert_allclose(np.asarray(xi_c[0]), np.asarray(xi[0]),
+                               rtol=1e-12)
+
+
+def test_out_of_grid_logpost_is_minus_inf(ds_interpolator, model):
+    from tabcorr_tpu.mcmc import make_gaussian_logpost
+
+    f_one = make_predictor(ds_interpolator, model, dtype=jnp.float64,
+                           vectorized=False, jit=False)
+    base = {k: jnp.float64(v) for k, v in model.param_dict.items()}
+    base["log_eta"] = jnp.float64(
+        0.5 * (ds_interpolator.xp[0][0] + ds_interpolator.xp[0][-1]))
+    _, xi_true = f_one(base)
+    data = np.asarray(xi_true).ravel()
+    inv_cov = np.eye(len(data))
+    log_prob = make_gaussian_logpost(f_one, ("log_eta",), base, data,
+                                     inv_cov)
+    inside = np.asarray(log_prob(jnp.array([float(base["log_eta"])])))
+    outside = np.asarray(log_prob(
+        jnp.array([float(ds_interpolator.xp[0][-1]) + 1.0])))
+    assert np.isfinite(inside)
+    assert outside == -np.inf
+
+
+def test_jitted_heterogeneous_binning_matches_host(ds_interpolator, model):
+    # Nodes with DIFFERENT halo binnings (the reference's dedup machinery,
+    # interpolator.py:63-70): the jitted path zero-pads to a common bin
+    # count and must match the host path exactly.
+    import copy
+    from tabcorr_tpu.io import ColumnTable
+
+    base = ds_interpolator.tabcorr_list[0]
+    tabs, etas = [], []
+    for i, e in enumerate(np.linspace(-0.3, 0.3, 4)):
+        tab = copy.deepcopy(base)
+        if i % 2 == 1:
+            # Drop the last satellite bin -> a different gal_type table.
+            keep = np.ones(tab.n_bins, dtype=bool)
+            keep[-1] = False
+            tab.gal_type = tab.gal_type[keep]
+            tab.tpcf_matrix = tab.tpcf_matrix[:, keep]
+        else:
+            tab.tpcf_matrix = tab.tpcf_matrix * (1 + 0.02 * i)
+        tabs.append(tab)
+        etas.append(e)
+    interp = tt.Interpolator(tabs, ColumnTable(
+        {"log_eta": np.array(etas)}))
+    assert len(interp.unique_gal_type_index) > 1
+
+    model.param_dict["log_eta"] = 0.05
+    want = interp.predict(model, check_consistency=False)
+
+    f = make_predictor(interp, model, dtype=jnp.float64)
+    params = params_batch(model, {}, (2,), dtype=jnp.float64)
+    ngal, xi = f(params)
+    assert np.isclose(float(ngal[0]), want[0], rtol=1e-10)
+    np.testing.assert_allclose(np.asarray(xi[0]), want[1], rtol=1e-10)
