@@ -18,7 +18,7 @@ TPU fast path stays accurate to ~1e-7 relative even for M ~ 1e15.
 
 from __future__ import annotations
 
-from ..utils.backend import erf, get_namespace
+from ..utils.backend import erfc, get_namespace
 from .protocol import CENTRALS, HodModel
 
 _LN10 = 2.302585092994046
@@ -40,9 +40,15 @@ ZHENG07_THRESHOLD_PARAMS = {
 
 
 def zheng07_centrals(params, log_prim_haloprop):
-    """<N_cen> as a pure function of a params dict and log10(M)."""
+    """<N_cen> as a pure function of a params dict and log10(M).
+
+    Evaluated as erfc(-x)/2 rather than (1 + erf(x))/2: identical in
+    exact arithmetic, but the erf form loses the deep tail (N_cen -> 0)
+    to float32 cancellation against 1, and tail bins carry the largest
+    halo densities (see utils.backend.erfc).
+    """
     x = (log_prim_haloprop - params["logMmin"]) / params["sigma_logM"]
-    return 0.5 * (1.0 + erf(x))
+    return 0.5 * erfc(-x)
 
 
 def zheng07_satellites(params, log_prim_haloprop, modulate_with_cenocc=False):

@@ -1,26 +1,36 @@
-"""Pallas-fused batched contraction kernel.
+"""Pallas-fused batched prediction kernels.
 
 The XLA predict path materializes the per-sample contraction intermediate
 ``T[b, k, i] = sum_j F[k, i, j] n[b, j]`` (~24 KB per prediction for a
 wp + xi_ell bundle) in HBM, which bounds throughput at memory bandwidth.
-This kernel performs the whole contraction per batch tile in VMEM:
+These kernels perform the whole contraction per batch tile in VMEM:
 
 Auto mode:   xi[b, k] = n_b^T F_k n_b / (sum_i n_bi)^2
 Cross mode:  xi[b, k] = (F n_b)_k / sum_i n_bi
 
-The occupation quadrature stays in XLA *outside* the kernel — its output
-``ngal`` is only (B, n_bins) (negligible HBM traffic), it keeps arbitrary
-jax-traceable occupation models supported (Pallas TPU lacks lowerings for
-some transcendentals, e.g. erf), and XLA fuses it well on the VPU.
+Two engines:
+
+* :func:`make_fused_predictor` — one table; the occupation quadrature
+  stays in XLA outside the kernel (supports any jax-traceable occupation
+  model and any mode).
+* :func:`make_fused_bundle_predictor` — the flagship multi-statistic
+  path: ONE kernel evaluates the occupation quadrature (VPU + small MXU
+  matmuls against precomputed weight matrices) *and* every table's dense
+  contraction per batch tile, so nothing but parameters and results
+  crosses HBM.  Occupation callables are traced into the kernel under
+  ``utils.backend.pallas_lowering()``, which substitutes a Mosaic-
+  lowerable polynomial erfc/erf (Mosaic has no erf primitive).
 """
 
 from __future__ import annotations
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
+from ..utils import backend
 from .predict import AUTO, TableData, mean_occupation
 
 # 256 rows keeps the contraction tile + double-buffered IO inside the
@@ -135,3 +145,170 @@ def make_fused_predictor(table: TableData, occupation_cen, occupation_sat,
         return total[:batch], xi
 
     return predict_batch
+
+
+def _bundle_table_constants(table: TableData):
+    """Per-table device constants for the bundle kernel.
+
+    * ``f2``: the dense matrices stacked for the one-matmul contraction,
+      (nb_pad, n_xi * nb_pad).
+    * Flattened quadrature grids per galaxy-type segment: node masses
+      ``logm`` and secondary percentiles ``sec`` as (1, L) rows, and the
+      quadrature weight matrix (L, nb_pad) mapping occupation values at
+      the nodes to per-bin galaxy densities (quad weights times n_h
+      folded in; padded rows/columns zero, padded node masses set to a
+      huge value with zero weight), pre-split into bf16 hi/lo halves for
+      the in-kernel 3-pass matmul (full-f32-grade accuracy at half the
+      passes of Mosaic HIGHEST; the weights are constants so their split
+      is free).
+    """
+    if table.mode != AUTO:
+        raise ValueError("The bundle kernel supports auto-mode tables "
+                         "only.")
+    nb_real = table.n_bins
+    nb = -(-nb_real // 128) * 128
+    n_xi = table.tpcf_dense.shape[0]
+    n_gauss = table.log_prim_quad.shape[1]
+    nc = table.n_centrals
+
+    dense = jnp.zeros((n_xi, nb, nb), jnp.float32)
+    dense = dense.at[:, :nb_real, :nb_real].set(
+        table.tpcf_dense.astype(jnp.float32))
+    f2 = jnp.transpose(dense, (2, 0, 1)).reshape(nb, n_xi * nb)
+
+    def segment(lo, hi):
+        length = (hi - lo) * n_gauss
+        padded = -(-length // 128) * 128
+        logm = np.full(padded, 20.0, np.float32)
+        logm[:length] = np.asarray(table.log_prim_quad[lo:hi],
+                                   np.float32).ravel()
+        sec = np.full(padded, 0.5, np.float32)
+        sec[:length] = np.repeat(np.asarray(table.sec_perc[lo:hi],
+                                            np.float32), n_gauss)
+        wq = np.zeros((padded, nb), np.float32)
+        weights = (np.asarray(table.quad_weight[lo:hi], np.float64) *
+                   np.asarray(table.n_h[lo:hi], np.float64)[:, None])
+        for i in range(hi - lo):
+            wq[i * n_gauss:(i + 1) * n_gauss, lo + i] = weights[i]
+        wq = jnp.asarray(wq)
+        wq_hi = wq.astype(jnp.bfloat16)
+        wq_lo = (wq - wq_hi.astype(jnp.float32)).astype(jnp.bfloat16)
+        return (jnp.asarray(logm)[None, :], jnp.asarray(sec)[None, :],
+                wq_hi, wq_lo)
+
+    logm_c, sec_c, wqc_hi, wqc_lo = segment(0, nc)
+    logm_s, sec_s, wqs_hi, wqs_lo = segment(nc, nb_real)
+    return dict(nb=nb, n_xi=n_xi, tpcf_shape=tuple(table.tpcf_shape),
+                arrays=(f2, logm_c, sec_c, wqc_hi, wqc_lo,
+                        logm_s, sec_s, wqs_hi, wqs_lo))
+
+
+def make_fused_bundle_predictor(tables, occupation_cen, occupation_sat,
+                                param_names, batch_tile=DEFAULT_TILE,
+                                interpret="auto", precision="highest"):
+    """One-kernel multi-statistic predictor (the flagship hot path).
+
+    Parameters
+    ----------
+    tables : sequence of TableData
+        Auto-mode tabulations sharing the same parameter set (their halo
+        binnings may differ).
+    occupation_cen, occupation_sat : callables
+        ``f(params dict, log_prim, sec) -> occupation`` pure functions;
+        traced into the kernel with the Pallas-lowerable erf/erfc
+        substituted (utils.backend.pallas_lowering).
+    param_names : sequence of str
+        Names (and kernel order) of the HOD parameters.
+
+    Returns
+    -------
+    callable
+        ``f(params dict of (B,)) -> [(ngal (B,), xi (B, *shape)), ...]``.
+    """
+    if interpret == "auto":
+        # Mosaic compiles on TPU only; CPU (tests) uses interpret mode.
+        interpret = jax.default_backend() != "tpu"
+    configs = [_bundle_table_constants(t) for t in tables]
+    const_arrays = [a for c in configs for a in c["arrays"]]
+    names = tuple(param_names)
+    n_names = len(names)
+    if n_names > 128:
+        raise ValueError("At most 128 parameters supported.")
+    mxu_precision = (jax.lax.Precision.HIGHEST if precision == "highest"
+                     else jax.lax.Precision.DEFAULT)
+
+    def quad_matmul(occ, wq_hi, wq_lo):
+        # 3-pass bf16 product: (occ_hi + occ_lo) @ (wq_hi + wq_lo) minus
+        # the negligible lo @ lo term — full-f32-grade accuracy for the
+        # quadrature reduction at half the MXU passes of HIGHEST.
+        occ_hi = occ.astype(jnp.bfloat16)
+        occ_lo = (occ - occ_hi.astype(jnp.float32)).astype(jnp.bfloat16)
+        return (jnp.dot(occ_hi, wq_hi, preferred_element_type=jnp.float32) +
+                jnp.dot(occ_hi, wq_lo, preferred_element_type=jnp.float32) +
+                jnp.dot(occ_lo, wq_hi, preferred_element_type=jnp.float32))
+
+    def kernel(params_ref, *rest):
+        n_const = len(const_arrays)
+        crefs = rest[:n_const]
+        outs = rest[n_const:]
+        p = params_ref[:]
+        params = {name: p[:, i:i + 1] for i, name in enumerate(names)}
+        at = 0
+        for j, cfg in enumerate(configs):
+            (f2, logm_c, sec_c, wqc_hi, wqc_lo,
+             logm_s, sec_s, wqs_hi, wqs_lo) = (
+                r[:] for r in crefs[at:at + 9])
+            at += 9
+            occ_c = occupation_cen(params, logm_c, sec_c)
+            occ_s = occupation_sat(params, logm_s, sec_s)
+            ngal = (quad_matmul(occ_c, wqc_hi, wqc_lo) +
+                    quad_matmul(occ_s, wqs_hi, wqs_lo))
+            total = jnp.sum(ngal, axis=-1)
+            t = jnp.dot(ngal, f2, preferred_element_type=jnp.float32,
+                        precision=mxu_precision)
+            nb, n_xi = cfg["nb"], cfg["n_xi"]
+            cols = [jnp.sum(t[:, k * nb:(k + 1) * nb] * ngal, axis=-1)
+                    for k in range(n_xi)]
+            outs[2 * j][:] = total[:, None]
+            outs[2 * j + 1][:] = (jnp.stack(cols, axis=-1) /
+                                  (total * total)[:, None])
+
+    def predict_batch(params):
+        any_param = next(iter(params.values()))
+        batch = any_param.shape[0]
+        padded = -(-batch // batch_tile) * batch_tile
+        pmat = jnp.stack(
+            [jnp.pad(jnp.asarray(params[k], jnp.float32),
+                     (0, padded - batch), constant_values=1.0)
+             for k in names], axis=1)
+        pmat = jnp.pad(pmat, ((0, 0), (0, 128 - n_names)))
+
+        with backend.pallas_lowering():
+            out = pl.pallas_call(
+                kernel,
+                grid=(padded // batch_tile,),
+                in_specs=[pl.BlockSpec((batch_tile, 128), lambda i: (i, 0),
+                                       memory_space=pltpu.VMEM)] +
+                         [pl.BlockSpec(
+                             a.shape,
+                             lambda i, r=a.ndim: (0,) * r,
+                             memory_space=pltpu.VMEM)
+                          for a in const_arrays],
+                out_specs=tuple(
+                    pl.BlockSpec((batch_tile, w), lambda i: (i, 0),
+                                 memory_space=pltpu.VMEM)
+                    for c in configs for w in (1, c["n_xi"])),
+                out_shape=tuple(
+                    jax.ShapeDtypeStruct((padded, w), jnp.float32)
+                    for c in configs for w in (1, c["n_xi"])),
+                interpret=interpret,
+            )(pmat, *const_arrays)
+        results = []
+        for j, c in enumerate(configs):
+            total = out[2 * j][:batch, 0]
+            xi = out[2 * j + 1][:batch].reshape(
+                (batch,) + c["tpcf_shape"])
+            results.append((total, xi))
+        return results
+
+    return jax.jit(predict_batch)

@@ -317,13 +317,37 @@ def make_predictor(obj, model, n_gauss=10, dtype=jnp.float32,
 
 
 def make_multi_predictor(objs, model, n_gauss=10, dtype=jnp.float32,
-                         jit=True):
+                         jit=True, engine="auto"):
     """Joint predictor over several tabulations (e.g. wp + xi_0/2/4 + ds).
 
     Returns ``f(params dict of (B,)) -> list of (ngal, xi)`` evaluating all
     statistics for the same parameter batch in one jitted call — the shape
     of a full multi-probe MCMC likelihood evaluation.
+
+    ``engine='bundle'`` (the default on TPU when every object is an
+    auto-mode TabCorr) runs the whole bundle — occupation quadrature and
+    all contractions — in ONE Pallas kernel per batch tile
+    (:func:`~.ops.fused.make_fused_bundle_predictor`), the flagship hot
+    path; 'xla' composes per-table predictors.
     """
+    bundle_eligible = (
+        jnp.dtype(dtype) == jnp.dtype(jnp.float32) and
+        all(isinstance(obj, TabCorr) and obj.mode == "auto"
+            for obj in objs))
+    if engine == "auto":
+        engine = ("bundle" if bundle_eligible and
+                  jax.default_backend() == "tpu" else "xla")
+    if engine == "bundle":
+        if not bundle_eligible:
+            raise ValueError("engine='bundle' requires float32 and "
+                             "auto-mode TabCorr objects.")
+        from .ops.fused import make_fused_bundle_predictor
+        tables = [obj.table_data(n_gauss=n_gauss, dtype=dtype)
+                  for obj in objs]
+        return make_fused_bundle_predictor(
+            tables, *occupation_functions(model),
+            tuple(model.param_dict.keys()))
+
     fns = [make_predictor(obj, model, n_gauss=n_gauss, dtype=dtype,
                           jit=False) for obj in objs]
 

@@ -70,3 +70,54 @@ def test_fused_interpolator_matches_xla(ds_interpolator, model):
                                        np.max(np.abs(np.asarray(xi_x)))))
     finally:
         fused_mod.make_fused_contraction = orig
+
+
+def test_bundle_predictor_matches_host(wp_tabcorr, bol_model):
+    # One-kernel bundle (in-kernel occupation + contraction) vs the f64
+    # host path, interpret mode on CPU.
+    from tabcorr_tpu.ops.fused import make_fused_bundle_predictor
+
+    tables = [wp_tabcorr.table_data(n_gauss=10, dtype=jnp.float32)]
+    f = make_fused_bundle_predictor(
+        tables, *occupation_functions(bol_model),
+        tuple(bol_model.param_dict.keys()), batch_tile=8, interpret=True)
+
+    B = 8
+    rng = np.random.default_rng(3)
+    params = params_batch(
+        bol_model,
+        {"logM1": bol_model.param_dict["logM1"] +
+         0.1 * rng.normal(size=B)}, (B,), dtype=jnp.float32)
+    [(ngal, xi)] = f(params)
+    assert xi.shape == (B,) + tuple(wp_tabcorr.tpcf_shape)
+
+    import tabcorr_tpu as tt
+    scale = None
+    for i in [0, 5]:
+        m = tt.Zheng07Model(threshold=-18,
+                            redshift=wp_tabcorr.attrs["redshift"])
+        for k in ("logM1",):
+            m.param_dict[k] = float(params[k][i])
+        ngal_i, xi_i = wp_tabcorr.predict(m, check_consistency=False)
+        scale = np.max(np.abs(xi_i)) if scale is None else scale
+        assert np.isclose(float(ngal[i]), ngal_i, rtol=1e-5)
+        np.testing.assert_allclose(np.asarray(xi[i]), xi_i, rtol=1e-4,
+                                   atol=2e-6 * scale)
+
+
+def test_multi_predictor_bundle_engine_matches_xla(wp_tabcorr, bol_model):
+    from tabcorr_tpu.predictor import make_multi_predictor
+
+    f_b = make_multi_predictor([wp_tabcorr, wp_tabcorr], bol_model,
+                               engine="bundle")
+    f_x = make_multi_predictor([wp_tabcorr, wp_tabcorr], bol_model,
+                               engine="xla")
+    params = params_batch(bol_model, {}, (8,), dtype=jnp.float32)
+    out_b = f_b(params)
+    out_x = f_x(params)
+    for (ng_b, xi_b), (ng_x, xi_x) in zip(out_b, out_x):
+        np.testing.assert_allclose(np.asarray(ng_b), np.asarray(ng_x),
+                                   rtol=1e-5)
+        np.testing.assert_allclose(
+            np.asarray(xi_b), np.asarray(xi_x), rtol=1e-4,
+            atol=2e-6 * float(np.max(np.abs(np.asarray(xi_x)))))

@@ -15,9 +15,15 @@ def test_zheng07_centrals_formula():
     mass = np.logspace(10, 15, 101)
     got = model.mean_occupation_centrals(prim_haloprop=mass)
     p = model.param_dict
-    want = 0.5 * (1 + erf(
-        (np.log10(mass) - p["logMmin"]) / p["sigma_logM"]))
+    x = (np.log10(mass) - p["logMmin"]) / p["sigma_logM"]
+    # The (1 + erf)/2 form underflows the deep tail in float64 (erf(x)
+    # rounds to -1); the erfc form is the same function evaluated
+    # tail-accurately, so the oracle must use it too.
+    from scipy.special import erfc
+    want = 0.5 * erfc(-x)
     np.testing.assert_allclose(got, want, rtol=1e-12)
+    np.testing.assert_allclose(got, 0.5 * (1 + erf(x)), rtol=1e-9,
+                               atol=1e-12)
     assert np.all(got >= 0) and np.all(got <= 1)
 
 
@@ -176,3 +182,46 @@ def test_functional_model_predicts(request):
     params = params_batch(model, {}, (3,), dtype=jnp.float64)
     ngal_b, wp_b = f(params)
     np.testing.assert_allclose(np.asarray(wp_b[0]), wp, rtol=1e-12)
+
+
+def test_erf_erfc_poly_accuracy():
+    # The Pallas-lowerable polynomial erf/erfc (utils.backend) against
+    # scipy: absolute accuracy everywhere, RELATIVE accuracy on the
+    # complementary tail (what deep-tail halo occupations need).
+    from scipy.special import erf as erf_sp, erfc as erfc_sp
+
+    from tabcorr_tpu.utils.backend import erf_poly, erfc_poly
+
+    x = np.linspace(-6, 6, 200001)
+    assert np.max(np.abs(erf_poly(x) - erf_sp(x))) < 5e-9
+    z = np.linspace(0, 5.9, 100001)
+    rel = np.abs(erfc_poly(z) / erfc_sp(z) - 1)
+    assert rel.max() < 1e-8
+
+
+def test_pallas_lowering_context_switches_erf():
+    import jax.numpy as jnp
+
+    from tabcorr_tpu.utils import backend
+
+    x = jnp.linspace(-3, 3, 64)
+    plain = np.asarray(backend.erf(x))
+    with backend.pallas_lowering():
+        poly = np.asarray(backend.erf(x))
+    np.testing.assert_allclose(poly, plain, atol=1e-6)
+    # numpy inputs keep scipy regardless.
+    assert backend.erf(0.5) == backend.erf(np.float64(0.5))
+
+
+def test_zheng07_centrals_tail_is_relative_accurate():
+    # The erfc form keeps the deep tail; the (1+erf)/2 form would return
+    # exactly 0 below ~1e-17.
+    from scipy.special import erfc
+
+    model = Zheng07Model(threshold=-20)
+    p = model.param_dict
+    mass = 10.0 ** np.array([p["logMmin"] - 5 * p["sigma_logM"]])
+    got = model.mean_occupation_centrals(prim_haloprop=mass)
+    want = 0.5 * erfc(5 / np.sqrt(1))  # x = -5 sigma
+    np.testing.assert_allclose(got, 0.5 * erfc(5.0), rtol=1e-10)
+    assert got[0] > 0
