@@ -162,19 +162,22 @@ def _bundle_table_constants(table: TableData):
       passes of Mosaic HIGHEST; the weights are constants so their split
       is free).
     """
-    if table.mode != AUTO:
-        raise ValueError("The bundle kernel supports auto-mode tables "
-                         "only.")
+    auto = table.mode == AUTO
     nb_real = table.n_bins
     nb = -(-nb_real // 128) * 128
     n_xi = table.tpcf_dense.shape[0]
     n_gauss = table.log_prim_quad.shape[1]
     nc = table.n_centrals
 
-    dense = jnp.zeros((n_xi, nb, nb), jnp.float32)
-    dense = dense.at[:, :nb_real, :nb_real].set(
-        table.tpcf_dense.astype(jnp.float32))
-    f2 = jnp.transpose(dense, (2, 0, 1)).reshape(nb, n_xi * nb)
+    if auto:
+        dense = jnp.zeros((n_xi, nb, nb), jnp.float32)
+        dense = dense.at[:, :nb_real, :nb_real].set(
+            table.tpcf_dense.astype(jnp.float32))
+        f2 = jnp.transpose(dense, (2, 0, 1)).reshape(nb, n_xi * nb)
+    else:
+        f2 = jnp.zeros((nb, n_xi), jnp.float32)
+        f2 = f2.at[:nb_real].set(
+            jnp.transpose(table.tpcf_dense, (1, 0)).astype(jnp.float32))
 
     def segment(lo, hi):
         length = (hi - lo) * n_gauss
@@ -198,7 +201,8 @@ def _bundle_table_constants(table: TableData):
 
     logm_c, sec_c, wqc_hi, wqc_lo = segment(0, nc)
     logm_s, sec_s, wqs_hi, wqs_lo = segment(nc, nb_real)
-    return dict(nb=nb, n_xi=n_xi, tpcf_shape=tuple(table.tpcf_shape),
+    return dict(nb=nb, n_xi=n_xi, auto=auto,
+                tpcf_shape=tuple(table.tpcf_shape),
                 arrays=(f2, logm_c, sec_c, wqc_hi, wqc_lo,
                         logm_s, sec_s, wqs_hi, wqs_lo))
 
@@ -211,8 +215,8 @@ def make_fused_bundle_predictor(tables, occupation_cen, occupation_sat,
     Parameters
     ----------
     tables : sequence of TableData
-        Auto-mode tabulations sharing the same parameter set (their halo
-        binnings may differ).
+        Tabulations (auto or cross mode) sharing the same parameter set
+        (their halo binnings may differ).
     occupation_cen, occupation_sat : callables
         ``f(params dict, log_prim, sec) -> occupation`` pure functions;
         traced into the kernel with the Pallas-lowerable erf/erfc
@@ -267,11 +271,14 @@ def make_fused_bundle_predictor(tables, occupation_cen, occupation_sat,
             t = jnp.dot(ngal, f2, preferred_element_type=jnp.float32,
                         precision=mxu_precision)
             nb, n_xi = cfg["nb"], cfg["n_xi"]
-            cols = [jnp.sum(t[:, k * nb:(k + 1) * nb] * ngal, axis=-1)
-                    for k in range(n_xi)]
             outs[2 * j][:] = total[:, None]
-            outs[2 * j + 1][:] = (jnp.stack(cols, axis=-1) /
-                                  (total * total)[:, None])
+            if cfg["auto"]:
+                cols = [jnp.sum(t[:, k * nb:(k + 1) * nb] * ngal, axis=-1)
+                        for k in range(n_xi)]
+                outs[2 * j + 1][:] = (jnp.stack(cols, axis=-1) /
+                                      (total * total)[:, None])
+            else:
+                outs[2 * j + 1][:] = t / total[:, None]
 
     def predict_batch(params):
         any_param = next(iter(params.values()))

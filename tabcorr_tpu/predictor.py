@@ -324,23 +324,22 @@ def make_multi_predictor(objs, model, n_gauss=10, dtype=jnp.float32,
     statistics for the same parameter batch in one jitted call — the shape
     of a full multi-probe MCMC likelihood evaluation.
 
-    ``engine='bundle'`` (the default on TPU when every object is an
-    auto-mode TabCorr) runs the whole bundle — occupation quadrature and
+    ``engine='bundle'`` (the default on TPU when every object is a
+    float32 TabCorr) runs the whole bundle — occupation quadrature and
     all contractions — in ONE Pallas kernel per batch tile
     (:func:`~.ops.fused.make_fused_bundle_predictor`), the flagship hot
     path; 'xla' composes per-table predictors.
     """
     bundle_eligible = (
         jnp.dtype(dtype) == jnp.dtype(jnp.float32) and
-        all(isinstance(obj, TabCorr) and obj.mode == "auto"
-            for obj in objs))
+        all(isinstance(obj, TabCorr) for obj in objs))
     if engine == "auto":
         engine = ("bundle" if bundle_eligible and
                   jax.default_backend() == "tpu" else "xla")
     if engine == "bundle":
         if not bundle_eligible:
             raise ValueError("engine='bundle' requires float32 and "
-                             "auto-mode TabCorr objects.")
+                             "TabCorr objects.")
         from .ops.fused import make_fused_bundle_predictor
         tables = [obj.table_data(n_gauss=n_gauss, dtype=dtype)
                   for obj in objs]

@@ -121,3 +121,21 @@ def test_multi_predictor_bundle_engine_matches_xla(wp_tabcorr, bol_model):
         np.testing.assert_allclose(
             np.asarray(xi_b), np.asarray(xi_x), rtol=1e-4,
             atol=2e-6 * float(np.max(np.abs(np.asarray(xi_x)))))
+
+
+def test_bundle_cross_mode_matches_host(ds_tabcorr, bol_model):
+    # Cross-mode (delta-sigma) table through the bundle kernel: the
+    # wp+xi+ds joint-likelihood shape.
+    from tabcorr_tpu.ops.fused import make_fused_bundle_predictor
+
+    tables = [ds_tabcorr.table_data(n_gauss=10, dtype=jnp.float32)]
+    f = make_fused_bundle_predictor(
+        tables, *occupation_functions(bol_model),
+        tuple(bol_model.param_dict.keys()), batch_tile=8, interpret=True)
+    params = params_batch(bol_model, {}, (8,), dtype=jnp.float32)
+    [(ngal, ds)] = f(params)
+    ngal_h, ds_h = ds_tabcorr.predict(bol_model, check_consistency=False)
+    assert np.isclose(float(ngal[0]), ngal_h, rtol=1e-5)
+    np.testing.assert_allclose(
+        np.asarray(ds[0]), ds_h, rtol=1e-4,
+        atol=2e-6 * float(np.max(np.abs(ds_h))))
