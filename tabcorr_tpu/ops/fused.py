@@ -147,7 +147,33 @@ def make_fused_predictor(table: TableData, occupation_cen, occupation_sat,
     return predict_batch
 
 
-def _bundle_table_constants(table: TableData):
+# MXU pass-count tiers for float32 matmul operands, and conservative
+# per-pass relative-error constants measured against float64 on v5e
+# (DEFAULT = single bf16 pass ~1e-3 relative, HIGH = 3-pass split
+# ~2.5e-6, HIGHEST = 6-pass = full float32).  The constants carry a
+# 3-4x safety factor over the measured values.
+_PASS_RELERR = ((1, 3e-3), (3, 1e-5), (6, 0.0))
+_PASS_PRECISION = {1: jax.lax.Precision.DEFAULT,
+                   3: jax.lax.Precision.HIGH,
+                   6: jax.lax.Precision.HIGHEST}
+
+
+def _row_pass_classes(dense, tol):
+    """Minimal MXU pass count per statistic row under a *scaled* error
+    budget: row k's scaled error is bounded by c_p * max|F_k|/max|F|
+    (the per-pass relative error applies to the row's own magnitude,
+    which the table's row-amplitude ratio bounds; verified against
+    float64 simulation on the production xi_0/2/4 tables).  ``tol`` is
+    the scaled-error budget per row (the caller passes target/margin).
+    """
+    row_amp = np.max(np.abs(np.asarray(dense)), axis=(1, 2))
+    m = row_amp / max(row_amp.max(), 1e-300)
+    return np.array([min((p for p, c in _PASS_RELERR if c * mk <= tol),
+                         default=6) for mk in m])
+
+
+def _bundle_table_constants(table: TableData, error_model="elementwise",
+                            tol=1e-6, margin=30.0):
     """Per-table device constants for the bundle kernel.
 
     * ``f2``: the dense matrices stacked for the one-matmul contraction,
@@ -161,6 +187,17 @@ def _bundle_table_constants(table: TableData):
       the in-kernel 3-pass matmul (full-f32-grade accuracy at half the
       passes of Mosaic HIGHEST; the weights are constants so their split
       is free).
+
+    ``error_model`` selects the contraction accuracy contract:
+    ``"elementwise"`` (every output element <1e-6 relative -> all rows
+    at 6-pass float32) or ``"scaled"`` (error budget relative to the
+    statistic's LARGEST element, the natural contract for multi-scale
+    statistics like xi_ell whose smallest entries are ~1e-7 of the
+    largest; small-amplitude rows then use fewer MXU passes, chosen by
+    :func:`_row_pass_classes` with a ``margin``-fold safety factor).
+    Rows are permuted so equal-pass groups are contiguous;
+    ``row_perm``/``row_inv_perm`` record the permutation (outputs are
+    unpermuted outside the kernel).
     """
     auto = table.mode == AUTO
     nb_real = table.n_bins
@@ -169,15 +206,48 @@ def _bundle_table_constants(table: TableData):
     n_gauss = table.log_prim_quad.shape[1]
     nc = table.n_centrals
 
+    if auto and error_model == "scaled":
+        passes = _row_pass_classes(table.tpcf_dense, tol / margin)
+    else:
+        passes = np.full(n_xi, 6, dtype=np.int64)
+    # stable sort: 6-pass rows first, then 3, then 1
+    row_perm = np.argsort(-passes, kind="stable")
+    row_inv_perm = np.argsort(row_perm)
+    groups = []
+    for p in (6, 3, 1):
+        count = int(np.sum(passes == p))
+        if count:
+            groups.append((p, count))
+
     if auto:
         dense = jnp.zeros((n_xi, nb, nb), jnp.float32)
         dense = dense.at[:, :nb_real, :nb_real].set(
-            table.tpcf_dense.astype(jnp.float32))
+            table.tpcf_dense.astype(jnp.float32)[row_perm])
         f2 = jnp.transpose(dense, (2, 0, 1)).reshape(nb, n_xi * nb)
     else:
         f2 = jnp.zeros((nb, n_xi), jnp.float32)
         f2 = f2.at[:nb_real].set(
             jnp.transpose(table.tpcf_dense, (1, 0)).astype(jnp.float32))
+
+    # Per-pass-group matrix blocks.  Mosaic supports only DEFAULT and
+    # HIGHEST dot precisions in-kernel, so the 3-pass tier is hand-rolled
+    # from precomputed bf16 hi/lo halves of the (static) block — the
+    # split is free — and a 2-way in-kernel split of ngal; the 1-pass
+    # tier stores the block directly in bf16.
+    f_blocks = []
+    col = 0
+    for p, count in groups:
+        width = count * nb if auto else count
+        block = f2[:, col:col + width]
+        col += width
+        if p == 6:
+            f_blocks.append((block,))
+        elif p == 3:
+            hi = block.astype(jnp.bfloat16)
+            lo = (block - hi.astype(jnp.float32)).astype(jnp.bfloat16)
+            f_blocks.append((hi, lo))
+        else:
+            f_blocks.append((block.astype(jnp.bfloat16),))
 
     def segment(lo, hi):
         length = (hi - lo) * n_gauss
@@ -201,15 +271,20 @@ def _bundle_table_constants(table: TableData):
 
     logm_c, sec_c, wqc_hi, wqc_lo = segment(0, nc)
     logm_s, sec_s, wqs_hi, wqs_lo = segment(nc, nb_real)
+    flat_blocks = tuple(a for blk in f_blocks for a in blk)
     return dict(nb=nb, n_xi=n_xi, auto=auto,
                 tpcf_shape=tuple(table.tpcf_shape),
-                arrays=(f2, logm_c, sec_c, wqc_hi, wqc_lo,
-                        logm_s, sec_s, wqs_hi, wqs_lo))
+                groups=tuple(groups),
+                row_inv_perm=row_inv_perm,
+                n_f_arrays=len(flat_blocks),
+                arrays=flat_blocks + (logm_c, sec_c, wqc_hi, wqc_lo,
+                                      logm_s, sec_s, wqs_hi, wqs_lo))
 
 
 def make_fused_bundle_predictor(tables, occupation_cen, occupation_sat,
                                 param_names, batch_tile=DEFAULT_TILE,
-                                interpret="auto", precision="highest"):
+                                interpret="auto", precision="highest",
+                                accuracy=None):
     """One-kernel multi-statistic predictor (the flagship hot path).
 
     Parameters
@@ -223,6 +298,15 @@ def make_fused_bundle_predictor(tables, occupation_cen, occupation_sat,
         substituted (utils.backend.pallas_lowering).
     param_names : sequence of str
         Names (and kernel order) of the HOD parameters.
+    accuracy : sequence of str, optional
+        Per-table error contract, ``"elementwise"`` (default: every
+        output element accurate to <1e-6 relative, all contraction rows
+        at full-float32 6-pass MXU precision) or ``"scaled"`` (error
+        budget relative to the statistic's largest element; rows whose
+        amplitude is orders of magnitude below the peak use fewer MXU
+        passes — see :func:`_bundle_table_constants`).  ``"scaled"`` is
+        the natural contract for stacked multi-scale statistics such as
+        xi_0/2/4, whose smallest entries sit ~1e-7 below the largest.
 
     Returns
     -------
@@ -232,14 +316,20 @@ def make_fused_bundle_predictor(tables, occupation_cen, occupation_sat,
     if interpret == "auto":
         # Mosaic compiles on TPU only; CPU (tests) uses interpret mode.
         interpret = jax.default_backend() != "tpu"
-    configs = [_bundle_table_constants(t) for t in tables]
+    if accuracy is None:
+        accuracy = ["elementwise"] * len(tables)
+    if len(accuracy) != len(tables):
+        raise ValueError("accuracy must give one contract per table.")
+    for a in accuracy:
+        if a not in ("elementwise", "scaled"):
+            raise ValueError(f"Unknown accuracy contract: {a!r}")
+    configs = [_bundle_table_constants(t, error_model=a)
+               for t, a in zip(tables, accuracy)]
     const_arrays = [a for c in configs for a in c["arrays"]]
     names = tuple(param_names)
     n_names = len(names)
     if n_names > 128:
         raise ValueError("At most 128 parameters supported.")
-    mxu_precision = (jax.lax.Precision.HIGHEST if precision == "highest"
-                     else jax.lax.Precision.DEFAULT)
 
     def quad_matmul(occ, wq_hi, wq_lo):
         # 3-pass bf16 product: (occ_hi + occ_lo) @ (wq_hi + wq_lo) minus
@@ -259,18 +349,55 @@ def make_fused_bundle_predictor(tables, occupation_cen, occupation_sat,
         params = {name: p[:, i:i + 1] for i, name in enumerate(names)}
         at = 0
         for j, cfg in enumerate(configs):
-            (f2, logm_c, sec_c, wqc_hi, wqc_lo,
+            nf = cfg["n_f_arrays"]
+            f_arrays = [r[:] for r in crefs[at:at + nf]]
+            (logm_c, sec_c, wqc_hi, wqc_lo,
              logm_s, sec_s, wqs_hi, wqs_lo) = (
-                r[:] for r in crefs[at:at + 9])
-            at += 9
+                r[:] for r in crefs[at + nf:at + nf + 8])
+            at += nf + 8
             occ_c = occupation_cen(params, logm_c, sec_c)
             occ_s = occupation_sat(params, logm_s, sec_s)
             ngal = (quad_matmul(occ_c, wqc_hi, wqc_lo) +
                     quad_matmul(occ_s, wqs_hi, wqs_lo))
             total = jnp.sum(ngal, axis=-1)
-            t = jnp.dot(ngal, f2, preferred_element_type=jnp.float32,
-                        precision=mxu_precision)
             nb, n_xi = cfg["nb"], cfg["n_xi"]
+            # One contraction per pass-count group (rows pre-permuted so
+            # equal-precision groups are lane-contiguous).  6-pass uses
+            # Mosaic HIGHEST on the f32 block; 3-pass is hand-rolled from
+            # the precomputed bf16 hi/lo halves and a 2-way ngal split
+            # (Mosaic has no HIGH dot precision); 1-pass is a plain bf16
+            # dot.  precision='default' relaxes everything to one pass.
+            ngal_hi = ngal.astype(jnp.bfloat16)
+            ngal_lo = (ngal - ngal_hi.astype(jnp.float32)).astype(
+                jnp.bfloat16)
+            parts = []
+            fat = 0
+            for stored_passes, count in cfg["groups"]:
+                passes = stored_passes if precision == "highest" else 1
+                if passes == 6:
+                    parts.append(jnp.dot(
+                        ngal, f_arrays[fat],
+                        preferred_element_type=jnp.float32,
+                        precision=jax.lax.Precision.HIGHEST))
+                elif passes == 3:
+                    hi, lo = f_arrays[fat], f_arrays[fat + 1]
+                    parts.append(
+                        jnp.dot(ngal_hi, hi,
+                                preferred_element_type=jnp.float32) +
+                        jnp.dot(ngal_hi, lo,
+                                preferred_element_type=jnp.float32) +
+                        jnp.dot(ngal_lo, hi,
+                                preferred_element_type=jnp.float32))
+                else:
+                    block = f_arrays[fat]
+                    if block.dtype != jnp.bfloat16:
+                        block = block.astype(jnp.bfloat16)
+                    parts.append(jnp.dot(
+                        ngal_hi, block,
+                        preferred_element_type=jnp.float32))
+                fat += 2 if stored_passes == 3 else 1
+            t = parts[0] if len(parts) == 1 else jnp.concatenate(
+                parts, axis=-1)
             outs[2 * j][:] = total[:, None]
             if cfg["auto"]:
                 cols = [jnp.sum(t[:, k * nb:(k + 1) * nb] * ngal, axis=-1)
@@ -309,13 +436,18 @@ def make_fused_bundle_predictor(tables, occupation_cen, occupation_sat,
                     jax.ShapeDtypeStruct((padded, w), jnp.float32)
                     for c in configs for w in (1, c["n_xi"])),
                 interpret=interpret,
+                compiler_params=pltpu.CompilerParams(
+                    vmem_limit_bytes=100 * 1024 * 1024),
             )(pmat, *const_arrays)
         results = []
         for j, c in enumerate(configs):
             total = out[2 * j][:batch, 0]
-            xi = out[2 * j + 1][:batch].reshape(
-                (batch,) + c["tpcf_shape"])
-            results.append((total, xi))
+            xi = out[2 * j + 1][:batch]
+            inv = c["row_inv_perm"]
+            if not np.array_equal(inv, np.arange(len(inv))):
+                xi = xi[:, inv]   # undo the pass-group row permutation
+            results.append((total, xi.reshape(
+                (batch,) + c["tpcf_shape"])))
         return results
 
     return jax.jit(predict_batch)

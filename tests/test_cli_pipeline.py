@@ -89,10 +89,22 @@ def test_full_ds_pipeline_and_density_crosscheck(tmp_path, monkeypatch):
     rng = np.random.default_rng(7)
     # 300 ds mass bins need enough halos that every occupied bin draws
     # satellites in the dense mock; a low-mass population keeps the
-    # satellite (tracer) count small enough for CI.
+    # satellite (tracer) count small enough for CI.  Masses are evenly
+    # spaced in log (not drawn) so every (mass, percentile) cell holds
+    # ~n/600 halos: a random draw leaves tail cells with a handful of
+    # halos, and at <N_sat> ~ 1-2 per halo an unlucky Poisson seed then
+    # produces a zero-satellite bin (the reference's
+    # "Increase sats_per_prim_haloprop" RuntimeError, a config error in
+    # production but flakiness here).
     n = 12000
     mdef = "200m"
-    mass = 10.0 ** rng.uniform(13.0, 13.3, n)
+    mass = 10.0 ** (13.15 + 0.3 * (np.arange(n) + 0.5) / n)
+    # The tabulation pads the bin range by +-1e-3 dex (reference
+    # semantics), so the outermost of the 300 mass bins would hold a
+    # single halo; pile extra halos onto the extreme masses so the edge
+    # bins are as well-populated as the interior.
+    mass[:50] = mass[0]
+    mass[-50:] = mass[-1]
     halos = {
         "halo_x": rng.uniform(0, 1050, n),
         "halo_y": rng.uniform(0, 1050, n),
@@ -107,8 +119,13 @@ def test_full_ds_pipeline_and_density_crosscheck(tmp_path, monkeypatch):
         # percentile-conditioned in-bin mass distributions steeper than
         # the distribution-index clamp (n in [-10, 10], same clamp as the
         # reference) can represent, degrading the 1e-4 density check.
+        # The scatter alternates deterministically (not randomly) so the
+        # conditional-percentile split is exactly 50/50 in every mass
+        # neighborhood: random scatter leaves single-halo percentile-edge
+        # cells, and at <N_sat> ~ 1.4 one such halo drawing Poisson zero
+        # satellites aborts the tabulation.
         "halo_vmax": 400 * (mass / 1e14) ** 0.3 *
-        np.exp(0.5 * rng.normal(size=n)),
+        np.where(np.arange(n) % 2 == 0, 0.625, 1.6),
     }
     # Small particle set: the structural and density checks don't need
     # pair-count statistics, only the full pipeline machinery to run.

@@ -1,5 +1,7 @@
 """Pallas fused predict kernel vs the XLA path (interpret mode on CPU)."""
 
+from pathlib import Path
+
 import jax.numpy as jnp
 import numpy as np
 import pytest
@@ -139,3 +141,39 @@ def test_bundle_cross_mode_matches_host(ds_tabcorr, bol_model):
     np.testing.assert_allclose(
         np.asarray(ds[0]), ds_h, rtol=1e-4,
         atol=2e-6 * float(np.max(np.abs(ds_h))))
+
+
+def test_bundle_scaled_accuracy_contract(bol_model):
+    # The 'scaled' per-table contract assigns low-amplitude statistic rows
+    # fewer MXU passes (bf16 splits emulated faithfully in interpret
+    # mode).  The xi_0/2/4 bench tabulation spans ~7 decades of row
+    # amplitude, so multiple pass groups must appear, outputs must come
+    # back in the original row order, and the result must stay within the
+    # 1e-6-scaled budget of the f64 host path.
+    import tabcorr_tpu as tt
+    from tabcorr_tpu.ops.fused import (_bundle_table_constants,
+                                       make_fused_bundle_predictor)
+    from tabcorr_tpu.predictor import occupation_functions, params_batch
+
+    path = (Path(__file__).absolute().parent / "data" / "examples" /
+            "synthetic_xi_ell.hdf5")
+    xi_tab = tt.TabCorr.read(path)
+    model = tt.Zheng07Model(threshold=-18,
+                            redshift=xi_tab.attrs["redshift"])
+    table = xi_tab.table_data(n_gauss=10, dtype=jnp.float32)
+
+    cfg = _bundle_table_constants(table, error_model="scaled")
+    assert len(cfg["groups"]) >= 2            # class machinery engaged
+    assert sum(c for _, c in cfg["groups"]) == cfg["n_xi"]
+    assert sorted(cfg["row_inv_perm"]) == list(range(cfg["n_xi"]))
+
+    f = make_fused_bundle_predictor(
+        [table], *occupation_functions(model),
+        tuple(model.param_dict.keys()), batch_tile=8, interpret=True,
+        accuracy=("scaled",))
+    params = params_batch(model, {}, (8,), dtype=jnp.float32)
+    [(ngal, xi)] = f(params)
+    ngal_h, xi_h = xi_tab.predict(model, check_consistency=False)
+    scale = float(np.max(np.abs(xi_h)))
+    assert np.isclose(float(ngal[0]), ngal_h, rtol=1e-5)
+    assert np.max(np.abs(np.asarray(xi[0]) - xi_h)) < 1e-6 * scale
