@@ -317,7 +317,7 @@ def make_predictor(obj, model, n_gauss=10, dtype=jnp.float32,
 
 
 def make_multi_predictor(objs, model, n_gauss=10, dtype=jnp.float32,
-                         jit=True, engine="auto"):
+                         jit=True, engine="auto", accuracy=None):
     """Joint predictor over several tabulations (e.g. wp + xi_0/2/4 + ds).
 
     Returns ``f(params dict of (B,)) -> list of (ngal, xi)`` evaluating all
@@ -328,7 +328,9 @@ def make_multi_predictor(objs, model, n_gauss=10, dtype=jnp.float32,
     float32 TabCorr) runs the whole bundle — occupation quadrature and
     all contractions — in ONE Pallas kernel per batch tile
     (:func:`~.ops.fused.make_fused_bundle_predictor`), the flagship hot
-    path; 'xla' composes per-table predictors.
+    path; 'xla' composes per-table predictors.  ``accuracy`` optionally
+    gives one error contract per table ('elementwise' or 'scaled', see
+    the bundle docstring); it applies to the bundle engine only.
     """
     bundle_eligible = (
         jnp.dtype(dtype) == jnp.dtype(jnp.float32) and
@@ -345,7 +347,8 @@ def make_multi_predictor(objs, model, n_gauss=10, dtype=jnp.float32,
                   for obj in objs]
         return make_fused_bundle_predictor(
             tables, *occupation_functions(model),
-            tuple(model.param_dict.keys()))
+            tuple(model.param_dict.keys()), batch_tile=512,
+            accuracy=accuracy)
 
     fns = [make_predictor(obj, model, n_gauss=n_gauss, dtype=dtype,
                           jit=False) for obj in objs]
