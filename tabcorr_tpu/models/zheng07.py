@@ -46,8 +46,14 @@ def zheng07_centrals(params, log_prim_haloprop):
     exact arithmetic, but the erf form loses the deep tail (N_cen -> 0)
     to float32 cancellation against 1, and tail bins carry the largest
     halo densities (see utils.backend.erfc).
+
+    The standardization multiplies by a precomputed 1/sigma instead of
+    dividing: inside the batched Pallas kernel the division would run on
+    the broadcast (batch, nodes) array, while the reciprocal runs on the
+    (batch, 1) parameter column.
     """
-    x = (log_prim_haloprop - params["logMmin"]) / params["sigma_logM"]
+    inv_sigma = 1.0 / params["sigma_logM"]
+    x = (log_prim_haloprop - params["logMmin"]) * inv_sigma
     return 0.5 * erfc(-x)
 
 
@@ -58,11 +64,22 @@ def zheng07_satellites(params, log_prim_haloprop, modulate_with_cenocc=False):
     log_m0 = params["logM0"]
     # log10(M - M0), computed stably in log space; clamp the argument of
     # log1p away from -1 so value *and gradient* stay finite even when a
-    # node mass sits within one ulp of M0 (in float32, 10**(logM0 - logM)
+    # node mass sits within one ulp of M0 (in float32, the ratio M0/M
     # can round to exactly 1.0 just above the kink, and the unclamped
     # log1p gradient is then inf * 0 = NaN).
+    #
+    # The ratio is the product 10**(-logM) * 10**logM0 rather than
+    # 10**(logM0 - logM): the two factors depend on only ONE of
+    # (node grid, parameter batch) each, so inside the batched Pallas
+    # kernel both exponentials evaluate on small arrays — (1, nodes) and
+    # (batch, 1) — and only the multiply touches the broadcast
+    # (batch, nodes) array.  (Nodes within ~1e-6 of the kink see the
+    # extra rounding amplified by the log1p, but their occupation is a
+    # ~1e-6^alpha fraction of neighboring nodes' and the float64 host
+    # oracle uses the identical expression, so tabulated and predicted
+    # statistics are unaffected at the 1e-6 contract.)
     eps = 1e-12 if xp.asarray(log_m).dtype == xp.float64 else 1e-6
-    ratio = xp.minimum(10.0 ** (log_m0 - log_m), 1.0 - eps)
+    ratio = xp.minimum((10.0 ** (-log_m)) * (10.0 ** log_m0), 1.0 - eps)
     log_diff = log_m + xp.log1p(-ratio) / _LN10
     nsat = xp.exp(_LN10 * params["alpha"] * (log_diff - params["logM1"]))
     nsat = xp.where(log_m > log_m0, nsat, 0.0)
