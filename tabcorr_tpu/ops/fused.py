@@ -40,13 +40,18 @@ DEFAULT_TILE = 256
 
 
 def make_fused_contraction(table: TableData, batch_tile=DEFAULT_TILE,
-                           interpret=False, precision="highest"):
+                           interpret=False, precision="highest",
+                           error_model="elementwise"):
     """Fused contraction: ``ngal (B, n_bins) -> (total (B,), xi (B, n_xi))``.
 
     B must be a multiple of ``batch_tile`` (callers pad).
     ``precision='highest'`` (default) keeps the MXU matmul at full float32
-    effective precision (<1e-6 relative, 3 bf16 passes); ``'default'``
-    uses the single-pass bf16 MXU mode (~1e-3 relative, ~1.5x faster).
+    effective precision (<1e-6 relative); ``'default'`` uses the
+    single-pass bf16 MXU mode (~1e-3 relative, ~1.5x faster).
+    ``error_model='scaled'`` budgets error against the statistic's
+    largest element, letting low-amplitude rows contract at fewer MXU
+    passes (see :func:`_row_pass_classes`); ``'elementwise'`` keeps every
+    row at full precision.
     """
     n_bins = table.n_bins
     # Pad the bin axis to a lane multiple (128): Mosaic only lowers the
@@ -57,28 +62,76 @@ def make_fused_contraction(table: TableData, batch_tile=DEFAULT_TILE,
     auto = table.mode == AUTO
     dtype = table.tpcf_dense.dtype
 
+    if auto and error_model == "scaled" and precision == "highest":
+        passes = _row_pass_classes(table.tpcf_dense, 1e-6 / 30.0)
+    else:
+        passes = np.full(n_xi, 6, dtype=np.int64)
+    row_perm = np.argsort(-passes, kind="stable")
+    row_inv_perm = np.argsort(row_perm)
+    groups = [(p, int(np.sum(passes == p))) for p in (6, 3, 1)
+              if np.any(passes == p)]
+
     # (nb_pad, n_xi * nb_pad) in auto mode so T = N @ F2 is one MXU
     # matmul; (nb_pad, n_xi) in cross mode.
     if auto:
         dense = jnp.zeros((n_xi, nb_pad, nb_pad), dtype=dtype)
-        dense = dense.at[:, :n_bins, :n_bins].set(table.tpcf_dense)
+        dense = dense.at[:, :n_bins, :n_bins].set(
+            table.tpcf_dense[np.asarray(row_perm)])
         f2 = jnp.transpose(dense, (2, 0, 1)).reshape(
             nb_pad, n_xi * nb_pad)
     else:
         f2 = jnp.zeros((nb_pad, n_xi), dtype=dtype)
         f2 = f2.at[:n_bins].set(jnp.transpose(table.tpcf_dense, (1, 0)))
 
-    mxu_precision = (jax.lax.Precision.HIGHEST if precision == "highest"
-                     else jax.lax.Precision.DEFAULT)
+    f_blocks = []
+    col = 0
+    for p, count in groups:
+        width = count * nb_pad if auto else count
+        block = f2[:, col:col + width]
+        col += width
+        if p == 6:
+            f_blocks.append((block,))
+        elif p == 3:
+            hi = block.astype(jnp.bfloat16)
+            lo = (block - hi.astype(dtype)).astype(jnp.bfloat16)
+            f_blocks.append((hi, lo))
+        else:
+            f_blocks.append((block.astype(jnp.bfloat16),))
+    flat_blocks = tuple(a for blk in f_blocks for a in blk)
 
-    def kernel(ngal_ref, f2_ref, total_out, xi_out):
+    def kernel(ngal_ref, *rest):
+        f_arrays = [r[:] for r in rest[:len(flat_blocks)]]
+        total_out, xi_out = rest[len(flat_blocks):]
         ngal = ngal_ref[:]                              # (TB, nb_pad)
         total = jnp.sum(ngal, axis=-1)
         total_out[:] = total[:, None]
-        # HIGHEST: f32 inputs on the MXU default to one bf16 pass
-        # (~1e-3 relative); three-pass keeps the <1e-6 accuracy target.
-        t = jnp.dot(ngal, f2_ref[:], preferred_element_type=dtype,
-                    precision=mxu_precision)
+        ngal_hi = ngal.astype(jnp.bfloat16)
+        ngal_lo = (ngal - ngal_hi.astype(dtype)).astype(jnp.bfloat16)
+        parts = []
+        fat = 0
+        for stored_passes, count in groups:
+            p = stored_passes if precision == "highest" else 1
+            if p == 6:
+                # HIGHEST: f32 inputs on the MXU default to one bf16 pass
+                # (~1e-3 relative); the 6-pass split keeps <1e-6.
+                parts.append(jnp.dot(
+                    ngal, f_arrays[fat], preferred_element_type=dtype,
+                    precision=jax.lax.Precision.HIGHEST))
+            elif p == 3:
+                hi, lo = f_arrays[fat], f_arrays[fat + 1]
+                parts.append(
+                    jnp.dot(ngal_hi, hi, preferred_element_type=dtype) +
+                    jnp.dot(ngal_hi, lo, preferred_element_type=dtype) +
+                    jnp.dot(ngal_lo, hi, preferred_element_type=dtype))
+            else:
+                block = f_arrays[fat]
+                if block.dtype != jnp.bfloat16:
+                    block = block.astype(jnp.bfloat16)
+                parts.append(jnp.dot(ngal_hi, block,
+                                     preferred_element_type=dtype))
+            fat += 2 if stored_passes == 3 else 1
+        t = parts[0] if len(parts) == 1 else jnp.concatenate(
+            parts, axis=-1)
         if auto:
             t = t.reshape(ngal.shape[0], n_xi, nb_pad)
             xi = jnp.sum(t * ngal[:, None, :], axis=-1)
@@ -95,9 +148,10 @@ def make_fused_contraction(table: TableData, batch_tile=DEFAULT_TILE,
             grid=grid,
             in_specs=[
                 pl.BlockSpec((batch_tile, nb_pad), lambda i: (i, 0),
-                             memory_space=pltpu.VMEM),
-                pl.BlockSpec(f2.shape, lambda i: (0, 0),
-                             memory_space=pltpu.VMEM)],
+                             memory_space=pltpu.VMEM)] +
+                     [pl.BlockSpec(a.shape, lambda i: (0, 0),
+                                   memory_space=pltpu.VMEM)
+                      for a in flat_blocks],
             out_specs=(
                 pl.BlockSpec((batch_tile, 1), lambda i: (i, 0),
                              memory_space=pltpu.VMEM),
@@ -107,7 +161,12 @@ def make_fused_contraction(table: TableData, batch_tile=DEFAULT_TILE,
                 jax.ShapeDtypeStruct((batch, 1), dtype),
                 jax.ShapeDtypeStruct((batch, n_xi), dtype)),
             interpret=interpret,
-        )(ngal, f2)
+            compiler_params=pltpu.CompilerParams(
+                vmem_limit_bytes=100 * 1024 * 1024),
+        )(ngal, *flat_blocks)
+        if auto and not np.array_equal(row_inv_perm,
+                                       np.arange(n_xi)):
+            xi = xi[:, np.asarray(row_inv_perm)]
         return total[:, 0], xi
 
     return contract
@@ -115,16 +174,19 @@ def make_fused_contraction(table: TableData, batch_tile=DEFAULT_TILE,
 
 def make_fused_predictor(table: TableData, occupation_cen, occupation_sat,
                          param_names=None, batch_tile=DEFAULT_TILE,
-                         interpret=False, precision="highest"):
+                         interpret=False, precision="highest",
+                         error_model="elementwise"):
     """Fused batched predictor ``f(params dict of (B,)) -> (ngal, xi)``.
 
     XLA occupation quadrature + Pallas VMEM-resident contraction.  The
     batch is padded to a ``batch_tile`` multiple internally.  See
-    :func:`make_fused_contraction` for the ``precision`` trade-off.
+    :func:`make_fused_contraction` for the ``precision`` and
+    ``error_model`` trade-offs.
     """
     contract = make_fused_contraction(table, batch_tile=batch_tile,
                                       interpret=interpret,
-                                      precision=precision)
+                                      precision=precision,
+                                      error_model=error_model)
     dtype = table.tpcf_dense.dtype
 
     @jax.jit

@@ -177,7 +177,7 @@ def _spline_over_grid(params, keys, xp_dev, a_dev, grid_shape, values,
 
 
 def _interpolator_fused_predict_fn(interp, model, n_gauss, dtype,
-                                   extrapolate):
+                                   extrapolate, accuracy="elementwise"):
     """Fused-engine Interpolator path (single shared halo binning).
 
     All grid nodes' dense matrices stack along the statistic axis, so the
@@ -204,7 +204,7 @@ def _interpolator_fused_predict_fn(interp, model, n_gauss, dtype,
         mode=base.mode, tpcf_shape=(n_nodes * n_xi,),
         n_centrals=base.n_centrals)
 
-    contract = make_fused_contraction(stacked)
+    contract = make_fused_contraction(stacked, error_model=accuracy)
     occ_cen, occ_sat = occupation_functions(model)
     keys = tuple(interp.keys)
     xp_dev = [jnp.asarray(xp, dtype=dtype) for xp in interp.xp]
@@ -241,7 +241,8 @@ def _interpolator_fused_predict_fn(interp, model, n_gauss, dtype,
 
 def make_predictor(obj, model, n_gauss=10, dtype=jnp.float32,
                    separate_gal_type=False, vectorized=True, jit=True,
-                   engine="auto", extrapolate=False):
+                   engine="auto", extrapolate=False,
+                   accuracy="elementwise"):
     """Build a batched prediction function for a tabulation or interpolator.
 
     Parameters
@@ -272,6 +273,12 @@ def make_predictor(obj, model, n_gauss=10, dtype=jnp.float32,
         NaN for parameters outside the grid — pair with a log posterior
         that maps non-finite predictions to -inf.  True clamps to the
         edge splines.
+    accuracy : str, optional
+        Fused-engine error contract: 'elementwise' (default; every output
+        element <1e-6 relative, all contraction rows at 6-pass float32) or
+        'scaled' (error budget relative to the statistic's largest
+        element; low-amplitude rows contract at fewer MXU passes — the
+        natural contract for stacked multi-scale statistics).
 
     Returns
     -------
@@ -298,10 +305,12 @@ def make_predictor(obj, model, n_gauss=10, dtype=jnp.float32,
                 "binning).")
         if isinstance(obj, Interpolator):
             return _interpolator_fused_predict_fn(obj, model, n_gauss,
-                                                  dtype, extrapolate)
+                                                  dtype, extrapolate,
+                                                  accuracy)
         from .ops.fused import make_fused_predictor
         table = obj.table_data(n_gauss=n_gauss, dtype=dtype)
-        return make_fused_predictor(table, *occupation_functions(model))
+        return make_fused_predictor(table, *occupation_functions(model),
+                                    error_model=accuracy)
 
     if isinstance(obj, Interpolator):
         one = _interpolator_predict_fn(obj, model, n_gauss, dtype,
