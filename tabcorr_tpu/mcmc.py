@@ -24,7 +24,8 @@ import jax
 import jax.numpy as jnp
 
 
-def _stretch_half(key, active, passive, log_prob_active, log_prob_fn, a):
+def _stretch_half(key, active, passive, log_prob_active, log_prob_fn, a,
+                  vectorized=False):
     """Goodman & Weare stretch move of ``active`` against ``passive``."""
     n_active = active.shape[0]
     key_z, key_pick, key_accept = jax.random.split(key, 3)
@@ -36,7 +37,8 @@ def _stretch_half(key, active, passive, log_prob_active, log_prob_fn, a):
     picks = jax.random.randint(key_pick, (n_active,), 0, passive.shape[0])
     proposal = passive[picks] + z[:, None] * (active - passive[picks])
 
-    log_prob_prop = jax.vmap(log_prob_fn)(proposal)
+    log_prob_prop = (log_prob_fn(proposal) if vectorized
+                     else jax.vmap(log_prob_fn)(proposal))
     n_dim = active.shape[1]
     log_accept = ((n_dim - 1.0) * jnp.log(z) +
                   log_prob_prop - log_prob_active)
@@ -47,7 +49,8 @@ def _stretch_half(key, active, passive, log_prob_active, log_prob_fn, a):
     return new, new_log_prob, accept
 
 
-def ensemble_step(key, walkers, log_prob, log_prob_fn, a=2.0):
+def ensemble_step(key, walkers, log_prob, log_prob_fn, a=2.0,
+                  vectorized=False):
     """One stretch-move step over all walkers (two-half scheme).
 
     Parameters
@@ -55,7 +58,9 @@ def ensemble_step(key, walkers, log_prob, log_prob_fn, a=2.0):
     key : jax.random key
     walkers : (n_walkers, n_dim)
     log_prob : (n_walkers,) current log probabilities
-    log_prob_fn : callable (n_dim,) -> scalar, pure
+    log_prob_fn : callable (n_dim,) -> scalar, pure; with
+        ``vectorized=True``, callable (B, n_dim) -> (B,) evaluated on the
+        whole half-ensemble at once (e.g. a Pallas bundle likelihood)
     a : float, stretch scale parameter
 
     Returns
@@ -69,9 +74,9 @@ def ensemble_step(key, walkers, log_prob, log_prob_fn, a=2.0):
     lp_first, lp_second = log_prob[:n], log_prob[n:]
 
     first, lp_first, acc_1 = _stretch_half(
-        key_1, first, second, lp_first, log_prob_fn, a)
+        key_1, first, second, lp_first, log_prob_fn, a, vectorized)
     second, lp_second, acc_2 = _stretch_half(
-        key_2, second, first, lp_second, log_prob_fn, a)
+        key_2, second, first, lp_second, log_prob_fn, a, vectorized)
 
     walkers = jnp.concatenate([first, second])
     log_prob = jnp.concatenate([lp_first, lp_second])
@@ -79,9 +84,16 @@ def ensemble_step(key, walkers, log_prob, log_prob_fn, a=2.0):
     return walkers, log_prob, accept
 
 
-@partial(jax.jit, static_argnames=("log_prob_fn", "n_steps", "thin"))
-def run_ensemble(key, log_prob_fn, walkers0, n_steps, a=2.0, thin=1):
+@partial(jax.jit, static_argnames=("log_prob_fn", "n_steps", "thin",
+                                   "vectorized"))
+def run_ensemble(key, log_prob_fn, walkers0, n_steps, a=2.0, thin=1,
+                 vectorized=False):
     """Run the stretch-move ensemble sampler.
+
+    ``vectorized=True`` treats ``log_prob_fn`` as a batched
+    (B, n_dim) -> (B,) likelihood (e.g. built by
+    :func:`make_gaussian_logpost_batched` around the Pallas bundle
+    predictor) and evaluates each half-ensemble in one call.
 
     Returns
     -------
@@ -89,14 +101,16 @@ def run_ensemble(key, log_prob_fn, walkers0, n_steps, a=2.0, thin=1):
     log_prob : (n_steps // thin, n_walkers)
     accept_fraction : scalar, mean over all steps
     """
-    log_prob = jax.vmap(log_prob_fn)(walkers0)
+    log_prob = (log_prob_fn(walkers0) if vectorized
+                else jax.vmap(log_prob_fn)(walkers0))
 
     def body(carry, key_step):
         walkers, log_prob = carry
 
         def inner(carry_inner, key_inner):
             w, lp = carry_inner
-            w, lp, acc = ensemble_step(key_inner, w, lp, log_prob_fn, a)
+            w, lp, acc = ensemble_step(key_inner, w, lp, log_prob_fn, a,
+                                       vectorized)
             return (w, lp), acc
 
         keys = jax.random.split(key_step, thin)
@@ -421,6 +435,53 @@ def run_nuts(key, log_prob_fn, positions0, n_warmup, n_steps,
     _, (chain, chain_lp, depths) = jax.lax.scan(
         body, positions, jax.random.split(key_sample, n_steps))
     return chain, chain_lp, depths.mean(), step_size
+
+
+def make_gaussian_logpost_batched(predict_all, param_names, base_params,
+                                  data_list, inv_cov_list, bounds=None,
+                                  ngal_data=None, ngal_sigma=None):
+    """Batched Gaussian log posterior over several statistics at once.
+
+    ``predict_all`` is a batch-native multi-statistic predictor (dict of
+    (B,) arrays -> list of (ngal (B,), xi (B, ...))), e.g. from
+    :func:`~.predictor.make_multi_predictor` with the Pallas bundle
+    engine; ``data_list``/``inv_cov_list`` give one data vector and
+    inverse covariance per statistic.  Returns ``theta (B, n_dim) ->
+    (B,)`` for :func:`run_ensemble` with ``vectorized=True``.  The
+    number-density constraint (``ngal_data``/``ngal_sigma``) uses the
+    first statistic's ngal.
+    """
+    data_list = [jnp.asarray(d).ravel() for d in data_list]
+    inv_cov_list = [jnp.asarray(c) for c in inv_cov_list]
+    names = tuple(param_names)
+
+    def log_prob(theta):
+        batch = theta.shape[0]
+        params = {k: jnp.broadcast_to(v, (batch,))
+                  for k, v in base_params.items()}
+        for i, name in enumerate(names):
+            params[name] = theta[:, i]
+        results = predict_all(params)
+        logp = jnp.zeros(batch, theta.dtype)
+        for (ngal, xi), data, inv_cov in zip(results, data_list,
+                                             inv_cov_list):
+            resid = xi.reshape(batch, -1) - data
+            logp = logp - 0.5 * jnp.einsum("bi,ij,bj->b", resid, inv_cov,
+                                           resid)
+        if ngal_data is not None:
+            ngal0 = results[0][0]
+            logp = logp - 0.5 * ((ngal0 - ngal_data) / ngal_sigma) ** 2
+        logp = jnp.where(jnp.isfinite(logp), logp, -jnp.inf)
+        if bounds is not None:
+            inside = jnp.ones(batch, bool)
+            for i, name in enumerate(names):
+                if name in bounds:
+                    lo, hi = bounds[name]
+                    inside = inside & (theta[:, i] > lo) & (theta[:, i] < hi)
+            logp = jnp.where(inside, logp, -jnp.inf)
+        return logp
+
+    return log_prob
 
 
 def make_gaussian_logpost(predict_fn, param_names, base_params, data,

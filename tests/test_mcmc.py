@@ -172,3 +172,67 @@ def test_nuts_stable_on_heavy_tailed_target():
     # median is robust against the heavy tails.
     med = np.median(np.abs(samples))
     assert 0.5 < med < 1.1, med
+
+
+def test_vectorized_ensemble_matches_per_walker():
+    # vectorized=True with a batched fn must reproduce the per-walker
+    # (vmapped) sampler exactly given the same key.
+    def log_prob_one(theta):
+        return -0.5 * jnp.sum(theta**2)
+
+    def log_prob_batched(thetas):
+        return jax.vmap(log_prob_one)(thetas)
+
+    walkers0 = jnp.asarray(
+        np.random.default_rng(1).normal(size=(16, 3)))
+    key = jax.random.key(9)
+    chain_a, lp_a, acc_a = run_ensemble(key, log_prob_one, walkers0,
+                                        n_steps=20)
+    chain_b, lp_b, acc_b = run_ensemble(key, log_prob_batched, walkers0,
+                                        n_steps=20, vectorized=True)
+    np.testing.assert_array_equal(np.asarray(chain_a), np.asarray(chain_b))
+    np.testing.assert_array_equal(np.asarray(lp_a), np.asarray(lp_b))
+
+
+def test_batched_logpost_matches_sum_of_unbatched(wp_tabcorr, bol_model):
+    # make_gaussian_logpost_batched over [wp, wp] == 2x the single-table
+    # logpost (minus the ngal term counted once), on the XLA multi path.
+    from tabcorr_tpu.mcmc import make_gaussian_logpost_batched
+    from tabcorr_tpu.predictor import make_multi_predictor
+
+    predict_one = make_predictor(wp_tabcorr, bol_model, dtype=jnp.float64,
+                                 vectorized=False, jit=False, engine="xla")
+    base = {k: jnp.float64(v) for k, v in bol_model.param_dict.items()}
+    ngal_true, xi_true = predict_one(base)
+    data = np.asarray(xi_true).ravel()
+    inv_cov = np.diag(1.0 / (0.05 * np.abs(data))**2)
+
+    names = ("logMmin", "logM1")
+    lp_one = make_gaussian_logpost(predict_one, names, base, data, inv_cov,
+                                   ngal_data=float(ngal_true) * 1.1,
+                                   ngal_sigma=float(ngal_true) * 0.2)
+    predict_all = make_multi_predictor([wp_tabcorr, wp_tabcorr], bol_model,
+                                       dtype=jnp.float64, engine="xla",
+                                       jit=False)
+    lp_batched = make_gaussian_logpost_batched(
+        predict_all, names, base, [data, data], [inv_cov, inv_cov],
+        ngal_data=float(ngal_true) * 1.1,
+        ngal_sigma=float(ngal_true) * 0.2)
+
+    rng = np.random.default_rng(3)
+    thetas = jnp.asarray(
+        np.array([bol_model.param_dict[k] for k in names])[None]
+        + 0.05 * rng.normal(size=(6, 2)))
+    got = np.asarray(lp_batched(thetas))
+    chi2_term = np.asarray(jax.vmap(lp_one)(thetas))
+    # lp_one = chi2/2 + ngal term; batched doubles only the chi2 part.
+    def chi2_only(theta):
+        params = dict(base)
+        for i, nm in enumerate(names):
+            params[nm] = theta[i]
+        _, xi = predict_one(params)
+        r = xi.ravel() - data
+        return -0.5 * r @ jnp.asarray(inv_cov) @ r
+    chi2 = np.asarray(jax.vmap(chi2_only)(thetas))
+    ngal_term = chi2_term - chi2
+    np.testing.assert_allclose(got, 2 * chi2 + ngal_term, rtol=1e-10)
