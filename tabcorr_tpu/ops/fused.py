@@ -62,14 +62,8 @@ def make_fused_contraction(table: TableData, batch_tile=DEFAULT_TILE,
     auto = table.mode == AUTO
     dtype = table.tpcf_dense.dtype
 
-    if auto and error_model == "scaled" and precision == "highest":
-        passes = _row_pass_classes(table.tpcf_dense, 1e-6 / 30.0)
-    else:
-        passes = np.full(n_xi, 6, dtype=np.int64)
-    row_perm = np.argsort(-passes, kind="stable")
-    row_inv_perm = np.argsort(row_perm)
-    groups = [(p, int(np.sum(passes == p))) for p in (6, 3, 1)
-              if np.any(passes == p)]
+    groups, row_perm, row_inv_perm = _pass_groups(
+        table.tpcf_dense, auto, error_model, precision)
 
     # (nb_pad, n_xi * nb_pad) in auto mode so T = N @ F2 is one MXU
     # matmul; (nb_pad, n_xi) in cross mode.
@@ -83,21 +77,7 @@ def make_fused_contraction(table: TableData, batch_tile=DEFAULT_TILE,
         f2 = jnp.zeros((nb_pad, n_xi), dtype=dtype)
         f2 = f2.at[:n_bins].set(jnp.transpose(table.tpcf_dense, (1, 0)))
 
-    f_blocks = []
-    col = 0
-    for p, count in groups:
-        width = count * nb_pad if auto else count
-        block = f2[:, col:col + width]
-        col += width
-        if p == 6:
-            f_blocks.append((block,))
-        elif p == 3:
-            hi = block.astype(jnp.bfloat16)
-            lo = (block - hi.astype(dtype)).astype(jnp.bfloat16)
-            f_blocks.append((hi, lo))
-        else:
-            f_blocks.append((block.astype(jnp.bfloat16),))
-    flat_blocks = tuple(a for blk in f_blocks for a in blk)
+    flat_blocks = _split_f_blocks(f2, groups, auto, nb_pad, dtype)
 
     def kernel(ngal_ref, *rest):
         f_arrays = [r[:] for r in rest[:len(flat_blocks)]]
@@ -105,33 +85,7 @@ def make_fused_contraction(table: TableData, batch_tile=DEFAULT_TILE,
         ngal = ngal_ref[:]                              # (TB, nb_pad)
         total = jnp.sum(ngal, axis=-1)
         total_out[:] = total[:, None]
-        ngal_hi = ngal.astype(jnp.bfloat16)
-        ngal_lo = (ngal - ngal_hi.astype(dtype)).astype(jnp.bfloat16)
-        parts = []
-        fat = 0
-        for stored_passes, count in groups:
-            p = stored_passes if precision == "highest" else 1
-            if p == 6:
-                # HIGHEST: f32 inputs on the MXU default to one bf16 pass
-                # (~1e-3 relative); the 6-pass split keeps <1e-6.
-                parts.append(jnp.dot(
-                    ngal, f_arrays[fat], preferred_element_type=dtype,
-                    precision=jax.lax.Precision.HIGHEST))
-            elif p == 3:
-                hi, lo = f_arrays[fat], f_arrays[fat + 1]
-                parts.append(
-                    jnp.dot(ngal_hi, hi, preferred_element_type=dtype) +
-                    jnp.dot(ngal_hi, lo, preferred_element_type=dtype) +
-                    jnp.dot(ngal_lo, hi, preferred_element_type=dtype))
-            else:
-                block = f_arrays[fat]
-                if block.dtype != jnp.bfloat16:
-                    block = block.astype(jnp.bfloat16)
-                parts.append(jnp.dot(ngal_hi, block,
-                                     preferred_element_type=dtype))
-            fat += 2 if stored_passes == 3 else 1
-        t = parts[0] if len(parts) == 1 else jnp.concatenate(
-            parts, axis=-1)
+        t = _grouped_dots(ngal, f_arrays, groups, precision, dtype)
         if auto:
             t = t.reshape(ngal.shape[0], n_xi, nb_pad)
             xi = jnp.sum(t * ngal[:, None, :], axis=-1)
@@ -211,13 +165,10 @@ def make_fused_predictor(table: TableData, occupation_cen, occupation_sat,
 
 # MXU pass-count tiers for float32 matmul operands, and conservative
 # per-pass relative-error constants measured against float64 on v5e
-# (DEFAULT = single bf16 pass ~1e-3 relative, HIGH = 3-pass split
-# ~2.5e-6, HIGHEST = 6-pass = full float32).  The constants carry a
-# 3-4x safety factor over the measured values.
+# (single bf16 pass ~1e-3 relative, 3-pass split ~2.5e-6, 6-pass = full
+# float32).  The constants carry a 3-4x safety factor over the measured
+# values.
 _PASS_RELERR = ((1, 3e-3), (3, 1e-5), (6, 0.0))
-_PASS_PRECISION = {1: jax.lax.Precision.DEFAULT,
-                   3: jax.lax.Precision.HIGH,
-                   6: jax.lax.Precision.HIGHEST}
 
 
 def _row_pass_classes(dense, tol):
@@ -232,6 +183,76 @@ def _row_pass_classes(dense, tol):
     m = row_amp / max(row_amp.max(), 1e-300)
     return np.array([min((p for p, c in _PASS_RELERR if c * mk <= tol),
                          default=6) for mk in m])
+
+
+def _pass_groups(dense, auto, error_model, precision="highest",
+                 tol=1e-6, margin=30.0):
+    """(passes, count) groups and the row permutation making them
+    contiguous (6-pass rows first, then 3, then 1)."""
+    n_xi = dense.shape[0]
+    if auto and error_model == "scaled" and precision == "highest":
+        passes = _row_pass_classes(dense, tol / margin)
+    else:
+        passes = np.full(n_xi, 6, dtype=np.int64)
+    row_perm = np.argsort(-passes, kind="stable")
+    groups = tuple((p, int(np.sum(passes == p))) for p in (6, 3, 1)
+                   if np.any(passes == p))
+    return groups, row_perm, np.argsort(row_perm)
+
+
+def _split_f_blocks(f2, groups, auto, nb, dtype=jnp.float32):
+    """Per-pass-group matrix blocks of the (row-permuted) stacked matrix.
+
+    Mosaic supports only DEFAULT and HIGHEST dot precisions in-kernel, so
+    the 3-pass tier is hand-rolled from precomputed bf16 hi/lo halves of
+    the static block (the split is free) and a 2-way in-kernel split of
+    ngal; the 1-pass tier stores the block directly in bf16.
+    """
+    blocks = []
+    col = 0
+    for p, count in groups:
+        width = count * nb if auto else count
+        block = f2[:, col:col + width]
+        col += width
+        if p == 6:
+            blocks.append((block,))
+        elif p == 3:
+            hi = block.astype(jnp.bfloat16)
+            lo = (block - hi.astype(dtype)).astype(jnp.bfloat16)
+            blocks.append((hi, lo))
+        else:
+            blocks.append((block.astype(jnp.bfloat16),))
+    return tuple(a for blk in blocks for a in blk)
+
+
+def _grouped_dots(ngal, f_arrays, groups, precision, dtype=jnp.float32):
+    """Contraction t = ngal @ f2 as one dot per pass group (see
+    :func:`_split_f_blocks`); ``precision='default'`` relaxes every group
+    to a single bf16 pass."""
+    ngal_hi = ngal.astype(jnp.bfloat16)
+    ngal_lo = (ngal - ngal_hi.astype(dtype)).astype(jnp.bfloat16)
+    parts = []
+    fat = 0
+    for stored_passes, count in groups:
+        p = stored_passes if precision == "highest" else 1
+        if p == 6:
+            parts.append(jnp.dot(ngal, f_arrays[fat],
+                                 preferred_element_type=dtype,
+                                 precision=jax.lax.Precision.HIGHEST))
+        elif p == 3:
+            hi, lo = f_arrays[fat], f_arrays[fat + 1]
+            parts.append(
+                jnp.dot(ngal_hi, hi, preferred_element_type=dtype) +
+                jnp.dot(ngal_hi, lo, preferred_element_type=dtype) +
+                jnp.dot(ngal_lo, hi, preferred_element_type=dtype))
+        else:
+            block = f_arrays[fat]
+            if block.dtype != jnp.bfloat16:
+                block = block.astype(jnp.bfloat16)
+            parts.append(jnp.dot(ngal_hi, block,
+                                 preferred_element_type=dtype))
+        fat += 2 if stored_passes == 3 else 1
+    return parts[0] if len(parts) == 1 else jnp.concatenate(parts, axis=-1)
 
 
 def _bundle_table_constants(table: TableData, error_model="elementwise",
@@ -268,48 +289,18 @@ def _bundle_table_constants(table: TableData, error_model="elementwise",
     n_gauss = table.log_prim_quad.shape[1]
     nc = table.n_centrals
 
-    if auto and error_model == "scaled":
-        passes = _row_pass_classes(table.tpcf_dense, tol / margin)
-    else:
-        passes = np.full(n_xi, 6, dtype=np.int64)
-    # stable sort: 6-pass rows first, then 3, then 1
-    row_perm = np.argsort(-passes, kind="stable")
-    row_inv_perm = np.argsort(row_perm)
-    groups = []
-    for p in (6, 3, 1):
-        count = int(np.sum(passes == p))
-        if count:
-            groups.append((p, count))
+    groups, row_perm, row_inv_perm = _pass_groups(
+        table.tpcf_dense, auto, error_model, tol=tol, margin=margin)
 
     if auto:
         dense = jnp.zeros((n_xi, nb, nb), jnp.float32)
         dense = dense.at[:, :nb_real, :nb_real].set(
-            table.tpcf_dense.astype(jnp.float32)[row_perm])
+            table.tpcf_dense.astype(jnp.float32)[np.asarray(row_perm)])
         f2 = jnp.transpose(dense, (2, 0, 1)).reshape(nb, n_xi * nb)
     else:
         f2 = jnp.zeros((nb, n_xi), jnp.float32)
         f2 = f2.at[:nb_real].set(
             jnp.transpose(table.tpcf_dense, (1, 0)).astype(jnp.float32))
-
-    # Per-pass-group matrix blocks.  Mosaic supports only DEFAULT and
-    # HIGHEST dot precisions in-kernel, so the 3-pass tier is hand-rolled
-    # from precomputed bf16 hi/lo halves of the (static) block — the
-    # split is free — and a 2-way in-kernel split of ngal; the 1-pass
-    # tier stores the block directly in bf16.
-    f_blocks = []
-    col = 0
-    for p, count in groups:
-        width = count * nb if auto else count
-        block = f2[:, col:col + width]
-        col += width
-        if p == 6:
-            f_blocks.append((block,))
-        elif p == 3:
-            hi = block.astype(jnp.bfloat16)
-            lo = (block - hi.astype(jnp.float32)).astype(jnp.bfloat16)
-            f_blocks.append((hi, lo))
-        else:
-            f_blocks.append((block.astype(jnp.bfloat16),))
 
     def segment(lo, hi):
         length = (hi - lo) * n_gauss
@@ -333,7 +324,7 @@ def _bundle_table_constants(table: TableData, error_model="elementwise",
 
     logm_c, sec_c, wqc_hi, wqc_lo = segment(0, nc)
     logm_s, sec_s, wqs_hi, wqs_lo = segment(nc, nb_real)
-    flat_blocks = tuple(a for blk in f_blocks for a in blk)
+    flat_blocks = _split_f_blocks(f2, groups, auto, nb)
     return dict(nb=nb, n_xi=n_xi, auto=auto,
                 tpcf_shape=tuple(table.tpcf_shape),
                 groups=tuple(groups),
@@ -424,42 +415,9 @@ def make_fused_bundle_predictor(tables, occupation_cen, occupation_sat,
             total = jnp.sum(ngal, axis=-1)
             nb, n_xi = cfg["nb"], cfg["n_xi"]
             # One contraction per pass-count group (rows pre-permuted so
-            # equal-precision groups are lane-contiguous).  6-pass uses
-            # Mosaic HIGHEST on the f32 block; 3-pass is hand-rolled from
-            # the precomputed bf16 hi/lo halves and a 2-way ngal split
-            # (Mosaic has no HIGH dot precision); 1-pass is a plain bf16
-            # dot.  precision='default' relaxes everything to one pass.
-            ngal_hi = ngal.astype(jnp.bfloat16)
-            ngal_lo = (ngal - ngal_hi.astype(jnp.float32)).astype(
-                jnp.bfloat16)
-            parts = []
-            fat = 0
-            for stored_passes, count in cfg["groups"]:
-                passes = stored_passes if precision == "highest" else 1
-                if passes == 6:
-                    parts.append(jnp.dot(
-                        ngal, f_arrays[fat],
-                        preferred_element_type=jnp.float32,
-                        precision=jax.lax.Precision.HIGHEST))
-                elif passes == 3:
-                    hi, lo = f_arrays[fat], f_arrays[fat + 1]
-                    parts.append(
-                        jnp.dot(ngal_hi, hi,
-                                preferred_element_type=jnp.float32) +
-                        jnp.dot(ngal_hi, lo,
-                                preferred_element_type=jnp.float32) +
-                        jnp.dot(ngal_lo, hi,
-                                preferred_element_type=jnp.float32))
-                else:
-                    block = f_arrays[fat]
-                    if block.dtype != jnp.bfloat16:
-                        block = block.astype(jnp.bfloat16)
-                    parts.append(jnp.dot(
-                        ngal_hi, block,
-                        preferred_element_type=jnp.float32))
-                fat += 2 if stored_passes == 3 else 1
-            t = parts[0] if len(parts) == 1 else jnp.concatenate(
-                parts, axis=-1)
+            # equal-precision groups are lane-contiguous); see
+            # _split_f_blocks/_grouped_dots.
+            t = _grouped_dots(ngal, f_arrays, cfg["groups"], precision)
             outs[2 * j][:] = total[:, None]
             if cfg["auto"]:
                 cols = [jnp.sum(t[:, k * nb:(k + 1) * nb] * ngal, axis=-1)
