@@ -43,14 +43,17 @@ walkers0 = jnp.asarray(
     + 0.05 * rng.normal(size=(n_walkers, len(names))), dtype=jnp.float32)
 
 # On TPU, the flagship path: one Pallas bundle call evaluates the whole
-# half-ensemble's likelihood (9.7M walker-steps/s at 131k walkers for a
+# half-ensemble's likelihood (9.3M walker-steps/s at 131k walkers for a
 # joint wp+xi likelihood; see docs/performance.md).  Elsewhere, the
 # per-walker vmapped XLA path.
 if jax.default_backend() == "tpu":
     from tabcorr_tpu.mcmc import make_gaussian_logpost_batched
     from tabcorr_tpu.predictor import make_multi_predictor
 
-    predict_all = make_multi_predictor([halotab], model)
+    # batch_tile = the half-ensemble size (the sampler proposes one half
+    # against the other), so no padding work is wasted.
+    predict_all = make_multi_predictor([halotab], model,
+                                       batch_tile=n_walkers // 2)
     log_prob = make_gaussian_logpost_batched(
         predict_all, names, base, [wp_data], [inv_cov],
         ngal_data=ngal_true, ngal_sigma=0.02 * ngal_true, bounds=bounds)

@@ -453,6 +453,8 @@ def make_gaussian_logpost_batched(predict_all, param_names, base_params,
     """
     data_list = [jnp.asarray(d).ravel() for d in data_list]
     inv_cov_list = [jnp.asarray(c) for c in inv_cov_list]
+    if len(data_list) != len(inv_cov_list):
+        raise ValueError("data_list and inv_cov_list lengths differ.")
     names = tuple(param_names)
 
     def log_prob(theta):
@@ -462,12 +464,20 @@ def make_gaussian_logpost_batched(predict_all, param_names, base_params,
         for i, name in enumerate(names):
             params[name] = theta[:, i]
         results = predict_all(params)
+        if len(results) != len(data_list):
+            raise ValueError(
+                f"predict_all returned {len(results)} statistics but "
+                f"{len(data_list)} data vectors were given.")
         logp = jnp.zeros(batch, theta.dtype)
         for (ngal, xi), data, inv_cov in zip(results, data_list,
                                              inv_cov_list):
             resid = xi.reshape(batch, -1) - data
-            logp = logp - 0.5 * jnp.einsum("bi,ij,bj->b", resid, inv_cov,
-                                           resid)
+            # HIGHEST: the default single-bf16-pass matmul would round
+            # resid to ~2e-3 relative, wiping out the <1e-6 prediction
+            # accuracy; this chi^2 contraction is tiny next to predict.
+            logp = logp - 0.5 * jnp.einsum(
+                "bi,ij,bj->b", resid, inv_cov, resid,
+                precision=jax.lax.Precision.HIGHEST)
         if ngal_data is not None:
             ngal0 = results[0][0]
             logp = logp - 0.5 * ((ngal0 - ngal_data) / ngal_sigma) ** 2

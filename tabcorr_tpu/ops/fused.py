@@ -41,7 +41,8 @@ DEFAULT_TILE = 256
 
 def make_fused_contraction(table: TableData, batch_tile=DEFAULT_TILE,
                            interpret=False, precision="highest",
-                           error_model="elementwise"):
+                           error_model="elementwise",
+                           scale_block_rows=None):
     """Fused contraction: ``ngal (B, n_bins) -> (total (B,), xi (B, n_xi))``.
 
     B must be a multiple of ``batch_tile`` (callers pad).
@@ -51,7 +52,9 @@ def make_fused_contraction(table: TableData, batch_tile=DEFAULT_TILE,
     ``error_model='scaled'`` budgets error against the statistic's
     largest element, letting low-amplitude rows contract at fewer MXU
     passes (see :func:`_row_pass_classes`); ``'elementwise'`` keeps every
-    row at full precision.
+    row at full precision.  ``scale_block_rows`` normalizes the budget
+    within consecutive row blocks (stacked-node Interpolator matrices:
+    one block per grid node).
     """
     n_bins = table.n_bins
     # Pad the bin axis to a lane multiple (128): Mosaic only lowers the
@@ -63,7 +66,8 @@ def make_fused_contraction(table: TableData, batch_tile=DEFAULT_TILE,
     dtype = table.tpcf_dense.dtype
 
     groups, row_perm, row_inv_perm = _pass_groups(
-        table.tpcf_dense, auto, error_model, precision)
+        table.tpcf_dense, auto, error_model, precision,
+        scale_block_rows=scale_block_rows)
 
     # (nb_pad, n_xi * nb_pad) in auto mode so T = N @ F2 is one MXU
     # matmul; (nb_pad, n_xi) in cross mode.
@@ -171,27 +175,41 @@ def make_fused_predictor(table: TableData, occupation_cen, occupation_sat,
 _PASS_RELERR = ((1, 3e-3), (3, 1e-5), (6, 0.0))
 
 
-def _row_pass_classes(dense, tol):
+def _row_pass_classes(dense, tol, scale_block_rows=None):
     """Minimal MXU pass count per statistic row under a *scaled* error
     budget: row k's scaled error is bounded by c_p * max|F_k|/max|F|
     (the per-pass relative error applies to the row's own magnitude,
     which the table's row-amplitude ratio bounds; verified against
     float64 simulation on the production xi_0/2/4 tables).  ``tol`` is
     the scaled-error budget per row (the caller passes target/margin).
+
+    ``scale_block_rows`` normalizes amplitudes within consecutive row
+    blocks of that size instead of globally — for stacked-node
+    Interpolator matrices, where each node's rows must honor the budget
+    relative to THAT node's own statistic peak (a low-amplitude grid
+    node dominates the spline-interpolated output near its corner of
+    parameter space).
     """
     row_amp = np.max(np.abs(np.asarray(dense)), axis=(1, 2))
-    m = row_amp / max(row_amp.max(), 1e-300)
+    if scale_block_rows is None:
+        m = row_amp / max(row_amp.max(), 1e-300)
+    else:
+        if len(row_amp) % scale_block_rows:
+            raise ValueError("scale_block_rows must divide the row count.")
+        blocks = row_amp.reshape(-1, scale_block_rows)
+        m = (blocks / np.maximum(blocks.max(axis=1, keepdims=True),
+                                 1e-300)).ravel()
     return np.array([min((p for p, c in _PASS_RELERR if c * mk <= tol),
                          default=6) for mk in m])
 
 
 def _pass_groups(dense, auto, error_model, precision="highest",
-                 tol=1e-6, margin=30.0):
+                 tol=1e-6, margin=30.0, scale_block_rows=None):
     """(passes, count) groups and the row permutation making them
     contiguous (6-pass rows first, then 3, then 1)."""
     n_xi = dense.shape[0]
     if auto and error_model == "scaled" and precision == "highest":
-        passes = _row_pass_classes(dense, tol / margin)
+        passes = _row_pass_classes(dense, tol / margin, scale_block_rows)
     else:
         passes = np.full(n_xi, 6, dtype=np.int64)
     row_perm = np.argsort(-passes, kind="stable")

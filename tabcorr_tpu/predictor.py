@@ -204,7 +204,12 @@ def _interpolator_fused_predict_fn(interp, model, n_gauss, dtype,
         mode=base.mode, tpcf_shape=(n_nodes * n_xi,),
         n_centrals=base.n_centrals)
 
-    contract = make_fused_contraction(stacked, error_model=accuracy)
+    # 'scaled' budgets normalize within each node's row block: near a
+    # low-amplitude grid node the interpolated output is that node's
+    # statistic, so its rows must honor the budget relative to its OWN
+    # peak, not the loudest node's.
+    contract = make_fused_contraction(stacked, error_model=accuracy,
+                                      scale_block_rows=n_xi)
     occ_cen, occ_sat = occupation_functions(model)
     keys = tuple(interp.keys)
     xp_dev = [jnp.asarray(xp, dtype=dtype) for xp in interp.xp]
@@ -326,7 +331,8 @@ def make_predictor(obj, model, n_gauss=10, dtype=jnp.float32,
 
 
 def make_multi_predictor(objs, model, n_gauss=10, dtype=jnp.float32,
-                         jit=True, engine="auto", accuracy=None):
+                         jit=True, engine="auto", accuracy=None,
+                         batch_tile=None):
     """Joint predictor over several tabulations (e.g. wp + xi_0/2/4 + ds).
 
     Returns ``f(params dict of (B,)) -> list of (ngal, xi)`` evaluating all
@@ -340,6 +346,9 @@ def make_multi_predictor(objs, model, n_gauss=10, dtype=jnp.float32,
     path; 'xla' composes per-table predictors.  ``accuracy`` optionally
     gives one error contract per table ('elementwise' or 'scaled', see
     the bundle docstring); it applies to the bundle engine only.
+    ``batch_tile`` sets the bundle kernel's batch tile (default 512,
+    tuned for >=10^5-element batches; pass the half-ensemble size for
+    small MCMC ensembles — batches pad up to a tile multiple).
     """
     bundle_eligible = (
         jnp.dtype(dtype) == jnp.dtype(jnp.float32) and
@@ -356,7 +365,8 @@ def make_multi_predictor(objs, model, n_gauss=10, dtype=jnp.float32,
                   for obj in objs]
         return make_fused_bundle_predictor(
             tables, *occupation_functions(model),
-            tuple(model.param_dict.keys()), batch_tile=512,
+            tuple(model.param_dict.keys()),
+            batch_tile=512 if batch_tile is None else batch_tile,
             accuracy=accuracy)
 
     fns = [make_predictor(obj, model, n_gauss=n_gauss, dtype=dtype,

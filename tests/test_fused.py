@@ -111,7 +111,7 @@ def test_multi_predictor_bundle_engine_matches_xla(wp_tabcorr, bol_model):
     from tabcorr_tpu.predictor import make_multi_predictor
 
     f_b = make_multi_predictor([wp_tabcorr, wp_tabcorr], bol_model,
-                               engine="bundle")
+                               engine="bundle", batch_tile=8)
     f_x = make_multi_predictor([wp_tabcorr, wp_tabcorr], bol_model,
                                engine="xla")
     params = params_batch(bol_model, {}, (8,), dtype=jnp.float32)
