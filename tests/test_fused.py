@@ -177,3 +177,55 @@ def test_bundle_scaled_accuracy_contract(bol_model):
     scale = float(np.max(np.abs(xi_h)))
     assert np.isclose(float(ngal[0]), ngal_h, rtol=1e-5)
     assert np.max(np.abs(np.asarray(xi[0]) - xi_h)) < 1e-6 * scale
+
+
+def test_interpolator_fixture_fused_scaled_matches_host():
+    # The 4-node xi_0/2/4 Interpolator fixture (log_eta grid, produced by
+    # scripts/make_interp_bench_fixture.py) through the stacked-node
+    # fused engine with per-node 'scaled' budgets: per-node class blocks
+    # engage, and the result matches the float64 host path within the
+    # per-table fused engine's documented 2e-6-scale tolerance.
+    import tabcorr_tpu as tt
+    from tabcorr_tpu.ops.fused import _pass_groups
+    from tabcorr_tpu.ops.predict import TableData  # noqa: F401
+    from tabcorr_tpu.predictor import make_predictor, params_batch
+
+    path = (Path(__file__).absolute().parent / "data" / "examples" /
+            "synthetic_xi_ell_interp.hdf5")
+    interp = tt.Interpolator.read(path)
+    assert len(interp.tabcorr_list) == 4
+    model = tt.Zheng07Model(
+        threshold=-20, redshift=interp.tabcorr_list[0].attrs["redshift"])
+    model.param_dict["log_eta"] = 0.05
+
+    # per-node normalization engages multiple pass groups on the stacked
+    # matrix
+    tables = [t.table_data(n_gauss=10, dtype=jnp.float32)
+              for t in interp.tabcorr_list]
+    stacked_dense = jnp.concatenate([t.tpcf_dense for t in tables], axis=0)
+    n_xi = tables[0].tpcf_dense.shape[0]
+    groups, _, _ = _pass_groups(stacked_dense, True, "scaled",
+                                scale_block_rows=n_xi)
+    assert len(groups) >= 2
+
+    import tabcorr_tpu.ops.fused as fused_mod
+    orig = fused_mod.make_fused_contraction
+
+    def interpreted(table, batch_tile=fused_mod.DEFAULT_TILE, **kw):
+        kw["interpret"] = True
+        return orig(table, batch_tile=batch_tile, **kw)
+
+    # predictor imports make_fused_contraction from ops.fused at call
+    # time, so patching the module attribute is sufficient.
+    fused_mod.make_fused_contraction = interpreted
+    try:
+        f = make_predictor(interp, model, engine="fused",
+                           accuracy="scaled")
+    finally:
+        fused_mod.make_fused_contraction = orig
+    params = params_batch(model, {}, (8,), dtype=jnp.float32)
+    ng, xi = f(params)
+    ngal_h, xi_h = interp.predict(model, check_consistency=False)
+    scale = float(np.max(np.abs(xi_h)))
+    assert np.isclose(float(ng[0]), ngal_h, rtol=1e-5)
+    assert np.max(np.abs(np.asarray(xi[0], np.float64) - xi_h)) < 2e-6 * scale
