@@ -33,9 +33,10 @@ from jax.experimental.pallas import tpu as pltpu
 from ..utils import backend
 from .predict import AUTO, TableData, mean_occupation
 
-# 256 rows keeps the contraction tile + double-buffered IO inside the
-# ~16 MB VMEM budget for production table sizes and benchmarked fastest
-# on v5e (11.0 M wp+xi_ell predictions/s vs 7.4 M for the XLA path).
+# Default batch tile for the per-table contraction kernel.  The bundle
+# callers pass 512 (fastest measured on v5e at production table sizes,
+# with the Mosaic VMEM limit raised); 256 stays the default here for
+# smaller per-table workloads.
 DEFAULT_TILE = 256
 
 
