@@ -121,12 +121,19 @@ def predict_from_occupation(table: TableData, mean_occ):
     total = jnp.sum(ngal, axis=-1)
     if table.mode == AUTO:
         # xi_k = n^T F_k n / (sum n)^2 : MXU contraction + reduction.
+        # HIGHEST keeps the XLA path at full float32 MXU precision (the
+        # default would be a single ~1e-3-relative bf16 pass on TPU).
         t = jnp.einsum("kij,...j->...ki", table.tpcf_dense, ngal,
-                       preferred_element_type=ngal.dtype)
-        xi = jnp.einsum("...ki,...i->...k", t, ngal) / total[..., None] ** 2
+                       preferred_element_type=ngal.dtype,
+                       precision=jax.lax.Precision.HIGHEST)
+        xi = jnp.einsum("...ki,...i->...k", t, ngal,
+                        precision=jax.lax.Precision.HIGHEST)
+        xi = xi / total[..., None] ** 2
     else:
         xi = jnp.einsum("ki,...i->...k", table.tpcf_dense, ngal,
-                        preferred_element_type=ngal.dtype) / total[..., None]
+                        preferred_element_type=ngal.dtype,
+                        precision=jax.lax.Precision.HIGHEST)
+        xi = xi / total[..., None]
     return total, xi
 
 
@@ -152,8 +159,10 @@ def predict_from_occupation_separate(table: TableData, mean_occ):
 
         def quad(a, b):
             t = jnp.einsum("kij,...j->...ki", table.tpcf_dense, b,
-                           preferred_element_type=ngal.dtype)
-            return jnp.einsum("...ki,...i->...k", t, a) / denom
+                           preferred_element_type=ngal.dtype,
+                           precision=jax.lax.Precision.HIGHEST)
+            return jnp.einsum("...ki,...i->...k", t, a,
+                              precision=jax.lax.Precision.HIGHEST) / denom
 
         xi_dict = {
             "centrals-centrals": quad(n_cen, n_cen),
@@ -163,10 +172,12 @@ def predict_from_occupation_separate(table: TableData, mean_occ):
     else:
         denom = total[..., None]
         xi_dict = {
-            "centrals": jnp.einsum("ki,...i->...k", table.tpcf_dense,
-                                   n_cen) / denom,
-            "satellites": jnp.einsum("ki,...i->...k", table.tpcf_dense,
-                                     n_sat) / denom,
+            "centrals": jnp.einsum(
+                "ki,...i->...k", table.tpcf_dense, n_cen,
+                precision=jax.lax.Precision.HIGHEST) / denom,
+            "satellites": jnp.einsum(
+                "ki,...i->...k", table.tpcf_dense, n_sat,
+                precision=jax.lax.Precision.HIGHEST) / denom,
         }
     return ngal_dict, xi_dict
 
