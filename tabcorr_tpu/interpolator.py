@@ -100,6 +100,7 @@ def spline_eval(x, xp, a, yp, extrapolate=True):
     (reference: tabcorr/interpolator.py:322-327), so an MCMC walker
     outside the grid poisons its likelihood instead of silently clamping.
     """
+    import jax
     import jax.numpy as jnp
 
     i = jnp.clip(jnp.searchsorted(xp, x, side="right") - 1, 0,
@@ -109,7 +110,8 @@ def spline_eval(x, xp, a, yp, extrapolate=True):
     # exponent is NaN, unlike numpy's integer-exponent fast path.
     one = jnp.ones((), dtype=yp.dtype)
     powers = jnp.stack([one, dx, dx * dx, dx * dx * dx])
-    out = jnp.einsum("pj,j...,p->...", a[i], yp, powers)
+    out = jnp.einsum("pj,j...,p->...", a[i], yp, powers,
+                     precision=jax.lax.Precision.HIGHEST)
     if not extrapolate:
         in_range = (x >= xp[0]) & (x <= xp[-1])
         out = jnp.where(in_range, out, jnp.nan)

@@ -111,14 +111,19 @@ def make_sharded_predict(mesh, table: TableData, occupation_cen,
                 ngal_full = jax.lax.all_gather(
                     ngal_local, TABLE_AXIS, tiled=True)  # (n_bins,)
                 t = jnp.einsum("kij,j->ki", table_shard.tpcf_dense,
-                               ngal_full)
+                               ngal_full,
+                               precision=jax.lax.Precision.HIGHEST)
                 xi = jax.lax.psum(
-                    jnp.einsum("ki,i->k", t, ngal_local), TABLE_AXIS)
+                    jnp.einsum("ki,i->k", t, ngal_local,
+                               precision=jax.lax.Precision.HIGHEST),
+                    TABLE_AXIS)
                 xi = xi / total**2
             else:
                 xi = jax.lax.psum(
                     jnp.einsum("ki,i->k", table_shard.tpcf_dense,
-                               ngal_local), TABLE_AXIS)
+                               ngal_local,
+                               precision=jax.lax.Precision.HIGHEST),
+                    TABLE_AXIS)
                 xi = xi / total
             return total, xi
 
