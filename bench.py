@@ -123,6 +123,7 @@ def main():
     # kernel cannot compile.
     kernel_path = "pallas_bundle" if jax.default_backend() == "tpu" \
         else "xla"
+    fallback_reason = None
     if kernel_path == "pallas_bundle":
         try:
             predict_all = make_bundle_predict_all(
@@ -130,8 +131,9 @@ def main():
                 tuple(model.param_dict.keys()))
             out = predict_all(params)
             jax.block_until_ready(out)
-        except Exception:
+        except Exception as exc:   # surfaced in the JSON, never silent
             kernel_path = "xla"
+            fallback_reason = f"{type(exc).__name__}: {exc}"[:200]
     if kernel_path == "xla":
         predict_all = make_xla_predict_all(wp_table, xi_table,
                                            occ_c, occ_s)
@@ -164,6 +166,7 @@ def main():
         "batch": BATCH,
         "device": str(jax.devices()[0]),
         "kernel_path": kernel_path,
+        **({"fallback_reason": fallback_reason} if fallback_reason else {}),
         "wp_f32_max_rel_err_vs_f64": rel_err_wp,
         "xi_ell_f32_scaled_err_vs_f64": err_xi,
     }))
