@@ -94,8 +94,10 @@ def make_bundle_predict_all(wp_table, xi_table, occ_c, occ_s, param_names):
 
 
 def main():
-    wp_tab = tt.TabCorr.read("tests/data/examples/bolplanck_wp.hdf5")
-    xi_tab = tt.TabCorr.read("tests/data/examples/synthetic_xi_ell.hdf5")
+    from pathlib import Path
+    fixtures = Path(__file__).absolute().parent / "tests" / "data" / "examples"
+    wp_tab = tt.TabCorr.read(str(fixtures / "bolplanck_wp.hdf5"))
+    xi_tab = tt.TabCorr.read(str(fixtures / "synthetic_xi_ell.hdf5"))
     model = tt.Zheng07Model(threshold=-18,
                             redshift=wp_tab.attrs["redshift"])
     occ_c, occ_s = occupation_functions(model)

@@ -116,12 +116,19 @@ def read_gadget_snapshot(source, read_pos=True, read_vel=True,
 
         keep = (rng.random(n_total) < subsample if subsample < 1.0
                 else slice(None))
+        # Blocks are strictly sequential (pos, vel, ids): an unread block
+        # must still be consumed, else the next read returns the wrong
+        # block reinterpreted under the wrong dtype.
         if read_pos:
             data = np.frombuffer(read_block(), dtype="<f4").reshape(-1, 3)
             out["pos"] = np.array(data[keep])
+        elif read_vel or read_id:
+            read_block()
         if read_vel:
             data = np.frombuffer(read_block(), dtype="<f4").reshape(-1, 3)
             out["vel"] = np.array(data[keep])
+        elif read_id:
+            read_block()
         if read_id:
             data = np.frombuffer(read_block(), dtype="<u4")
             out["id"] = np.array(data[keep])
@@ -337,11 +344,16 @@ def make_htar_retrieve(simulation,
     Returns a callable ``retrieve(member) -> extraction_root``.
     """
     def retrieve(member):
+        import tempfile
         archive = (Path(tape_path) / f"AbacusSummit_{simulation}" /
                    f"Abacus_AbacusSummit_{simulation}_halos.tar")
+        # Extract into a dedicated temporary directory: extracting into
+        # the cwd would make the post-read cleanup remove a './halos'
+        # tree the user may own.
+        dest = Path(tempfile.mkdtemp(prefix="tabcorr_htar_"))
         subprocess.run(["htar", "-x", "-f", str(archive), f"./{member}"],
-                       check=True)
-        return Path(".")
+                       check=True, cwd=dest)
+        return dest
     return retrieve
 
 
@@ -381,8 +393,12 @@ def read_abacus_summit_particles(raw_dir, redshift, simulation=None,
     positions = []
     for ptcl_type in ("field", "halo"):
         base = raw_dir
-        if ptcl_type == "field" and np.any(np.isclose(redshift,
-                                                      [0.3, 0.4])):
+        local_subdir = (raw_dir / "halos" / f"z{redshift:.3f}" /
+                        f"{ptcl_type}_rv_A")
+        if (ptcl_type == "field" and
+                np.any(np.isclose(redshift, [0.3, 0.4])) and
+                not local_subdir.is_dir()):
+            # Tape only when the files are not already on disk.
             if tape_retrieve is None:
                 if simulation is None:
                     raise RuntimeError(
@@ -404,7 +420,8 @@ def read_abacus_summit_particles(raw_dir, redshift, simulation=None,
             positions.append(pos[rng.random(len(pos)) < thin])
 
     positions = np.vstack(positions)
-    if retrieved_root is not None:
+    if retrieved_root is not None and retrieved_root != raw_dir:
+        # Remove only what the tape hook extracted (a dedicated root).
         import shutil
         shutil.rmtree(retrieved_root / "halos", ignore_errors=True)
 
@@ -475,7 +492,8 @@ def main():
         if args.particles:
             table = download_aemulus_alpha_particles(
                 name, args.redshift, fetch=fetch,
-                subsample=args.subsample or 0.01)
+                subsample=(0.01 if args.subsample is None
+                           else args.subsample))
             append_snapshot_table(out_path, "particles", table)
         else:
             table = download_aemulus_alpha_halos(name, args.redshift,
@@ -490,7 +508,9 @@ def main():
         if args.particles:
             table = read_abacus_summit_particles(
                 args.raw_dir, args.redshift, simulation=name,
-                fraction=args.subsample or ABACUS_PARTICLE_FRACTION)
+                fraction=(ABACUS_PARTICLE_FRACTION
+                          if args.subsample is None
+                          else args.subsample))
             append_snapshot_table(out_path, "particles", table)
         else:
             halos, meta = read_abacus_summit_halos(args.raw_dir)

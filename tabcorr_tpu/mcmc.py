@@ -266,7 +266,11 @@ def _build_tree(key, q, p, logp, grad, direction, depth, step_size,
             q, p * direction, grad, step_size, log_prob_fn)
         p_new = p_new * direction
         h_new = -logp_new + 0.5 * jnp.sum(p_new**2)
-        divergent = (h_new - h0) > 1000.0
+        # NaN-safe: a NaN Hamiltonian (e.g. NaN gradients from an
+        # out-of-grid Interpolator state) must count as divergent —
+        # `(h_new - h0) > 1000` is False for NaN and would let the NaN
+        # poison the subtree weights and disable termination.
+        divergent = ~((h_new - h0) <= 1000.0)
         log_w = jnp.where(divergent, -jnp.inf, h0 - h_new)
         alpha = jnp.minimum(1.0, jnp.exp(h0 - h_new))
         alpha = jnp.where(jnp.isnan(alpha), 0.0, alpha)

@@ -36,6 +36,13 @@ def _build_library():
             f"Could not build the native pair counter: {detail}")
 
 
+# Must match tabcorr_native_version() in native/paircount.cpp; bumped on
+# every C ABI change.  A stale .so called through the new ctypes
+# signature would misread its argument stack (memory corruption), so the
+# loader verifies the version and rebuilds on mismatch.
+NATIVE_ABI_VERSION = 2
+
+
 def load_library():
     """Load (building if necessary) the native library."""
     global _LIB
@@ -48,6 +55,24 @@ def load_library():
             raise NativeUnavailable(f"{_SOURCE} not found.")
         _build_library()
     lib = ctypes.CDLL(str(_LIB_PATH))
+    try:
+        lib.tabcorr_native_version.restype = ctypes.c_int
+        found = int(lib.tabcorr_native_version())
+    except AttributeError:
+        found = -1
+    if found != NATIVE_ABI_VERSION:
+        if not _SOURCE.exists():
+            raise NativeUnavailable(
+                f"Native library ABI version {found} != expected "
+                f"{NATIVE_ABI_VERSION} and no source to rebuild from.")
+        _build_library()
+        lib = ctypes.CDLL(str(_LIB_PATH))
+        lib.tabcorr_native_version.restype = ctypes.c_int
+        found = int(lib.tabcorr_native_version())
+        if found != NATIVE_ABI_VERSION:
+            raise NativeUnavailable(
+                f"Rebuilt native library still reports ABI version "
+                f"{found} != expected {NATIVE_ABI_VERSION}.")
     lib.tabcorr_count_pairs.restype = None
     lib.tabcorr_count_pairs.argtypes = [
         ctypes.POINTER(ctypes.c_double),   # pos1

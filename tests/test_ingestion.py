@@ -38,8 +38,10 @@ def _gadget_bytes(pos, boxsize=1050.0, redshift=1.0):
     header += struct.pack("<dddd", boxsize, 0.3, 0.7, 0.7)
     header = header.ljust(256, b"\0")
     vel = np.zeros_like(pos)
+    ids = np.arange(n, dtype="<u4") + 1000
     return (block(header) + block(np.asarray(pos, "<f4").tobytes()) +
-            block(vel.astype("<f4").tobytes()))
+            block(vel.astype("<f4").tobytes()) +
+            block(ids.tobytes()))
 
 
 def _bgc2_fixture(n=6, seed=3):
@@ -344,3 +346,20 @@ def test_ingested_snapshot_loads_with_particles(tmp_path, monkeypatch):
     np.testing.assert_allclose(
         halocat.halo_table["halo_nfw_conc"],
         halos["halo_r200m"] / halos["halo_rs"], rtol=1e-6)
+
+
+def test_gadget_reader_skips_unread_blocks(tmp_path):
+    # read_id without read_vel must still consume the velocity block;
+    # before the fix the ids came back as float32 velocity bit patterns.
+    import parse_snapshot
+
+    pos = np.arange(30, dtype=np.float64).reshape(10, 3)
+    path = tmp_path / "snap"
+    path.write_bytes(_gadget_bytes(pos))
+    out = parse_snapshot.read_gadget_snapshot(
+        path, read_pos=False, read_vel=False, read_id=True)
+    np.testing.assert_array_equal(out["id"], np.arange(10) + 1000)
+    out2 = parse_snapshot.read_gadget_snapshot(
+        path, read_pos=True, read_vel=False, read_id=True)
+    np.testing.assert_array_equal(out2["pos"], pos)
+    np.testing.assert_array_equal(out2["id"], np.arange(10) + 1000)
