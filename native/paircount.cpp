@@ -132,14 +132,18 @@ void count_pairs(const double* pos1, const int32_t* labels1, int64_t n1,
     grid.build(pos2, labels2, weights2, n2, period, rmax);
 
     int n_sub = (kind == 2) ? n_r * n_mu : n_r;
+    // pair_weight 2 ("unit+log_rp") writes two channels into a doubled
+    // histogram: [0, n_hist) unit weights, [n_hist, 2 n_hist) w ln(rp) —
+    // one pair enumeration instead of two for the delta-sigma estimator.
     int64_t n_hist = int64_t(n_labels_1) * n_labels_2 * n_sub;
+    int64_t n_hist_total = (pair_weight == 2) ? 2 * n_hist : n_hist;
 
     int n_threads = 1;
 #ifdef _OPENMP
     n_threads = omp_get_max_threads();
 #endif
     std::vector<std::vector<double>> partial(
-        n_threads, std::vector<double>(n_hist, 0.0));
+        n_threads, std::vector<double>(n_hist_total, 0.0));
 
     // Neighbor cell offsets per dimension: all cells if fewer than 3.
     std::vector<int> offs[3];
@@ -200,12 +204,20 @@ void count_pairs(const double* pos1, const int32_t* labels1, int64_t n1,
                     if (sub < 0) continue;
                 }
                 double w = grid.weight[j];
+                int64_t idx = (base1 + l2) * n_sub + sub;
                 // pair_weight 1: accumulate w * ln(rp) for the exact
                 // annulus-averaged delta-sigma estimator (rp floored so a
-                // coincident pair stays finite).
-                if (pair_weight == 1)
-                    w *= 0.5 * std::log(std::max(rp_sq, 1e-20));
-                hist[(base1 + l2) * n_sub + sub] += w;
+                // coincident pair stays finite); 2: both channels in one
+                // pass.
+                if (pair_weight == 2) {
+                    hist[idx] += w;
+                    hist[n_hist + idx] +=
+                        w * 0.5 * std::log(std::max(rp_sq, 1e-20));
+                } else {
+                    if (pair_weight == 1)
+                        w *= 0.5 * std::log(std::max(rp_sq, 1e-20));
+                    hist[idx] += w;
+                }
             }
         };
 
@@ -235,9 +247,10 @@ void count_pairs(const double* pos1, const int32_t* labels1, int64_t n1,
                     visit(seenx[a], seeny[b], seenz[g]);
     }
 
-    std::memset(out, 0, sizeof(double) * n_hist);
+    std::memset(out, 0, sizeof(double) * n_hist_total);
     for (int t = 0; t < n_threads; t++)
-        for (int64_t h = 0; h < n_hist; h++) out[h] += partial[t][h];
+        for (int64_t h = 0; h < n_hist_total; h++)
+            out[h] += partial[t][h];
 }
 
 }  // namespace
@@ -245,7 +258,8 @@ void count_pairs(const double* pos1, const int32_t* labels1, int64_t n1,
 extern "C" {
 
 // Labeled pair counts; out has n_labels_1 * n_labels_2 * n_r doubles
-// ('rppi'/'proj') or * n_r * n_mu ('smu': kind=2).
+// ('rppi'/'proj') or * n_r * n_mu ('smu': kind=2); pair_weight 2 doubles
+// the out length (unit channel then w*ln(rp) channel).
 void tabcorr_count_pairs(const double* pos1, const int32_t* labels1,
                          int64_t n1, const double* pos2,
                          const int32_t* labels2, const double* weights2,
@@ -258,6 +272,6 @@ void tabcorr_count_pairs(const double* pos1, const int32_t* labels1,
                 period, kind, pair_weight, out);
 }
 
-int tabcorr_native_version() { return 2; }
+int tabcorr_native_version() { return 3; }
 
 }  // extern "C"

@@ -40,7 +40,7 @@ def _build_library():
 # every C ABI change.  A stale .so called through the new ctypes
 # signature would misread its argument stack (memory corruption), so the
 # loader verifies the version and rebuilds on mismatch.
-NATIVE_ABI_VERSION = 2
+NATIVE_ABI_VERSION = 3
 
 
 def load_library():
@@ -151,7 +151,9 @@ def labeled_pair_count(pos1, labels1, n_labels_1, pos2=None, labels2=None,
         weights2 = np.ascontiguousarray(weights2)
 
     n_sub = n_r * n_mu
-    out = np.zeros(n_labels_1 * n_labels_2 * n_sub, dtype=np.float64)
+    n_channels = 2 if pair_weight == "unit+log_rp" else 1
+    out = np.zeros(n_channels * n_labels_1 * n_labels_2 * n_sub,
+                   dtype=np.float64)
     edges_sq = np.ascontiguousarray(r_edges**2)
 
     def ptr(array, ctype):
@@ -165,9 +167,11 @@ def labeled_pair_count(pos1, labels1, n_labels_1, pos2=None, labels2=None,
         ptr(edges_sq, ctypes.c_double), n_r,
         float(pi_max if pi_max is not None else 0.0), n_mu,
         ptr(period, ctypes.c_double), _KINDS[kind],
-        {"unit": 0, "log_rp": 1}[pair_weight],
+        {"unit": 0, "log_rp": 1, "unit+log_rp": 2}[pair_weight],
         ptr(out, ctypes.c_double))
 
-    if kind == "smu":
-        return out.reshape(n_labels_1, n_labels_2, n_r, n_mu)
-    return out.reshape(n_labels_1, n_labels_2, n_r)
+    shape = (n_labels_1, n_labels_2, n_r) if kind != "smu" else \
+        (n_labels_1, n_labels_2, n_r, n_mu)
+    if n_channels == 2:
+        return out.reshape((2,) + shape)
+    return out.reshape(shape)

@@ -130,28 +130,38 @@ def _sweep_impl(hist, pos1, labels1, idx1, pos2, labels2, idx2,
     """
     n_hist_r = n_r * (n_mu if kind == "smu" else 1)
     n_hist = n_labels_1 * n_labels_2 * n_hist_r
+    n_channels = 2 if pair_weight == "unit+log_rp" else 1
     n2_chunks = pos2.shape[0] // CHUNK
     dtype = weights2.dtype
 
     def pair_weights(w2, rp_sq, valid):
-        """Per-pair weight matrix: w2, optionally times ln(rp).
+        """Per-pair weight matrices, one per channel.
 
-        'log_rp' supports the exact annulus-averaged delta-sigma
-        estimator (Sum m ln rp per bin); rp_sq is floored to keep an
+        'log_rp' (and the second 'unit+log_rp' channel) weights each
+        pair by w2 * ln(rp) — the exact annulus-averaged delta-sigma
+        estimator's Sum m ln rp per bin; rp_sq is floored to keep an
         exactly coincident pair finite (it can only land in the unused
-        innermost cylinder bin anyway).
+        innermost cylinder bin anyway).  The dual mode shares one pair
+        enumeration between both channels.
         """
         w = jnp.broadcast_to(w2[None, :], valid.shape)
+        w = jnp.where(valid, w, jnp.zeros((), dtype))
+        if pair_weight == "unit":
+            return (w,)
+        w_log = w * 0.5 * jnp.log(jnp.maximum(rp_sq, 1e-20))
         if pair_weight == "log_rp":
-            w = w * 0.5 * jnp.log(jnp.maximum(rp_sq, 1e-20))
-        return jnp.where(valid, w, jnp.zeros((), dtype))
+            return (w_log,)
+        return (w, w_log)
 
     def tile_scatter(l1, l2, w2, sub_bin, valid, rp_sq, hist_inner):
         flat = ((l1[:, None] * n_labels_2 + l2[None, :]) * n_hist_r +
                 sub_bin)
-        flat = jnp.where(valid, flat, n_hist)
-        w = pair_weights(w2, rp_sq, valid)
-        return hist_inner.at[flat.ravel()].add(w.ravel())
+        flat = jnp.where(valid, flat, n_channels * n_hist)
+        for ch, w in enumerate(pair_weights(w2, rp_sq, valid)):
+            offset = jnp.where(valid, ch * n_hist, 0)
+            hist_inner = hist_inner.at[
+                (flat + offset).ravel()].add(w.ravel())
+        return hist_inner
 
     def tile_matmul(l1, l2, w2, sub_bin, valid, rp_sq, hist_inner):
         # One-hot label matrices; invalid labels (< 0) one-hot to zero.
@@ -159,35 +169,39 @@ def _sweep_impl(hist, pos1, labels1, idx1, pos2, labels2, idx2,
                jnp.arange(n_labels_1)[None, :]).astype(dtype)
         oh2 = (l2[:, None] ==
                jnp.arange(n_labels_2)[None, :]).astype(dtype)
-        wvalid = pair_weights(w2, rp_sq, valid)
+        wmats = pair_weights(w2, rp_sq, valid)
 
-        slab = hist_inner[:n_hist].reshape(n_labels_1, n_labels_2,
-                                           n_hist_r)
+        slab = hist_inner[:n_channels * n_hist].reshape(
+            n_channels, n_labels_1, n_labels_2, n_hist_r)
 
-        def c_body(c, slab_inner):
+        def bilinear(m):
             # HIGHEST precision: with the TPU's default single-pass bf16
             # matmul the second product rounds its inputs (partial counts
             # can exceed bf16's 8-bit significand), corrupting counts.
             hi = jax.lax.Precision.HIGHEST
-            m = jnp.where(sub_bin == c, wvalid, jnp.zeros((), dtype))
             if n_labels_2 <= n_labels_1:
                 t = jnp.dot(m, oh2, preferred_element_type=dtype,
                             precision=hi)
-                h = jnp.dot(oh1.T, t, preferred_element_type=dtype,
-                            precision=hi)
-            else:
-                t = jnp.dot(oh1.T, m, preferred_element_type=dtype,
-                            precision=hi)
-                h = jnp.dot(t, oh2, preferred_element_type=dtype,
-                            precision=hi)
+                return jnp.dot(oh1.T, t, preferred_element_type=dtype,
+                               precision=hi)
+            t = jnp.dot(oh1.T, m, preferred_element_type=dtype,
+                        precision=hi)
+            return jnp.dot(t, oh2, preferred_element_type=dtype,
+                           precision=hi)
+
+        def c_body(c, slab_inner):
+            in_bin = sub_bin == c
+            h = jnp.stack([
+                bilinear(jnp.where(in_bin, w, jnp.zeros((), dtype)))
+                for w in wmats])
             return jax.lax.dynamic_update_index_in_dim(
                 slab_inner,
                 jax.lax.dynamic_index_in_dim(
-                    slab_inner, c, axis=2, keepdims=False) + h,
-                c, axis=2)
+                    slab_inner, c, axis=3, keepdims=False) + h,
+                c, axis=3)
 
         slab = jax.lax.fori_loop(0, n_hist_r, c_body, slab)
-        return hist_inner.at[:n_hist].set(slab.reshape(-1))
+        return hist_inner.at[:n_channels * n_hist].set(slab.reshape(-1))
 
     tile_fn = tile_matmul if strategy == "matmul" else tile_scatter
 
@@ -328,11 +342,15 @@ def labeled_pair_count(pos1, labels1, n_labels_1, pos2=None, labels2=None,
     pair_weight : str, optional
         'unit' (default) accumulates weights2 per pair; 'log_rp'
         accumulates weights2 * ln(rp) per pair (for the exact
-        annulus-averaged delta-sigma estimator).
+        annulus-averaged delta-sigma estimator); 'unit+log_rp' produces
+        BOTH channels from a single pair enumeration (leading axis 2 on
+        the result) — the delta-sigma tabulation needs both and the
+        enumeration dominates its cost.
 
     Returns
     -------
-    counts : (n_labels_1, n_labels_2, n_r[, n_mu]) float64 array.
+    counts : (n_labels_1, n_labels_2, n_r[, n_mu]) float64 array, with
+        a leading channel axis of size 2 for 'unit+log_rp'.
     """
     if strategy == "auto":
         strategy = "matmul" if jax.default_backend() == "tpu" else \
@@ -432,7 +450,8 @@ def labeled_pair_count(pos1, labels1, n_labels_1, pos2=None, labels2=None,
     mu_dev = jnp.asarray(mu_edges, dtype=jnp.float32)
 
     n_hist_r = n_r * (n_mu if kind == "smu" else 1)
-    n_hist = n_labels_1 * n_labels_2 * n_hist_r
+    n_channels = 2 if pair_weight == "unit+log_rp" else 1
+    n_hist = n_channels * n_labels_1 * n_labels_2 * n_hist_r
 
     # One dispatch per i-chunk: bounded kernel runtimes and natural
     # host-side progress/interruption points.  Each dispatch gets a FRESH
@@ -471,9 +490,11 @@ def labeled_pair_count(pos1, labels1, n_labels_1, pos2=None, labels2=None,
         host_hist += np.asarray(pending, dtype=np.float64)
 
     counts = host_hist[:n_hist] * weight_scale
-    if kind == "smu":
-        return counts.reshape(n_labels_1, n_labels_2, n_r, n_mu)
-    return counts.reshape(n_labels_1, n_labels_2, n_r)
+    shape = (n_labels_1, n_labels_2, n_r) if kind != "smu" else \
+        (n_labels_1, n_labels_2, n_r, n_mu)
+    if n_channels == 2:
+        return counts.reshape((2,) + shape)
+    return counts.reshape(shape)
 
 
 # ----------------------------------------------------------------------
@@ -597,14 +618,12 @@ def mean_delta_sigma(galaxies, particles, particle_masses, rp_bins,
 
     if estimator == "annulus_mean":
         edges = np.concatenate([[0.0], rp_bins])
-        mass = labeled_pair_count(
+        # Both weight channels from ONE pair enumeration — the
+        # enumeration dominates delta-sigma cost.
+        mass, log_mass = labeled_pair_count(
             galaxies, labels, 1, pos2=particles,
             weights2=particle_masses, period=period, kind="proj",
-            r_edges=edges)[0, 0]
-        log_mass = labeled_pair_count(
-            galaxies, labels, 1, pos2=particles,
-            weights2=particle_masses, period=period, kind="proj",
-            r_edges=edges, pair_weight="log_rp")[0, 0]
+            r_edges=edges, pair_weight="unit+log_rp")[:, 0, 0]
         mass_in = np.cumsum(mass)[:-1]  # M(< r1) per annulus
         return delta_sigma_from_mass_profiles(
             rp_bins, mass_in, mass[1:], log_mass[1:], n_gal)

@@ -275,14 +275,14 @@ class _FastPath:
         if self.estimator == "annulus_mean":
             from .ops.paircount import delta_sigma_from_mass_profiles
             edges = np.concatenate([[0.0], self.rp_bins])
-            mass = self._count(
+            # One dual-channel sweep: pair enumeration dominates the
+            # delta-sigma tabulation, and both the mass and mass*ln(rp)
+            # histograms come from the same pairs.
+            both = self._count(
                 pos, labels, n_bins, pos2=self.ptcl_pos, weights2=masses,
                 period=period, kind="proj", r_edges=edges,
-                **extra)[:, 0, :]
-            log_mass = self._count(
-                pos, labels, n_bins, pos2=self.ptcl_pos, weights2=masses,
-                period=period, kind="proj", r_edges=edges,
-                pair_weight="log_rp", **extra)[:, 0, :]
+                pair_weight="unit+log_rp", **extra)
+            mass, log_mass = both[0, :, 0, :], both[1, :, 0, :]
             mass_in = np.cumsum(mass, axis=-1)[:, :-1]
             with np.errstate(invalid="ignore", divide="ignore"):
                 ds = delta_sigma_from_mass_profiles(

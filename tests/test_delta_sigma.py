@@ -153,3 +153,39 @@ def test_log_weighted_histogram_matches_numpy():
         want[k] = np.sum((w[None, :] * np.log(rp, where=rp > 0,
                                               out=np.zeros_like(rp)))[sel])
     np.testing.assert_allclose(got, want, rtol=1e-4)
+
+
+def test_dual_channel_sweep_matches_two_single_sweeps():
+    # pair_weight='unit+log_rp' must reproduce the two single-channel
+    # sweeps exactly (same pairs, same arithmetic), on the device kernel
+    # and on the C++ backend.
+    from tabcorr_tpu.ops import paircount as pc
+
+    rng = np.random.default_rng(11)
+    gal = rng.uniform(0, 60, (300, 3))
+    ptcl = rng.uniform(0, 60, (800, 3))
+    masses = rng.uniform(0.5, 2.0, 800)
+    labels = rng.integers(0, 3, 300).astype(np.int32)
+    edges = np.concatenate([[0.0], np.logspace(-0.5, 1.0, 6)])
+
+    kw = dict(pos2=ptcl, weights2=masses, period=60.0, kind="proj",
+              r_edges=edges)
+    unit = pc.labeled_pair_count(gal, labels, 3, **kw)
+    logr = pc.labeled_pair_count(gal, labels, 3, pair_weight="log_rp",
+                                 **kw)
+    both = pc.labeled_pair_count(gal, labels, 3,
+                                 pair_weight="unit+log_rp", **kw)
+    np.testing.assert_allclose(both[0], unit, rtol=1e-12)
+    np.testing.assert_allclose(both[1], logr, rtol=1e-12)
+
+    from tabcorr_tpu import native
+    if native.native_available():
+        n_unit = native.labeled_pair_count(gal, labels, 3, **kw)
+        n_logr = native.labeled_pair_count(
+            gal, labels, 3, pair_weight="log_rp", **kw)
+        n_both = native.labeled_pair_count(
+            gal, labels, 3, pair_weight="unit+log_rp", **kw)
+        np.testing.assert_allclose(n_both[0], n_unit, rtol=1e-12)
+        np.testing.assert_allclose(n_both[1], n_logr, rtol=1e-12)
+        # cross-backend: float32 device geometry vs float64 C++
+        np.testing.assert_allclose(n_both[1], logr, rtol=2e-5)
