@@ -21,14 +21,19 @@ one float32 ulp of a bin edge can classify differently from a float64
 counter (measured ~1 unordered pair per ~10^6.5; far below the sampling
 noise of any tabulation).
 
-Accumulation precision: the device histogram is float32 but only holds ONE
-i-chunk's partial counts; every dispatch is flushed into a host float64
-accumulator (overlapped with the next dispatch, so the device never
-idles).  A single histogram cell therefore only needs float32 integer
+Accumulation precision: the device histogram is float32 but only holds
+ONE i-chunk's partial counts; each dispatch folds into an on-device
+compensated (TwoSum hi/lo) accumulator, transferred to the host ONCE at
+the end.  A single histogram cell therefore only needs float32 integer
 exactness within one i-chunk — bounded by CHUNK * (j tracers in the z
-window) and in practice far below 2^24 — while totals across the sweep
-(which can reach 1e9-1e10 pairs per cell at production tabulation scale)
-accumulate exactly in float64 on the host.
+window) and in practice far below 2^24 — while cross-sweep totals (up to
+1e9-1e10 pairs per cell at production scale) stay exact in the hi/lo
+pair: TwoSum captures each fold's rounding residual exactly, and the
+residual accumulator stays far below 2^24, so integer counts are exact
+up to ~2^47 and weighted sums carry float64-grade relative error.
+(Flushing every chunk to the host — the previous scheme — costs a
+device-to-host histogram transfer per chunk, which dominates wall time
+on hosts linked to the TPU by a network tunnel.)
 
 Three binning geometries:
 
@@ -49,6 +54,8 @@ import jax.numpy as jnp
 import numpy as np
 
 CHUNK = 1024
+# i-chunks batched per device dispatch (the host-side sweep loop).
+SWEEP_BLOCK = 16
 
 
 def _pad_chunk(array, chunk, fill):
@@ -74,6 +81,17 @@ def _min_image(delta, period):
     return delta - period * jnp.round(delta / period)
 
 
+def _bin_right(edges, values):
+    """searchsorted(edges, values, 'right') - 1 via an unrolled compare
+    sum: edge lists here are short (tens), and the unrolled broadcast
+    compares stay on the VPU, where jnp.searchsorted's binary-search
+    lowering costs gather-like shuffles per step on large operands."""
+    idx = jnp.full(values.shape, -1, jnp.int32)
+    for k in range(edges.shape[0]):
+        idx += (values >= edges[k]).astype(jnp.int32)
+    return idx
+
+
 def _tile_geometry(p1, l1, i1, p2, l2, i2, w2, period, r_edges_sq, pi_max,
                    mu_edges, kind, n_r, n_mu, exclude_self):
     """Per-tile pair geometry: (sub_bin, valid, rp_sq), each (C, C)."""
@@ -87,20 +105,19 @@ def _tile_geometry(p1, l1, i1, p2, l2, i2, w2, period, r_edges_sq, pi_max,
         valid &= i1[:, None] != i2[None, :]
 
     if kind == "rppi":
-        r_bin = jnp.searchsorted(r_edges_sq, rp_sq, side="right") - 1
+        r_bin = _bin_right(r_edges_sq, rp_sq)
         valid &= (r_bin >= 0) & (r_bin < n_r) & (dz < pi_max)
         sub_bin = r_bin
     elif kind == "proj":
-        r_bin = jnp.searchsorted(r_edges_sq, rp_sq, side="right") - 1
+        r_bin = _bin_right(r_edges_sq, rp_sq)
         valid &= (r_bin >= 0) & (r_bin < n_r)
         sub_bin = r_bin
     else:  # smu
         s_sq = rp_sq + dz ** 2
-        s_bin = jnp.searchsorted(r_edges_sq, s_sq, side="right") - 1
+        s_bin = _bin_right(r_edges_sq, s_sq)
         s = jnp.sqrt(s_sq)
         mu = jnp.where(s > 0, dz / jnp.maximum(s, 1e-30), 0.0)
-        mu_bin = jnp.clip(
-            jnp.searchsorted(mu_edges, mu, side="right") - 1, 0, n_mu - 1)
+        mu_bin = jnp.clip(_bin_right(mu_edges, mu), 0, n_mu - 1)
         valid &= (s_bin >= 0) & (s_bin < n_r) & (s > 0)
         sub_bin = s_bin * n_mu + mu_bin
     return sub_bin, valid, rp_sq
@@ -110,7 +127,8 @@ def _sweep_impl(hist, pos1, labels1, idx1, pos2, labels2, idx2,
                 weights2, period, r_edges_sq, pi_max, mu_edges,
                 j_start, j_count,
                 kind, n_labels_1, n_labels_2, n_r, n_mu,
-                exclude_self, strategy="matmul", pair_weight="unit"):
+                exclude_self, strategy="matmul", pair_weight="unit",
+                unit_counts=False):
     """Accumulate one i-chunk against all j-chunks into ``hist``.
 
     Dispatched once per i-chunk from the host so no single device kernel
@@ -175,17 +193,22 @@ def _sweep_impl(hist, pos1, labels1, idx1, pos2, labels2, idx2,
             n_channels, n_labels_1, n_labels_2, n_hist_r)
 
         def bilinear(m):
-            # HIGHEST precision: with the TPU's default single-pass bf16
-            # matmul the second product rounds its inputs (partial counts
-            # can exceed bf16's 8-bit significand), corrupting counts.
+            # Second product: HIGHEST always — its input carries partial
+            # counts that exceed bf16's 8-bit significand.  First
+            # product: with unit weights every operand entry is exactly
+            # 0 or 1 (bf16-exact) and the f32 accumulator holds per-tile
+            # partials far below 2^24, so one bf16 pass is EXACT and 6x
+            # cheaper; weighted sweeps (delta-sigma masses) keep HIGHEST
+            # for float32-grade weights.
             hi = jax.lax.Precision.HIGHEST
+            first = jax.lax.Precision.DEFAULT if unit_counts else hi
             if n_labels_2 <= n_labels_1:
                 t = jnp.dot(m, oh2, preferred_element_type=dtype,
-                            precision=hi)
+                            precision=first)
                 return jnp.dot(oh1.T, t, preferred_element_type=dtype,
                                precision=hi)
             t = jnp.dot(oh1.T, m, preferred_element_type=dtype,
-                        precision=hi)
+                        precision=first)
             return jnp.dot(t, oh2, preferred_element_type=dtype,
                            precision=hi)
 
@@ -208,8 +231,8 @@ def _sweep_impl(hist, pos1, labels1, idx1, pos2, labels2, idx2,
     def j_body(t, hist_inner):
         # Circular window over z-sorted chunks: only chunks within the
         # line-of-sight cut of this i-chunk are visited.
-        j_chunk = (j_start + t) % n2_chunks
-        p2 = jax.lax.dynamic_slice(pos2, (j_chunk * CHUNK, 0),
+        j_chunk = ((j_start + t) % n2_chunks).astype(jnp.int32)
+        p2 = jax.lax.dynamic_slice(pos2, (j_chunk * CHUNK, jnp.int32(0)),
                                    (CHUNK, 3))
         l2 = jax.lax.dynamic_slice(labels2, (j_chunk * CHUNK,),
                                    (CHUNK,))
@@ -224,9 +247,68 @@ def _sweep_impl(hist, pos1, labels1, idx1, pos2, labels2, idx2,
     return jax.lax.fori_loop(0, j_count, j_body, hist)
 
 
+@partial(jax.jit, donate_argnums=(0, 1))
+def _twosum_fold(hi, lo, x):
+    """Fold ``x`` into the compensated (hi, lo) accumulator.
+
+    Knuth TwoSum: ``s + err == hi + x`` exactly in float arithmetic, so
+    the only rounding left is ``lo + err`` — and |lo| stays orders of
+    magnitude below the totals, keeping integer counts exact to ~2^47
+    and weighted sums at float64-grade relative error.
+    """
+    s = hi + x
+    bp = s - hi
+    err = (hi - (s - bp)) + (x - bp)
+    return s, lo + err
+
+
+def _sweep_block_impl(acc_hi, acc_lo, n_hist, block, pos1, labels1,
+                      idx1, pos2, labels2, idx2, weights2, period,
+                      r_edges_sq, pi_max, mu_edges, j_starts, j_counts,
+                      kind, n_labels_1, n_labels_2, n_r, n_mu,
+                      exclude_self, n_block, strategy="matmul",
+                      pair_weight="unit", unit_counts=False):
+    """Sweep ``n_block`` consecutive i-chunks in ONE dispatch and fold
+    the partial into the TwoSum accumulator.
+
+    Everything — chunk slicing, the fresh per-block histogram, the
+    window bounds and the compensated fold — lives inside this single
+    jitted call: each eager device op from the host loop is a separate
+    round trip when the TPU sits behind a network tunnel (~tens of ms
+    each), and those round trips, not the kernel, dominated the sweep.
+    """
+    hist = jnp.zeros(acc_hi.shape, dtype=acc_hi.dtype)
+
+    def k_body(k, hist_inner):
+        k = k.astype(jnp.int32)
+        chunk = block.astype(jnp.int32) * n_block + k
+        p1 = jax.lax.dynamic_slice(pos1, (chunk * CHUNK, jnp.int32(0)),
+                                   (CHUNK, 3))
+        l1 = jax.lax.dynamic_slice(labels1, (chunk * CHUNK,), (CHUNK,))
+        i1 = jax.lax.dynamic_slice(idx1, (chunk * CHUNK,), (CHUNK,))
+        return _sweep_impl(
+            hist_inner, p1, l1, i1, pos2, labels2, idx2, weights2,
+            period, r_edges_sq, pi_max, mu_edges, j_starts[chunk],
+            j_counts[chunk], kind, n_labels_1, n_labels_2, n_r, n_mu,
+            exclude_self, strategy=strategy, pair_weight=pair_weight,
+            unit_counts=unit_counts)
+
+    hist = jax.lax.fori_loop(0, n_block, k_body, hist)
+    s = acc_hi + hist
+    bp = s - acc_hi
+    err = (acc_hi - (s - bp)) + (hist - bp)
+    return s, acc_lo + err
+
+
+_sweep_block = partial(jax.jit, static_argnames=(
+    "n_hist", "kind", "n_labels_1", "n_labels_2", "n_r", "n_mu",
+    "exclude_self", "n_block", "strategy", "pair_weight", "unit_counts"),
+    donate_argnums=(0, 1))(_sweep_block_impl)
+
+
 _sweep_i_chunk = partial(jax.jit, static_argnames=(
     "kind", "n_labels_1", "n_labels_2", "n_r", "n_mu", "exclude_self",
-    "strategy", "pair_weight"),
+    "strategy", "pair_weight", "unit_counts"),
     donate_argnums=(0,))(_sweep_impl)
 
 
@@ -389,6 +471,7 @@ def labeled_pair_count(pos1, labels1, n_labels_1, pos2=None, labels2=None,
     # masses ~1e9) in the float32 per-chunk partials rounds each add to
     # the partial's ulp, a systematic ~1e-4 bias.
     weight_scale = 1.0
+    unit_counts = weights2 is None
     if weights2 is not None:
         weights2 = np.asarray(weights2, dtype=np.float64)
         if weights2.ndim == 0:
@@ -453,42 +536,59 @@ def labeled_pair_count(pos1, labels1, n_labels_1, pos2=None, labels2=None,
     n_channels = 2 if pair_weight == "unit+log_rp" else 1
     n_hist = n_channels * n_labels_1 * n_labels_2 * n_hist_r
 
-    # One dispatch per i-chunk: bounded kernel runtimes and natural
-    # host-side progress/interruption points.  Each dispatch gets a FRESH
-    # zero histogram and the previous dispatch's partial is reduced into a
-    # float64 host accumulator while the new one runs — float32 only ever
-    # accumulates one i-chunk's counts (see module docstring).
-    host_hist = np.zeros(n_hist + 1, dtype=np.float64)
-    pending = None
-    starts = range(0, pos1.shape[0], CHUNK)
-    if progress:
-        import tqdm
-        starts = tqdm.tqdm(starts, smoothing=0, desc="pair counting")
-    for start in starts:
-        j_start, j_count = windows[start // CHUNK]
-        hist = jnp.zeros(n_hist + 1, dtype=weights2.dtype)
-        chunk_args = (
-            hist, pos1[start:start + CHUNK],
-            labels1[start:start + CHUNK], idx1[start:start + CHUNK],
-            pos2, labels2, idx2, weights2, period_dev, edges_dev,
-            pi_max_dev, mu_dev)
-        if mesh is None:
-            hist = _sweep_i_chunk(
-                *chunk_args, j_start, j_count, kind, int(n_labels_1),
-                int(n_labels_2), n_r, n_mu, exclude_self=auto,
-                strategy=strategy, pair_weight=pair_weight)
-        else:
+    # One dispatch per SWEEP_BLOCK of i-chunks: bounded kernel runtimes
+    # and natural host-side progress points; partials fold into the
+    # on-device TwoSum (hi, lo) accumulator — exact (see module
+    # docstring) with no per-chunk device-to-host transfer.
+    acc_hi = jnp.zeros(n_hist + 1, dtype=weights2.dtype)
+    acc_lo = jnp.zeros(n_hist + 1, dtype=weights2.dtype)
+    if mesh is None:
+        # Batch i-chunks per dispatch and keep the WHOLE loop body in
+        # one jit call per block (see _sweep_block_impl).  The final
+        # short block pads with j_count = 0 chunks (no-ops).
+        n1_chunks = pos1.shape[0] // CHUNK
+        n_blocks = -(-n1_chunks // SWEEP_BLOCK)
+        pad_chunks = n_blocks * SWEEP_BLOCK - n1_chunks
+        j_starts = jnp.asarray(np.array(
+            [w[0] for w in windows] + [0] * pad_chunks, dtype=np.int32))
+        j_counts = jnp.asarray(np.array(
+            [w[1] for w in windows] + [0] * pad_chunks, dtype=np.int32))
+        pos1 = _pad_chunk(pos1, SWEEP_BLOCK * CHUNK, "edge")
+        labels1 = _pad_chunk(labels1, SWEEP_BLOCK * CHUNK, -1)
+        idx1 = _pad_chunk(idx1, SWEEP_BLOCK * CHUNK, -2)
+        blocks = range(n_blocks)
+        if progress:
+            import tqdm
+            blocks = tqdm.tqdm(blocks, smoothing=0, desc="pair counting")
+        for b in blocks:
+            acc_hi, acc_lo = _sweep_block(
+                acc_hi, acc_lo, n_hist, b, pos1, labels1, idx1,
+                pos2, labels2, idx2, weights2, period_dev, edges_dev,
+                pi_max_dev, mu_dev, j_starts, j_counts,
+                kind, int(n_labels_1), int(n_labels_2), n_r, n_mu,
+                exclude_self=auto, n_block=SWEEP_BLOCK,
+                strategy=strategy, pair_weight=pair_weight,
+                unit_counts=unit_counts)
+    else:
+        starts = range(0, pos1.shape[0], CHUNK)
+        if progress:
+            import tqdm
+            starts = tqdm.tqdm(starts, smoothing=0, desc="pair counting")
+        for start in starts:
+            j_start, j_count = windows[start // CHUNK]
+            hist = jnp.zeros(n_hist + 1, dtype=weights2.dtype)
             hist = _sweep_i_chunk_sharded(
-                *chunk_args, mesh=mesh, kind=kind,
+                hist, pos1[start:start + CHUNK],
+                labels1[start:start + CHUNK], idx1[start:start + CHUNK],
+                pos2, labels2, idx2, weights2, period_dev, edges_dev,
+                pi_max_dev, mu_dev, mesh=mesh, kind=kind,
                 n_labels_1=int(n_labels_1), n_labels_2=int(n_labels_2),
                 n_r=n_r, n_mu=n_mu, exclude_self=auto,
                 strategy=strategy, pair_weight=pair_weight)
-        if pending is not None:
-            host_hist += np.asarray(pending, dtype=np.float64)
-        pending = hist
-    if pending is not None:
-        host_hist += np.asarray(pending, dtype=np.float64)
+            acc_hi, acc_lo = _twosum_fold(acc_hi, acc_lo, hist)
 
+    host_hist = (np.asarray(acc_hi, dtype=np.float64) +
+                 np.asarray(acc_lo, dtype=np.float64))
     counts = host_hist[:n_hist] * weight_scale
     shape = (n_labels_1, n_labels_2, n_r) if kind != "smu" else \
         (n_labels_1, n_labels_2, n_r, n_mu)
