@@ -349,7 +349,9 @@ def make_htar_retrieve(simulation,
                    f"Abacus_AbacusSummit_{simulation}_halos.tar")
         # Extract into a dedicated temporary directory: extracting into
         # the cwd would make the post-read cleanup remove a './halos'
-        # tree the user may own.
+        # tree the user may own.  tempfile honors $TMPDIR — point it at
+        # scratch on nodes whose /tmp is a small tmpfs (extractions can
+        # be tens of GB).
         dest = Path(tempfile.mkdtemp(prefix="tabcorr_htar_"))
         subprocess.run(["htar", "-x", "-f", str(archive), f"./{member}"],
                        check=True, cwd=dest)
@@ -421,9 +423,9 @@ def read_abacus_summit_particles(raw_dir, redshift, simulation=None,
 
     positions = np.vstack(positions)
     if retrieved_root is not None and retrieved_root != raw_dir:
-        # Remove only what the tape hook extracted (a dedicated root).
+        # Remove the tape hook's dedicated extraction root entirely.
         import shutil
-        shutil.rmtree(retrieved_root / "halos", ignore_errors=True)
+        shutil.rmtree(retrieved_root, ignore_errors=True)
 
     if boxsize is None:
         boxsize = read_abacus_par_boxsize(raw_dir / "info" / "abacus.par")

@@ -17,7 +17,13 @@ import numpy as np
 
 _NATIVE_DIR = Path(__file__).absolute().parent.parent / "native"
 _SOURCE = _NATIVE_DIR / "paircount.cpp"
-_LIB_PATH = _NATIVE_DIR / "libtabcorr_paircount.so"
+# Must match tabcorr_native_version() in native/paircount.cpp; bumped on
+# every C ABI change.  The version is part of the artifact NAME: a stale
+# .so called through a newer ctypes signature would misread its argument
+# stack, and rebuilding under one filename cannot help in-process
+# (glibc's dlopen caches by pathname and returns the old mapping).
+NATIVE_ABI_VERSION = 3
+_LIB_PATH = _NATIVE_DIR / f"libtabcorr_paircount_v{NATIVE_ABI_VERSION}.so"
 _LIB = None
 
 
@@ -34,13 +40,6 @@ def _build_library():
         detail = getattr(exc, "stderr", str(exc))
         raise NativeUnavailable(
             f"Could not build the native pair counter: {detail}")
-
-
-# Must match tabcorr_native_version() in native/paircount.cpp; bumped on
-# every C ABI change.  A stale .so called through the new ctypes
-# signature would misread its argument stack (memory corruption), so the
-# loader verifies the version and rebuilds on mismatch.
-NATIVE_ABI_VERSION = 3
 
 
 def load_library():
@@ -61,18 +60,14 @@ def load_library():
     except AttributeError:
         found = -1
     if found != NATIVE_ABI_VERSION:
-        if not _SOURCE.exists():
-            raise NativeUnavailable(
-                f"Native library ABI version {found} != expected "
-                f"{NATIVE_ABI_VERSION} and no source to rebuild from.")
-        _build_library()
-        lib = ctypes.CDLL(str(_LIB_PATH))
-        lib.tabcorr_native_version.restype = ctypes.c_int
-        found = int(lib.tabcorr_native_version())
-        if found != NATIVE_ABI_VERSION:
-            raise NativeUnavailable(
-                f"Rebuilt native library still reports ABI version "
-                f"{found} != expected {NATIVE_ABI_VERSION}.")
+        # The version lives in the filename, so a mismatch means the
+        # source and NATIVE_ABI_VERSION are out of sync — a packaging
+        # bug, not a stale artifact (re-dlopening one filename would
+        # return glibc's cached stale mapping anyway).
+        raise NativeUnavailable(
+            f"{_LIB_PATH.name} reports ABI version {found}, expected "
+            f"{NATIVE_ABI_VERSION}; native/paircount.cpp and "
+            f"tabcorr_tpu/native.py are out of sync.")
     lib.tabcorr_count_pairs.restype = None
     lib.tabcorr_count_pairs.argtypes = [
         ctypes.POINTER(ctypes.c_double),   # pos1

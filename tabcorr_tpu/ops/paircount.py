@@ -262,54 +262,50 @@ def _twosum_fold(hi, lo, x):
     return s, lo + err
 
 
-def _sweep_block_impl(acc_hi, acc_lo, n_hist, block, pos1, labels1,
+def _sweep_block_impl(acc_hi, acc_lo, block, pos1, labels1,
                       idx1, pos2, labels2, idx2, weights2, period,
                       r_edges_sq, pi_max, mu_edges, j_starts, j_counts,
                       kind, n_labels_1, n_labels_2, n_r, n_mu,
                       exclude_self, n_block, strategy="matmul",
                       pair_weight="unit", unit_counts=False):
-    """Sweep ``n_block`` consecutive i-chunks in ONE dispatch and fold
-    the partial into the TwoSum accumulator.
+    """Sweep ``n_block`` consecutive i-chunks in ONE dispatch, folding
+    EACH chunk's float32 partial into the TwoSum accumulator.
 
-    Everything — chunk slicing, the fresh per-block histogram, the
-    window bounds and the compensated fold — lives inside this single
+    Everything — chunk slicing, the fresh per-chunk histogram, the
+    window bounds and the compensated folds — lives inside this single
     jitted call: each eager device op from the host loop is a separate
     round trip when the TPU sits behind a network tunnel (~tens of ms
     each), and those round trips, not the kernel, dominated the sweep.
+    Folding per CHUNK (not per block) preserves the module invariant
+    that a raw float32 histogram only ever holds one i-chunk's counts.
     """
-    hist = jnp.zeros(acc_hi.shape, dtype=acc_hi.dtype)
-
-    def k_body(k, hist_inner):
+    def k_body(k, carry):
+        hi, lo = carry
         k = k.astype(jnp.int32)
         chunk = block.astype(jnp.int32) * n_block + k
         p1 = jax.lax.dynamic_slice(pos1, (chunk * CHUNK, jnp.int32(0)),
                                    (CHUNK, 3))
         l1 = jax.lax.dynamic_slice(labels1, (chunk * CHUNK,), (CHUNK,))
         i1 = jax.lax.dynamic_slice(idx1, (chunk * CHUNK,), (CHUNK,))
-        return _sweep_impl(
-            hist_inner, p1, l1, i1, pos2, labels2, idx2, weights2,
+        hist = _sweep_impl(
+            jnp.zeros(hi.shape, dtype=hi.dtype), p1, l1, i1, pos2,
+            labels2, idx2, weights2,
             period, r_edges_sq, pi_max, mu_edges, j_starts[chunk],
             j_counts[chunk], kind, n_labels_1, n_labels_2, n_r, n_mu,
             exclude_self, strategy=strategy, pair_weight=pair_weight,
             unit_counts=unit_counts)
+        s = hi + hist
+        bp = s - hi
+        err = (hi - (s - bp)) + (hist - bp)
+        return s, lo + err
 
-    hist = jax.lax.fori_loop(0, n_block, k_body, hist)
-    s = acc_hi + hist
-    bp = s - acc_hi
-    err = (acc_hi - (s - bp)) + (hist - bp)
-    return s, acc_lo + err
+    return jax.lax.fori_loop(0, n_block, k_body, (acc_hi, acc_lo))
 
 
 _sweep_block = partial(jax.jit, static_argnames=(
-    "n_hist", "kind", "n_labels_1", "n_labels_2", "n_r", "n_mu",
+    "kind", "n_labels_1", "n_labels_2", "n_r", "n_mu",
     "exclude_self", "n_block", "strategy", "pair_weight", "unit_counts"),
     donate_argnums=(0, 1))(_sweep_block_impl)
-
-
-_sweep_i_chunk = partial(jax.jit, static_argnames=(
-    "kind", "n_labels_1", "n_labels_2", "n_r", "n_mu", "exclude_self",
-    "strategy", "pair_weight", "unit_counts"),
-    donate_argnums=(0,))(_sweep_impl)
 
 
 @partial(jax.jit, static_argnames=("mesh", "kind", "n_labels_1",
@@ -336,7 +332,8 @@ def _sweep_i_chunk_sharded(hist, pos1, labels1, idx1, pos2, labels2, idx2,
 
     def local(p1, l1, i1, p2, l2, i2, w2):
         n_hist_r = n_r * (n_mu if kind == "smu" else 1)
-        n_hist = n_labels_1 * n_labels_2 * n_hist_r
+        n_channels = 2 if pair_weight == "unit+log_rp" else 1
+        n_hist = n_channels * n_labels_1 * n_labels_2 * n_hist_r
         partial_hist = jnp.zeros(n_hist + 1, dtype=w2.dtype)
         # Mark the accumulator as device-varying for the shard_map VMA
         # checker (the loop body mixes it with sharded data).
@@ -471,7 +468,10 @@ def labeled_pair_count(pos1, labels1, n_labels_1, pos2=None, labels2=None,
     # masses ~1e9) in the float32 per-chunk partials rounds each add to
     # the partial's ulp, a systematic ~1e-4 bias.
     weight_scale = 1.0
-    unit_counts = weights2 is None
+    # The single-pass count-matmul shortcut only applies when EVERY
+    # channel's pair-weight matrix is exactly 0/1: a log_rp channel
+    # carries w * ln(rp) values that bf16 would round.
+    unit_counts = weights2 is None and pair_weight == "unit"
     if weights2 is not None:
         weights2 = np.asarray(weights2, dtype=np.float64)
         if weights2.ndim == 0:
@@ -562,7 +562,7 @@ def labeled_pair_count(pos1, labels1, n_labels_1, pos2=None, labels2=None,
             blocks = tqdm.tqdm(blocks, smoothing=0, desc="pair counting")
         for b in blocks:
             acc_hi, acc_lo = _sweep_block(
-                acc_hi, acc_lo, n_hist, b, pos1, labels1, idx1,
+                acc_hi, acc_lo, b, pos1, labels1, idx1,
                 pos2, labels2, idx2, weights2, period_dev, edges_dev,
                 pi_max_dev, mu_dev, j_starts, j_counts,
                 kind, int(n_labels_1), int(n_labels_2), n_r, n_mu,

@@ -125,6 +125,18 @@ def test_sharded_pair_counting_matches_plain():
     # float32 accumulation order differs across shards.
     np.testing.assert_allclose(sharded_w, plain_w, rtol=5e-4)
 
+    # dual-channel (delta-sigma) sweep through the mesh path: the
+    # doubled histogram must shard identically to the single channels.
+    plain_b = labeled_pair_count(pos, labels, 4, pos2=ptcl,
+                                 weights2=weights, period=L, kind="proj",
+                                 r_edges=rp_bins,
+                                 pair_weight="unit+log_rp")
+    sharded_b = labeled_pair_count(pos, labels, 4, pos2=ptcl,
+                                   weights2=weights, period=L,
+                                   kind="proj", r_edges=rp_bins,
+                                   pair_weight="unit+log_rp", mesh=mesh)
+    np.testing.assert_allclose(sharded_b, plain_b, rtol=5e-4)
+
 
 def test_sharded_tabulate_matches_plain():
     from jax.sharding import Mesh
