@@ -20,11 +20,29 @@ parameter vector:
 
 Primary engine: the one-kernel Pallas "bundle" (ops/fused.py) — in-kernel
 occupation quadrature + all dense contractions per batch tile, HIGHEST
-MXU precision (full float32).  Accuracy is reported two ways: max
-relative error of wp (a well-conditioned statistic; the north-star
-anchor) and the scale-normalized error of xi_ell (whose smallest entries
-are ~1e-7 of its largest, where per-element relative error measures table
-conditioning, not kernel precision).
+MXU precision (full float32).  TWO rates are reported: the headline
+(wp elementwise + xi_ell scaled, the natural contract per statistic) and
+the all-elementwise-contract rate (every output element of every
+statistic <1e-6 relative).
+
+Accuracy is probed at N_PROBE=16 random parameter points (max over the
+probe set), two ways per statistic:
+
+* ``*_err_vs_f64`` — kernel error against the float64 host path
+  evaluated at the float32 parameter values the kernel actually
+  receives: the kernel's own arithmetic contract (quadrature node
+  residual correction, compensated f32 transcendentals, exact segment
+  sums, 6-pass MXU contraction).
+* ``*_err_incl_param_quantization`` — against the float64 host path at
+  the unrounded float64 parameters; the difference is the irreducible
+  float32 *input representation* error (~1e-6 level for logM-type
+  parameters), common to every float32 pipeline.
+
+wp errors are per-element relative (the north-star anchor); xi_ell
+errors are scale-normalized (relative to the statistic's largest
+element — its smallest entries are ~1e-7 of the largest, where
+per-element relative error measures table conditioning, not kernel
+precision).
 
 Prints one JSON line:
   {"metric": ..., "value": ..., "unit": ..., "vs_baseline": ...}
@@ -50,6 +68,7 @@ BASELINE_PREDICTIONS_PER_SEC = 1.0e3  # reference predict ~1 ms / eval
 BATCH = 262144
 CHUNK = 4096
 N_ITER = 10
+N_PROBE = 16  # accuracy probe points (batch elements 0..N_PROBE-1)
 
 
 def make_xla_predict_all(wp_table, xi_table, occ_c, occ_s):
@@ -71,19 +90,22 @@ def make_xla_predict_all(wp_table, xi_table, occ_c, occ_s):
     return predict_all
 
 
-def make_bundle_predict_all(wp_table, xi_table, occ_c, occ_s, param_names):
-    """Primary path: one Pallas kernel for the whole bundle."""
+def make_bundle_predict_all(wp_table, xi_table, occ_c, occ_s, param_names,
+                            accuracy=("elementwise", "scaled")):
+    """Primary path: one Pallas kernel for the whole bundle.
+
+    Default contracts: wp carries the per-element <1e-6 relative
+    contract (the north-star anchor); xi_ell uses the scaled contract
+    matching its reported metric, which lets low-amplitude rows contract
+    at fewer MXU passes.  Both realized errors are measured against
+    float64 and reported below; the all-elementwise variant is timed
+    separately.
+    """
     from tabcorr_tpu.ops.fused import make_fused_bundle_predictor
 
-    # wp carries the per-element <1e-6 relative contract (the north-star
-    # anchor); xi_ell uses the scaled contract matching its reported
-    # metric (error relative to the largest element — its smallest
-    # entries are ~1e-7 of the largest), which lets low-amplitude rows
-    # contract at fewer MXU passes.  Both realized errors are measured
-    # against float64 and reported below.
     f = make_fused_bundle_predictor([wp_table, xi_table], occ_c, occ_s,
                                     param_names, batch_tile=512,
-                                    accuracy=("elementwise", "scaled"))
+                                    accuracy=accuracy)
 
     @jax.jit
     def predict_all(params):
@@ -113,8 +135,9 @@ def main():
         "logM1": 12.4 + 0.1 * rng.normal(size=BATCH),
         "alpha": 0.83 + 0.02 * rng.normal(size=BATCH),
     }
-    # Batch element 0 holds the model defaults: its output doubles as the
-    # float32-vs-float64 accuracy probe (no extra kernel compile).
+    # Batch element 0 holds the model defaults; elements 0..N_PROBE-1
+    # double as the float32-vs-float64 accuracy probe set (no extra
+    # kernel compile).
     for key in overrides:
         overrides[key][0] = model.param_dict[key]
     params = params_batch(model, overrides, (BATCH,), dtype=jnp.float32)
@@ -147,18 +170,51 @@ def main():
         out = predict_all(params)
     jax.block_until_ready(out)
     elapsed = time.perf_counter() - t0
-
     rate = BATCH * N_ITER / elapsed
 
-    # Accuracy vs the float64 host parity path, batch element 0
-    # (= the model's default parameters).
-    want_wp = wp_tab.predict(model, check_consistency=False)
-    want_xi = xi_tab.predict(model, check_consistency=False)
-    got_wp = np.asarray(out[1][0], dtype=np.float64).ravel()
-    got_xi = np.asarray(out[2][0], dtype=np.float64).ravel()
-    rel_err_wp = float(np.max(np.abs(got_wp / want_wp[1].ravel() - 1)))
-    err_xi = float(np.max(np.abs(got_xi - want_xi[1].ravel())) /
-                   np.max(np.abs(want_xi[1])))
+    # All-elementwise-contract variant (every element of every statistic
+    # <1e-6 relative): timed separately so the headline can't be read as
+    # over-claiming the xi_ell contract.
+    elementwise_rate = None
+    if kernel_path == "pallas_bundle":
+        predict_elem = make_bundle_predict_all(
+            wp_table, xi_table, occ_c, occ_s,
+            tuple(model.param_dict.keys()),
+            accuracy=("elementwise", "elementwise"))
+        out_e = predict_elem(params)
+        jax.block_until_ready(out_e)
+        t0 = time.perf_counter()
+        for _ in range(N_ITER):
+            out_e = predict_elem(params)
+        jax.block_until_ready(out_e)
+        elementwise_rate = BATCH * N_ITER / (time.perf_counter() - t0)
+
+    # Accuracy vs the float64 host parity path, max over N_PROBE random
+    # parameter points.  Two contracts per statistic (see module
+    # docstring): kernel error at the float32 parameter values actually
+    # received, and total error including float32 parameter-input
+    # quantization.
+    err = {"wp_kernel": 0.0, "wp_total": 0.0,
+           "xi_kernel": 0.0, "xi_total": 0.0}
+    for i in range(N_PROBE):
+        got_wp = np.asarray(out[1][i], dtype=np.float64).ravel()
+        got_xi = np.asarray(out[2][i], dtype=np.float64).ravel()
+        for which, quantize in (("kernel", True), ("total", False)):
+            m = tt.Zheng07Model(threshold=-18,
+                                redshift=wp_tab.attrs["redshift"])
+            for k in overrides:
+                v = overrides[k][i]
+                m.param_dict[k] = float(np.float32(v)) if quantize \
+                    else float(v)
+            want_wp = wp_tab.predict(m, check_consistency=False)[1].ravel()
+            want_xi = xi_tab.predict(m, check_consistency=False)[1].ravel()
+            err[f"wp_{which}"] = max(
+                err[f"wp_{which}"],
+                float(np.max(np.abs(got_wp / want_wp - 1))))
+            err[f"xi_{which}"] = max(
+                err[f"xi_{which}"],
+                float(np.max(np.abs(got_xi - want_xi)) /
+                      np.max(np.abs(want_xi))))
 
     print(json.dumps({
         "metric": "zheng07_wp_xi_ell_predictions_per_sec",
@@ -169,8 +225,13 @@ def main():
         "device": str(jax.devices()[0]),
         "kernel_path": kernel_path,
         **({"fallback_reason": fallback_reason} if fallback_reason else {}),
-        "wp_f32_max_rel_err_vs_f64": rel_err_wp,
-        "xi_ell_f32_scaled_err_vs_f64": err_xi,
+        **({"elementwise_contract_rate": float(elementwise_rate)}
+           if elementwise_rate else {}),
+        "n_accuracy_probes": N_PROBE,
+        "wp_f32_max_rel_err_vs_f64": err["wp_kernel"],
+        "xi_ell_f32_scaled_err_vs_f64": err["xi_kernel"],
+        "wp_f32_max_rel_err_incl_param_quantization": err["wp_total"],
+        "xi_ell_f32_scaled_err_incl_param_quantization": err["xi_total"],
     }))
 
 

@@ -229,101 +229,153 @@ def run_hmc_adaptive(key, log_prob_fn, positions0, n_warmup, n_steps,
 # ----------------------------------------------------------------------
 # NUTS (No-U-Turn Sampler)
 # ----------------------------------------------------------------------
-def _leapfrog(q, p, grad, step_size, log_prob_fn):
+def _leapfrog(q, p, grad, step_size, log_prob_fn, inv_mass=1.0):
     p_half = p + 0.5 * step_size * grad
-    q_new = q + step_size * p_half
+    q_new = q + step_size * (inv_mass * p_half)
     logp_new, grad_new = jax.value_and_grad(log_prob_fn)(q_new)
     p_new = p_half + 0.5 * step_size * grad_new
     return q_new, p_new, logp_new, grad_new
 
 
-def _uturn(q_left, p_left, q_right, p_right):
+def _uturn(q_left, p_left, q_right, p_right, inv_mass=1.0):
+    # Generalized criterion: angles against VELOCITIES M^-1 p (reduces
+    # to the Euclidean form for the identity metric).
     dq = q_right - q_left
-    return (jnp.dot(dq, p_left) < 0) | (jnp.dot(dq, p_right) < 0)
+    return ((jnp.dot(dq, inv_mass * p_left) < 0) |
+            (jnp.dot(dq, inv_mass * p_right) < 0))
 
 
-def _build_tree(key, q, p, logp, grad, direction, depth, step_size,
-                log_prob_fn, h0):
-    """Recursive NUTS tree of static ``depth`` (traced fully unrolled).
+def _tz_count(x, max_bits):
+    """Trailing-zero count of positive int32 ``x``, capped at max_bits."""
+    tz = jnp.zeros((), jnp.int32)
+    for b in range(1, max_bits + 1):
+        tz = tz + ((x & ((1 << b) - 1)) == 0).astype(jnp.int32)
+    return tz
 
-    Implements the Hoffman & Gelman (2014) doubling tree with multinomial
-    state sampling (Betancourt 2017): every dyadic sub-interval is checked
-    for U-turns through the recursion, and the proposal within a subtree
-    is drawn with probability proportional to exp(-H + H0).  The static
-    unrolling always computes all 2^depth leapfrog steps; invalid
-    (post-turn/divergent) states carry -inf weight so they are never
-    selected.
 
-    Returns (q_l, p_l, logp_l, grad_l, q_r, p_r, logp_r, grad_r,
-    q_prop, logp_prop, log_sum_w, turning_or_divergent, alpha_sum,
-    n_alpha) where alpha_sum / n_alpha is the accumulated Metropolis
-    accept statistic min(1, exp(H0 - H)) over every leapfrog state in the
-    subtree (Hoffman & Gelman 2014, algorithm 6) — the quantity the
-    dual-averaging warmup adapts on.
+def _build_subtree_iter(key, q0, p0, lp0, g0, depth, step_size,
+                        log_prob_fn, h0, inv_mass, max_depth):
+    """One NUTS subtree of dynamic size ``2^depth``, built ITERATIVELY.
+
+    Implements the Hoffman & Gelman (2014) doubling subtree with
+    multinomial state sampling (Betancourt 2017) as a single
+    ``lax.while_loop`` over leapfrog steps, exiting EARLY on the first
+    internal U-turn or divergence — unlike a statically unrolled tree,
+    which always pays all 2^depth gradient evaluations.  Internal dyadic
+    U-turn checks use the checkpoint-stack scheme (Phan et al. 2019,
+    numpyro's iterative NUTS): a dyadic interval of length ``2^l`` ends
+    at leaf ``i`` iff the low ``l`` bits of ``i`` are ones, and its start
+    leaf ``s = i + 1 - 2^l`` (low ``l`` bits zero) is still live in slot
+    ``tz(s)`` of an O(max_depth) checkpoint stack when the check runs.
+
+    Integration happens in the direction-flipped frame (``p`` here is
+    ``direction * p_physical``): standard forward leapfrog then applies,
+    and the U-turn dot products are frame-invariant, so no per-leaf sign
+    juggling is needed.  Returns the OUTWARD end state (flipped-frame
+    momentum), the subtree proposal, its log weight, the bad flag
+    (turned/divergent), the accumulated accept statistic, and the number
+    of leapfrog steps actually executed.
     """
-    if depth == 0:
-        q_new, p_new, logp_new, grad_new = _leapfrog(
-            q, p * direction, grad, step_size, log_prob_fn)
-        p_new = p_new * direction
-        h_new = -logp_new + 0.5 * jnp.sum(p_new**2)
-        # NaN-safe: a NaN Hamiltonian (e.g. NaN gradients from an
-        # out-of-grid Interpolator state) must count as divergent —
-        # `(h_new - h0) > 1000` is False for NaN and would let the NaN
-        # poison the subtree weights and disable termination.
-        divergent = ~((h_new - h0) <= 1000.0)
-        log_w = jnp.where(divergent, -jnp.inf, h0 - h_new)
-        alpha = jnp.minimum(1.0, jnp.exp(h0 - h_new))
+    n_dim = q0.shape[0]
+    n_leaf = (jnp.int32(1) << depth).astype(jnp.int32)
+    dtype = q0.dtype
+
+    carry = dict(
+        i=jnp.int32(0),
+        q=q0, p=p0, lp=lp0, g=g0,
+        q_prop=q0, lp_prop=lp0,
+        log_sum_w=jnp.full((), -jnp.inf, dtype),
+        bad=jnp.bool_(False),
+        alpha_sum=jnp.zeros((), dtype),
+        n_alpha=jnp.zeros((), dtype),
+        stack_q=jnp.zeros((max_depth + 1, n_dim), dtype),
+        stack_v=jnp.zeros((max_depth + 1, n_dim), dtype),
+    )
+
+    def cond(c):
+        return (c["i"] < n_leaf) & ~c["bad"]
+
+    def body(c):
+        i = c["i"]
+        q, p, lp, g = _leapfrog(c["q"], c["p"], c["g"], step_size,
+                                log_prob_fn, inv_mass)
+        v = inv_mass * p
+        h = -lp + 0.5 * jnp.sum(p * v)
+        # NaN-safe: a NaN Hamiltonian must count as divergent —
+        # `(h - h0) > 1000` is False for NaN and would poison the
+        # subtree weights and disable termination.
+        divergent = ~((h - h0) <= 1000.0)
+        log_w = jnp.where(divergent, -jnp.inf, h0 - h)
+        alpha = jnp.minimum(1.0, jnp.exp(h0 - h))
         alpha = jnp.where(jnp.isnan(alpha), 0.0, alpha)
-        return (q_new, p_new, logp_new, grad_new,
-                q_new, p_new, logp_new, grad_new,
-                q_new, logp_new, log_w, divergent, alpha,
-                jnp.ones((), q.dtype))
 
-    key_1, key_2, key_pick = jax.random.split(key, 3)
-    first = _build_tree(key_1, q, p, logp, grad, direction, depth - 1,
-                        step_size, log_prob_fn, h0)
-    (q_l1, p_l1, lp_l1, g_l1, q_r1, p_r1, lp_r1, g_r1,
-     q_p1, lp_p1, lw_1, bad_1, a_1, n_1) = first
+        # Multinomial proposal within the subtree.
+        log_sum = jnp.logaddexp(c["log_sum_w"], log_w)
+        u = jax.random.uniform(jax.random.fold_in(key, i), ())
+        take = jnp.log(u) < log_w - log_sum
+        q_prop = jnp.where(take, q, c["q_prop"])
+        lp_prop = jnp.where(take, lp, c["lp_prop"])
 
-    # Continue from the outward end of the first half (direction-aware:
-    # the tree grows outward from (q, p) in `direction`).
-    second = _build_tree(key_2, q_r1, p_r1, lp_r1, g_r1, direction,
-                         depth - 1, step_size, log_prob_fn, h0)
-    (q_l2, p_l2, lp_l2, g_l2, q_r2, p_r2, lp_r2, g_r2,
-     q_p2, lp_p2, lw_2, bad_2, a_2, n_2) = second
+        # Checkpoint this leaf if it starts any dyadic interval.
+        slot = jnp.where(i == 0, jnp.int32(max_depth),
+                         _tz_count(jnp.maximum(i, 1), max_depth))
+        stack_q = jax.lax.dynamic_update_index_in_dim(
+            c["stack_q"], q, slot, axis=0)
+        stack_v = jax.lax.dynamic_update_index_in_dim(
+            c["stack_v"], v, slot, axis=0)
 
-    lw_2 = jnp.where(bad_1, -jnp.inf, lw_2)
-    log_sum = jnp.logaddexp(lw_1, lw_2)
-    take_second = (jnp.log(jax.random.uniform(key_pick, ())) <
-                   lw_2 - log_sum)
-    q_prop = jnp.where(take_second, q_p2, q_p1)
-    lp_prop = jnp.where(take_second, lp_p2, lp_p1)
+        # U-turn checks for every dyadic interval ending at this leaf.
+        turning = jnp.bool_(False)
+        trailing_ones = _tz_count(i + 1, max_depth)
+        for level in range(1, max_depth + 1):
+            active = (level <= trailing_ones) & (level <= depth)
+            s = i + 1 - (jnp.int32(1) << jnp.minimum(level, depth))
+            s_slot = jnp.where(s == 0, jnp.int32(max_depth),
+                               _tz_count(jnp.maximum(s, 1), max_depth))
+            q_s = jax.lax.dynamic_index_in_dim(stack_q, s_slot, axis=0,
+                                               keepdims=False)
+            v_s = jax.lax.dynamic_index_in_dim(stack_v, s_slot, axis=0,
+                                               keepdims=False)
+            dq = q - q_s
+            turning |= active & ((jnp.dot(dq, v_s) < 0) |
+                                 (jnp.dot(dq, v) < 0))
 
-    # Endpoints are in growth order (start-side first, outward last);
-    # the U-turn criterion needs them in *physical* left/right order with
-    # physical momenta.
-    swap = direction < 0
-    q_minus = jnp.where(swap, q_r2, q_l1)
-    p_minus = jnp.where(swap, p_r2, p_l1)
-    q_plus = jnp.where(swap, q_l1, q_r2)
-    p_plus = jnp.where(swap, p_l1, p_r2)
-    turning = _uturn(q_minus, p_minus, q_plus, p_plus)
-    bad = bad_1 | bad_2 | turning
-    return (q_l1, p_l1, lp_l1, g_l1, q_r2, p_r2, lp_r2, g_r2,
-            q_prop, lp_prop, log_sum, bad, a_1 + a_2, n_1 + n_2)
+        return dict(
+            i=i + 1, q=q, p=p, lp=lp, g=g,
+            q_prop=q_prop, lp_prop=lp_prop, log_sum_w=log_sum,
+            bad=divergent | turning,
+            alpha_sum=c["alpha_sum"] + alpha,
+            n_alpha=c["n_alpha"] + 1.0,
+            stack_q=stack_q, stack_v=stack_v)
+
+    out = jax.lax.while_loop(cond, body, carry)
+    return (out["q"], out["p"], out["lp"], out["g"],
+            out["q_prop"], out["lp_prop"], out["log_sum_w"], out["bad"],
+            out["alpha_sum"], out["n_alpha"], out["i"])
 
 
-def nuts_step(key, q, log_prob_fn, step_size, max_depth=6):
-    """One No-U-Turn step for a single chain (static max_depth doublings).
+def nuts_step(key, q, log_prob_fn, step_size, max_depth=6, inv_mass=None):
+    """One No-U-Turn step for a single chain (dynamic doubling).
 
-    Returns (q_new, logp_new, depth_reached, accept_stat) where
+    Both the doubling loop and each subtree are ``lax.while_loop``s, so a
+    trajectory stops paying gradient evaluations the moment it turns or
+    diverges (under ``vmap`` the cost is the max over chains, still far
+    below the statically unrolled 2^max_depth).  ``inv_mass`` is an
+    optional diagonal inverse metric (momenta ~ N(0, M), kinetic energy
+    p^T M^-1 p / 2, U-turns against velocities M^-1 p).
+
+    Returns (q_new, logp_new, depth_reached, accept_stat, n_grad) where
     accept_stat is the mean Metropolis statistic over the trajectory's
-    leapfrog states (Hoffman & Gelman 2014, algorithm 6).
+    leapfrog states (Hoffman & Gelman 2014, algorithm 6) and n_grad the
+    number of leapfrog gradient evaluations spent.
     """
+    if inv_mass is None:
+        inv_mass = jnp.ones((), q.dtype)
     key_mom, key_tree = jax.random.split(key)
-    p = jax.random.normal(key_mom, q.shape, dtype=q.dtype)
+    p = (jax.random.normal(key_mom, q.shape, dtype=q.dtype) /
+         jnp.sqrt(inv_mass))
     logp, grad = jax.value_and_grad(log_prob_fn)(q)
-    h0 = -logp + 0.5 * jnp.sum(p**2)
+    h0 = -logp + 0.5 * jnp.sum(p * (inv_mass * p))
 
     state = dict(q_l=q, p_l=p, lp_l=logp, g_l=grad,
                  q_r=q, p_r=p, lp_r=logp, g_r=grad,
@@ -332,11 +384,15 @@ def nuts_step(key, q, log_prob_fn, step_size, max_depth=6):
                  done=jnp.bool_(False),
                  depth=jnp.zeros((), jnp.int32),
                  alpha_sum=jnp.zeros((), q.dtype),
-                 n_alpha=jnp.zeros((), q.dtype))
+                 n_alpha=jnp.zeros((), q.dtype),
+                 n_grad=jnp.zeros((), jnp.int32))
 
-    keys = jax.random.split(key_tree, max_depth)
-    for d in range(max_depth):
-        key_dir, key_sub, key_pick = jax.random.split(keys[d], 3)
+    def outer_cond(state):
+        return ~state["done"] & (state["depth"] < max_depth)
+
+    def outer_body(state):
+        key_step = jax.random.fold_in(key_tree, state["depth"])
+        key_dir, key_sub, key_pick = jax.random.split(key_step, 3)
         direction = jnp.where(jax.random.bernoulli(key_dir), 1.0, -1.0)
         direction = direction.astype(q.dtype)
 
@@ -345,95 +401,160 @@ def nuts_step(key, q, log_prob_fn, step_size, max_depth=6):
         lp_0 = jnp.where(direction > 0, state["lp_r"], state["lp_l"])
         g_0 = jnp.where(direction > 0, state["g_r"], state["g_l"])
 
-        tree = _build_tree(key_sub, q_0, p_0, lp_0, g_0, direction, d,
-                           step_size, log_prob_fn, h0)
-        (t_ql, t_pl, t_lpl, t_gl, t_qr, t_pr, t_lpr, t_gr,
-         t_qp, t_lpp, t_lw, t_bad, t_alpha, t_n) = tree
+        # Flipped frame: momenta carry the direction sign, the leapfrog
+        # step stays positive (see _build_subtree_iter).
+        (t_q, t_p, t_lp, t_g, t_qp, t_lpp, t_lw, t_bad, t_alpha, t_n,
+         t_steps) = _build_subtree_iter(
+            key_sub, q_0, p_0 * direction, lp_0, g_0,
+            state["depth"], step_size, log_prob_fn, h0,
+            inv_mass, max_depth)
+        t_p = t_p * direction          # back to the physical frame
 
         # Multinomial proposal swap across the doubling.
         log_sum = jnp.logaddexp(state["log_sum_w"], t_lw)
         take_new = ((jnp.log(jax.random.uniform(key_pick, ())) <
-                     t_lw - log_sum) & ~t_bad & ~state["done"])
-        grow = ~t_bad & ~state["done"]
+                     t_lw - log_sum) & ~t_bad)
+        grow = ~t_bad
 
-        def pick(new, old, cond):
-            return jnp.where(cond, new, old)
+        def pick(new, old, cond_):
+            return jnp.where(cond_, new, old)
 
         new_right = grow & (direction > 0)
         new_left = grow & (direction < 0)
-        q_l = pick(t_qr, state["q_l"], new_left)
-        p_l = pick(t_pr, state["p_l"], new_left)
-        q_r = pick(t_qr, state["q_r"], new_right)
-        p_r = pick(t_pr, state["p_r"], new_right)
-        state = dict(
+        q_l = pick(t_q, state["q_l"], new_left)
+        p_l = pick(t_p, state["p_l"], new_left)
+        q_r = pick(t_q, state["q_r"], new_right)
+        p_r = pick(t_p, state["p_r"], new_right)
+        return dict(
             q_l=q_l, p_l=p_l,
-            lp_l=pick(t_lpr, state["lp_l"], new_left),
-            g_l=pick(t_gr, state["g_l"], new_left),
+            lp_l=pick(t_lp, state["lp_l"], new_left),
+            g_l=pick(t_g, state["g_l"], new_left),
             q_r=q_r, p_r=p_r,
-            lp_r=pick(t_lpr, state["lp_r"], new_right),
-            g_r=pick(t_gr, state["g_r"], new_right),
+            lp_r=pick(t_lp, state["lp_r"], new_right),
+            g_r=pick(t_g, state["g_r"], new_right),
             q_prop=pick(t_qp, state["q_prop"], take_new),
             lp_prop=pick(t_lpp, state["lp_prop"], take_new),
             log_sum_w=jnp.where(grow, log_sum, state["log_sum_w"]),
-            done=state["done"] | t_bad | _uturn(q_l, p_l, q_r, p_r),
+            done=t_bad | _uturn(q_l, p_l, q_r, p_r, inv_mass),
             depth=state["depth"] + jnp.where(grow, 1, 0),
             # Accept statistic accumulates over every attempted doubling
-            # while the trajectory is alive (the final, tree-terminating
-            # doubling included, as in Hoffman & Gelman's algorithm 6).
-            alpha_sum=state["alpha_sum"] +
-            jnp.where(state["done"], 0.0, t_alpha),
-            n_alpha=state["n_alpha"] +
-            jnp.where(state["done"], 0.0, t_n),
+            # (the final, tree-terminating doubling included, as in
+            # Hoffman & Gelman's algorithm 6).
+            alpha_sum=state["alpha_sum"] + t_alpha,
+            n_alpha=state["n_alpha"] + t_n,
+            n_grad=state["n_grad"] + t_steps,
         )
 
+    state = jax.lax.while_loop(outer_cond, outer_body, state)
     accept_stat = state["alpha_sum"] / jnp.maximum(state["n_alpha"], 1.0)
-    return state["q_prop"], state["lp_prop"], state["depth"], accept_stat
+    return (state["q_prop"], state["lp_prop"], state["depth"],
+            accept_stat, state["n_grad"])
 
 
 @partial(jax.jit, static_argnames=("log_prob_fn", "n_warmup", "n_steps",
-                                   "max_depth"))
+                                   "max_depth", "adapt_mass_matrix"))
 def run_nuts(key, log_prob_fn, positions0, n_warmup, n_steps,
-             max_depth=6, initial_step_size=0.1, target_accept=0.8):
+             max_depth=6, initial_step_size=0.1, target_accept=0.8,
+             adapt_mass_matrix=False):
     """Multi-chain NUTS with dual-averaging step-size warmup.
+
+    With ``adapt_mass_matrix=True`` the warmup follows a Stan-style
+    three-phase schedule: (I) ~15% step-size-only adaptation with the
+    identity metric, (II) ~70% collecting a Welford estimate of the
+    posterior variance across all chains (step size still adapting),
+    after which the diagonal inverse metric is set to the regularized
+    sample variance (Stan's ``var * n/(n+5) + 1e-3 * 5/(n+5)``), and
+    (III) ~15% re-running dual averaging from scratch under the new
+    metric (a metric change invalidates the previous step-size scale).
 
     Returns (chain (n_steps, n_chains, n_dim), log_prob, mean_depth,
     step_size).
     """
     gamma, t0, kappa = 0.05, 10.0, 0.75
-    mu = jnp.log(10.0 * initial_step_size)
+    dtype = positions0.dtype
+    n_dim = positions0.shape[-1]
 
-    def multi_step(key_step, positions, step_size):
+    def multi_step(key_step, positions, step_size, inv_mass):
         keys = jax.random.split(key_step, positions.shape[0])
-        q, lp, depth, accept = jax.vmap(
+        q, lp, depth, accept, n_grad = jax.vmap(
             lambda k, x: nuts_step(k, x, log_prob_fn, step_size,
-                                   max_depth))(keys, positions)
+                                   max_depth, inv_mass))(keys, positions)
         return q, lp, depth, accept
 
-    def warmup_body(carry, key_step):
-        positions, log_eps, log_eps_bar, h_bar, t = carry
-        positions, _, _, accept = multi_step(key_step, positions,
-                                             jnp.exp(log_eps))
+    def dual_avg_update(da, accept, mu):
+        log_eps, log_eps_bar, h_bar, t = da
         # Dual averaging on the accumulated Metropolis accept statistic
         # (mean alpha over all leapfrog states; Hoffman & Gelman 2014,
         # algorithm 6), averaged across chains.
         t = t + 1.0
         h_bar = ((1.0 - 1.0 / (t + t0)) * h_bar +
-                 (target_accept - accept.mean()) / (t + t0))
+                 (target_accept - accept) / (t + t0))
         log_eps = mu - jnp.sqrt(t) / gamma * h_bar
         eta = t ** -kappa
         log_eps_bar = eta * log_eps + (1.0 - eta) * log_eps_bar
-        return (positions, log_eps, log_eps_bar, h_bar, t), None
+        return (log_eps, log_eps_bar, h_bar, t)
 
-    key_warm, key_sample = jax.random.split(key)
-    carry0 = (positions0, jnp.log(initial_step_size),
-              jnp.log(initial_step_size), 0.0, 0.0)
-    (positions, _, log_eps_bar, _, _), _ = jax.lax.scan(
-        warmup_body, carry0, jax.random.split(key_warm, n_warmup))
-    step_size = jnp.exp(log_eps_bar)
+    def warmup_scan(key_phase, positions, da, inv_mass, n, mu,
+                    collect=False):
+        welford0 = (jnp.zeros(n_dim, dtype), jnp.zeros(n_dim, dtype),
+                    jnp.zeros((), dtype))
+
+        def body(carry, key_step):
+            positions, da, welford = carry
+            positions, _, _, accept = multi_step(
+                key_step, positions, jnp.exp(da[0]), inv_mass)
+            da = dual_avg_update(da, accept.mean(), mu)
+            if collect:
+                mean, m2, count = welford
+                for_stats = positions.astype(dtype)
+                batch_mean = for_stats.mean(axis=0)
+                count_new = count + 1.0
+                delta = batch_mean - mean
+                mean = mean + delta / count_new
+                m2 = m2 + (for_stats.var(axis=0) +
+                           delta * (batch_mean - mean))
+                welford = (mean, m2, count_new)
+            return (positions, da, welford), None
+
+        (positions, da, welford), _ = jax.lax.scan(
+            body, (positions, da, welford0),
+            jax.random.split(key_phase, n))
+        return positions, da, welford
+
+    key_1, key_2, key_3, key_sample = jax.random.split(key, 4)
+    da0 = (jnp.log(initial_step_size), jnp.log(initial_step_size),
+           jnp.zeros((), dtype), jnp.zeros((), dtype))
+    mu0 = jnp.log(10.0 * initial_step_size)
+    inv_mass = jnp.ones(n_dim, dtype)
+
+    if adapt_mass_matrix:
+        n_1 = max(int(0.15 * n_warmup), 1)
+        n_3 = max(int(0.15 * n_warmup), 1)
+        n_2 = max(n_warmup - n_1 - n_3, 1)
+        positions, da, _ = warmup_scan(key_1, positions0, da0, inv_mass,
+                                       n_1, mu0)
+        positions, da, welford = warmup_scan(key_2, positions, da,
+                                             inv_mass, n_2, mu0,
+                                             collect=True)
+        mean, m2, count = welford
+        var = m2 / jnp.maximum(count, 1.0)
+        inv_mass = (var * count / (count + 5.0) +
+                    1e-3 * 5.0 / (count + 5.0))
+        # Phase III: fresh dual averaging around the last adapted step
+        # size under the new metric.
+        mu3 = jnp.log(10.0) + da[1]
+        da3 = (da[1], da[1], jnp.zeros((), dtype), jnp.zeros((), dtype))
+        positions, da, _ = warmup_scan(key_3, positions, da3, inv_mass,
+                                       n_3, mu3)
+        step_size = jnp.exp(da[1])
+    else:
+        positions, da, _ = warmup_scan(key_1, positions0, da0, inv_mass,
+                                       n_warmup, mu0)
+        step_size = jnp.exp(da[1])
 
     def body(positions, key_step):
         positions, lp, depth, _ = multi_step(key_step, positions,
-                                             step_size)
+                                             step_size, inv_mass)
         return positions, (positions, lp, depth.astype(jnp.float32))
 
     _, (chain, chain_lp, depths) = jax.lax.scan(

@@ -18,7 +18,7 @@ TPU fast path stays accurate to ~1e-7 relative even for M ~ 1e15.
 
 from __future__ import annotations
 
-from ..utils.backend import erfc, get_namespace
+from ..utils.backend import erfc, exp, exp10, get_namespace, log1p
 from .protocol import CENTRALS, HodModel
 
 _LN10 = 2.302585092994046
@@ -79,9 +79,18 @@ def zheng07_satellites(params, log_prim_haloprop, modulate_with_cenocc=False):
     # oracle uses the identical expression, so tabulated and predicted
     # statistics are unaffected at the 1e-6 contract.)
     eps = 1e-12 if xp.asarray(log_m).dtype == xp.float64 else 1e-6
-    ratio = xp.minimum((10.0 ** (-log_m)) * (10.0 ** log_m0), 1.0 - eps)
-    log_diff = log_m + xp.log1p(-ratio) / _LN10
-    nsat = xp.exp(_LN10 * params["alpha"] * (log_diff - params["logM1"]))
+    # exp10/log1p/exp from utils.backend: XLA's own f32 exp/pow/log1p on
+    # TPU carry 5e-6-1e-4 errors that would dominate the <1e-6 contract.
+    ratio = xp.minimum(exp10(-log_m) * exp10(log_m0), 1.0 - eps)
+    # (log_m - logM1) FIRST: both operands are ~12-15 but their
+    # difference is ~0-3, and close float32 subtractions are exact
+    # (Sterbenz), so no ~15-magnitude intermediate is ever rounded —
+    # summing log_m + log1p()/ln10 first would round that intermediate
+    # at ulp(15)/2 ~ 4.8e-7 absolute, a ~1e-6 relative error on Nsat
+    # after exp(ln10 * alpha * .): the largest single float32 error in
+    # the satellite path.
+    log_pow = (log_m - params["logM1"]) + log1p(-ratio) / _LN10
+    nsat = exp(_LN10 * params["alpha"] * log_pow)
     nsat = xp.where(log_m > log_m0, nsat, 0.0)
     if modulate_with_cenocc:
         nsat = nsat * zheng07_centrals(params, log_prim_haloprop)

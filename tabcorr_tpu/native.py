@@ -86,7 +86,8 @@ def load_library():
         ctypes.c_int,                      # n_mu
         ctypes.POINTER(ctypes.c_double),   # period
         ctypes.c_int,                      # kind
-        ctypes.c_int,                      # pair_weight (0 unit, 1 log_rp)
+        ctypes.c_int,                      # pair_weight (0 unit, 1 log_rp,
+                                           #   2 unit+log_rp: doubled out buf)
         ctypes.POINTER(ctypes.c_double),   # out
     ]
     lib.tabcorr_native_version.restype = ctypes.c_int

@@ -80,7 +80,8 @@ def make_fused_contraction(table: TableData, batch_tile=DEFAULT_TILE,
             nb_pad, n_xi * nb_pad)
     else:
         f2 = jnp.zeros((nb_pad, n_xi), dtype=dtype)
-        f2 = f2.at[:n_bins].set(jnp.transpose(table.tpcf_dense, (1, 0)))
+        f2 = f2.at[:n_bins].set(jnp.transpose(
+            table.tpcf_dense[np.asarray(row_perm)], (1, 0)))
 
     flat_blocks = _split_f_blocks(f2, groups, auto, nb_pad, dtype)
 
@@ -123,8 +124,7 @@ def make_fused_contraction(table: TableData, batch_tile=DEFAULT_TILE,
             compiler_params=pltpu.CompilerParams(
                 vmem_limit_bytes=100 * 1024 * 1024),
         )(ngal, *flat_blocks)
-        if auto and not np.array_equal(row_inv_perm,
-                                       np.arange(n_xi)):
+        if not np.array_equal(row_inv_perm, np.arange(n_xi)):
             xi = xi[:, np.asarray(row_inv_perm)]
         return total[:, 0], xi
 
@@ -191,7 +191,8 @@ def _row_pass_classes(dense, tol, scale_block_rows=None):
     node dominates the spline-interpolated output near its corner of
     parameter space).
     """
-    row_amp = np.max(np.abs(np.asarray(dense)), axis=(1, 2))
+    row_amp = np.max(np.abs(np.asarray(dense)),
+                     axis=tuple(range(1, np.asarray(dense).ndim)))
     if scale_block_rows is None:
         m = row_amp / max(row_amp.max(), 1e-300)
     else:
@@ -207,9 +208,17 @@ def _row_pass_classes(dense, tol, scale_block_rows=None):
 def _pass_groups(dense, auto, error_model, precision="highest",
                  tol=1e-6, margin=30.0, scale_block_rows=None):
     """(passes, count) groups and the row permutation making them
-    contiguous (6-pass rows first, then 3, then 1)."""
+    contiguous (6-pass rows first, then 3, then 1).
+
+    Applies to auto (quadratic form) and cross (matvec) tables alike: in
+    both, statistic row k contracts against its own matrix row/slab, so
+    the per-pass relative error scales with that row's own amplitude.
+    ``auto`` is accepted for signature symmetry but no longer gates the
+    scaled path.
+    """
+    del auto
     n_xi = dense.shape[0]
-    if auto and error_model == "scaled" and precision == "highest":
+    if error_model == "scaled" and precision == "highest":
         passes = _row_pass_classes(dense, tol / margin, scale_block_rows)
     else:
         passes = np.full(n_xi, 6, dtype=np.int64)
@@ -281,14 +290,17 @@ def _bundle_table_constants(table: TableData, error_model="elementwise",
     * ``f2``: the dense matrices stacked for the one-matmul contraction,
       (nb_pad, n_xi * nb_pad).
     * Flattened quadrature grids per galaxy-type segment: node masses
-      ``logm`` and secondary percentiles ``sec`` as (1, L) rows, and the
-      quadrature weight matrix (L, nb_pad) mapping occupation values at
-      the nodes to per-bin galaxy densities (quad weights times n_h
-      folded in; padded rows/columns zero, padded node masses set to a
-      huge value with zero weight), pre-split into bf16 hi/lo halves for
-      the in-kernel 3-pass matmul (full-f32-grade accuracy at half the
-      passes of Mosaic HIGHEST; the weights are constants so their split
-      is free).
+      ``logm`` (+ their float64 residual row for the in-kernel node
+      correction) and secondary percentiles ``sec`` as (1, L) rows, a
+      float32 weight row ``w`` (quad weight times n_h per node; padded
+      nodes zero, padded node masses a huge value), and a 0/1 selector
+      matrix (L, nb_pad) in bfloat16 mapping nodes to their bin.  The
+      kernel computes ``t = occ * w`` on the VPU, splits ``t`` into an
+      EXACT 3-term bfloat16 expansion (8+8+8 bits = the full float32
+      significand), and contracts each term against the exact 0/1
+      selector — a 3-pass MXU segment sum with zero operand-
+      representation error (the previous 2-term hi/lo weight-matrix
+      split only carried ~16 bits, a ~2^-17-level noise floor on ngal).
 
     ``error_model`` selects the contraction accuracy contract:
     ``"elementwise"`` (every output element <1e-6 relative -> all rows
@@ -318,45 +330,54 @@ def _bundle_table_constants(table: TableData, error_model="elementwise",
         f2 = jnp.transpose(dense, (2, 0, 1)).reshape(nb, n_xi * nb)
     else:
         f2 = jnp.zeros((nb, n_xi), jnp.float32)
-        f2 = f2.at[:nb_real].set(
-            jnp.transpose(table.tpcf_dense, (1, 0)).astype(jnp.float32))
+        f2 = f2.at[:nb_real].set(jnp.transpose(
+            table.tpcf_dense[np.asarray(row_perm)],
+            (1, 0)).astype(jnp.float32))
 
-    def segment(lo, hi):
-        length = (hi - lo) * n_gauss
+    def segment(seg_lo, seg_hi):
+        length = (seg_hi - seg_lo) * n_gauss
         padded = -(-length // 128) * 128
         logm = np.full(padded, 20.0, np.float32)
-        logm[:length] = np.asarray(table.log_prim_quad[lo:hi],
+        logm[:length] = np.asarray(table.log_prim_quad[seg_lo:seg_hi],
                                    np.float32).ravel()
+        # Node residual for the in-kernel first-order occupation
+        # correction (see ops.predict.TableData.log_prim_quad_lo);
+        # padded nodes carry zero tangent.
+        logm_res = np.zeros(padded, np.float32)
+        if table.log_prim_quad_lo is not None:
+            logm_res[:length] = np.asarray(
+                table.log_prim_quad_lo[seg_lo:seg_hi], np.float32).ravel()
         sec = np.full(padded, 0.5, np.float32)
-        sec[:length] = np.repeat(np.asarray(table.sec_perc[lo:hi],
+        sec[:length] = np.repeat(np.asarray(table.sec_perc[seg_lo:seg_hi],
                                             np.float32), n_gauss)
-        wq = np.zeros((padded, nb), np.float32)
-        weights = (np.asarray(table.quad_weight[lo:hi], np.float64) *
-                   np.asarray(table.n_h[lo:hi], np.float64)[:, None])
-        for i in range(hi - lo):
-            wq[i * n_gauss:(i + 1) * n_gauss, lo + i] = weights[i]
-        wq = jnp.asarray(wq)
-        wq_hi = wq.astype(jnp.bfloat16)
-        wq_lo = (wq - wq_hi.astype(jnp.float32)).astype(jnp.bfloat16)
-        return (jnp.asarray(logm)[None, :], jnp.asarray(sec)[None, :],
-                wq_hi, wq_lo)
+        w_row = np.zeros(padded, np.float32)
+        weights = (np.asarray(table.quad_weight[seg_lo:seg_hi],
+                              np.float64) *
+                   np.asarray(table.n_h[seg_lo:seg_hi],
+                              np.float64)[:, None])
+        w_row[:length] = weights.ravel()
+        sel = np.zeros((padded, nb), np.float32)
+        for i in range(seg_hi - seg_lo):
+            sel[i * n_gauss:(i + 1) * n_gauss, seg_lo + i] = 1.0
+        return (jnp.asarray(logm)[None, :], jnp.asarray(logm_res)[None, :],
+                jnp.asarray(sec)[None, :], jnp.asarray(w_row)[None, :],
+                jnp.asarray(sel, dtype=jnp.bfloat16))
 
-    logm_c, sec_c, wqc_hi, wqc_lo = segment(0, nc)
-    logm_s, sec_s, wqs_hi, wqs_lo = segment(nc, nb_real)
+    seg_c = segment(0, nc)
+    seg_s = segment(nc, nb_real)
     flat_blocks = _split_f_blocks(f2, groups, auto, nb)
     return dict(nb=nb, n_xi=n_xi, auto=auto,
                 tpcf_shape=tuple(table.tpcf_shape),
                 groups=tuple(groups),
                 row_inv_perm=row_inv_perm,
                 n_f_arrays=len(flat_blocks),
-                arrays=flat_blocks + (logm_c, sec_c, wqc_hi, wqc_lo,
-                                      logm_s, sec_s, wqs_hi, wqs_lo))
+                arrays=flat_blocks + seg_c + seg_s)
 
 
 def make_fused_bundle_predictor(tables, occupation_cen, occupation_sat,
                                 param_names, batch_tile=DEFAULT_TILE,
                                 interpret="auto", precision="highest",
-                                accuracy=None):
+                                accuracy=None, mesh=None, batch_axis="dp"):
     """One-kernel multi-statistic predictor (the flagship hot path).
 
     Parameters
@@ -377,8 +398,19 @@ def make_fused_bundle_predictor(tables, occupation_cen, occupation_sat,
         budget relative to the statistic's largest element; rows whose
         amplitude is orders of magnitude below the peak use fewer MXU
         passes — see :func:`_bundle_table_constants`).  ``"scaled"`` is
-        the natural contract for stacked multi-scale statistics such as
-        xi_0/2/4, whose smallest entries sit ~1e-7 below the largest.
+        the natural contract for stacked multi-scale statistics (auto or
+        cross mode) such as xi_0/2/4, whose smallest entries sit ~1e-7
+        below the largest.
+    mesh : jax.sharding.Mesh, optional
+        Batch-shard ("dp") the kernel over a device mesh: the parameter
+        batch splits along ``batch_axis`` and every table constant is
+        replicated (they are at most a few MB), so each device runs the
+        identical one-kernel bundle on its batch shard with ZERO
+        communication in the hot loop — the multi-chip analog of the
+        reference's per-evaluation predict (SURVEY §2.3 prediction row).
+        Batches pad up to ``batch_tile * axis_size`` internally.
+    batch_axis : str, optional
+        Mesh axis name carrying the batch. Default ``"dp"``.
 
     Returns
     -------
@@ -403,15 +435,21 @@ def make_fused_bundle_predictor(tables, occupation_cen, occupation_sat,
     if n_names > 128:
         raise ValueError("At most 128 parameters supported.")
 
-    def quad_matmul(occ, wq_hi, wq_lo):
-        # 3-pass bf16 product: (occ_hi + occ_lo) @ (wq_hi + wq_lo) minus
-        # the negligible lo @ lo term — full-f32-grade accuracy for the
-        # quadrature reduction at half the MXU passes of HIGHEST.
-        occ_hi = occ.astype(jnp.bfloat16)
-        occ_lo = (occ - occ_hi.astype(jnp.float32)).astype(jnp.bfloat16)
-        return (jnp.dot(occ_hi, wq_hi, preferred_element_type=jnp.float32) +
-                jnp.dot(occ_hi, wq_lo, preferred_element_type=jnp.float32) +
-                jnp.dot(occ_lo, wq_hi, preferred_element_type=jnp.float32))
+    def quad_segment_sum(occ, w_row, sel):
+        # Weighted node values on the VPU, then an EXACT 3-term bfloat16
+        # expansion (t == t_hi + t_mid + t_lo bit-for-bit: each residual
+        # subtraction is exactly representable, and 3 x 8 significand
+        # bits cover float32's 24) contracted against the exact 0/1
+        # selector — a 3-pass MXU segment sum whose only rounding is the
+        # float32 accumulate itself.
+        t = occ * w_row
+        t_hi = t.astype(jnp.bfloat16)
+        r1 = t - t_hi.astype(jnp.float32)
+        t_mid = r1.astype(jnp.bfloat16)
+        t_lo = (r1 - t_mid.astype(jnp.float32)).astype(jnp.bfloat16)
+        return (jnp.dot(t_hi, sel, preferred_element_type=jnp.float32) +
+                jnp.dot(t_mid, sel, preferred_element_type=jnp.float32) +
+                jnp.dot(t_lo, sel, preferred_element_type=jnp.float32))
 
     def kernel(params_ref, *rest):
         n_const = len(const_arrays)
@@ -423,14 +461,22 @@ def make_fused_bundle_predictor(tables, occupation_cen, occupation_sat,
         for j, cfg in enumerate(configs):
             nf = cfg["n_f_arrays"]
             f_arrays = [r[:] for r in crefs[at:at + nf]]
-            (logm_c, sec_c, wqc_hi, wqc_lo,
-             logm_s, sec_s, wqs_hi, wqs_lo) = (
-                r[:] for r in crefs[at + nf:at + nf + 8])
-            at += nf + 8
-            occ_c = occupation_cen(params, logm_c, sec_c)
-            occ_s = occupation_sat(params, logm_s, sec_s)
-            ngal = (quad_matmul(occ_c, wqc_hi, wqc_lo) +
-                    quad_matmul(occ_s, wqs_hi, wqs_lo))
+            (logm_c, logmres_c, sec_c, w_c, sel_c,
+             logm_s, logmres_s, sec_s, w_s, sel_s) = (
+                r[:] for r in crefs[at + nf:at + nf + 10])
+            at += nf + 10
+
+            # First-order node-residual correction (the quadrature nodes
+            # are float32-rounded; the residual tangent restores float64
+            # node positions to second order — see TableData docstring).
+            occ_c, d_c = jax.jvp(
+                lambda l: occupation_cen(params, l, sec_c), (logm_c,),
+                (logmres_c,))
+            occ_s, d_s = jax.jvp(
+                lambda l: occupation_sat(params, l, sec_s), (logm_s,),
+                (logmres_s,))
+            ngal = (quad_segment_sum(occ_c + d_c, w_c, sel_c) +
+                    quad_segment_sum(occ_s + d_s, w_s, sel_s))
             total = jnp.sum(ngal, axis=-1)
             nb, n_xi = cfg["nb"], cfg["n_xi"]
             # One contraction per pass-count group (rows pre-permuted so
@@ -446,20 +492,15 @@ def make_fused_bundle_predictor(tables, occupation_cen, occupation_sat,
             else:
                 outs[2 * j + 1][:] = t / total[:, None]
 
-    def predict_batch(params):
-        any_param = next(iter(params.values()))
-        batch = any_param.shape[0]
-        padded = -(-batch // batch_tile) * batch_tile
-        pmat = jnp.stack(
-            [jnp.pad(jnp.asarray(params[k], jnp.float32),
-                     (0, padded - batch), constant_values=1.0)
-             for k in names], axis=1)
-        pmat = jnp.pad(pmat, ((0, 0), (0, 128 - n_names)))
-
+    def run_kernel(pmat, *consts):
+        # One pallas_call over the (local) batch; the grid follows the
+        # operand shape so the same callable serves the single-device
+        # path and each shard_map shard.
+        local = pmat.shape[0]
         with backend.pallas_lowering():
-            out = pl.pallas_call(
+            return pl.pallas_call(
                 kernel,
-                grid=(padded // batch_tile,),
+                grid=(local // batch_tile,),
                 in_specs=[pl.BlockSpec((batch_tile, 128), lambda i: (i, 0),
                                        memory_space=pltpu.VMEM)] +
                          [pl.BlockSpec(
@@ -472,12 +513,41 @@ def make_fused_bundle_predictor(tables, occupation_cen, occupation_sat,
                                  memory_space=pltpu.VMEM)
                     for c in configs for w in (1, c["n_xi"])),
                 out_shape=tuple(
-                    jax.ShapeDtypeStruct((padded, w), jnp.float32)
+                    jax.ShapeDtypeStruct((local, w), jnp.float32)
                     for c in configs for w in (1, c["n_xi"])),
                 interpret=interpret,
                 compiler_params=pltpu.CompilerParams(
                     vmem_limit_bytes=100 * 1024 * 1024),
-            )(pmat, *const_arrays)
+            )(pmat, *consts)
+
+    if mesh is not None:
+        from jax.sharding import PartitionSpec as P
+        n_dp = mesh.shape[batch_axis]
+        # check_vma=False: pallas_call outputs carry no varying-mesh-axes
+        # annotation, which the checker would reject; the batch axis
+        # mapping is fully described by the in/out specs.
+        sharded_kernel = jax.shard_map(
+            run_kernel, mesh=mesh,
+            in_specs=(P(batch_axis),) + (P(),) * len(const_arrays),
+            out_specs=tuple(P(batch_axis)
+                            for c in configs for _ in (0, 1)),
+            check_vma=False)
+    else:
+        n_dp = 1
+        sharded_kernel = run_kernel
+
+    def predict_batch(params):
+        any_param = next(iter(params.values()))
+        batch = any_param.shape[0]
+        quantum = batch_tile * n_dp
+        padded = -(-batch // quantum) * quantum
+        pmat = jnp.stack(
+            [jnp.pad(jnp.asarray(params[k], jnp.float32),
+                     (0, padded - batch), constant_values=1.0)
+             for k in names], axis=1)
+        pmat = jnp.pad(pmat, ((0, 0), (0, 128 - n_names)))
+
+        out = sharded_kernel(pmat, *const_arrays)
         results = []
         for j, c in enumerate(configs):
             total = out[2 * j][:batch, 0]

@@ -26,14 +26,18 @@ ONE i-chunk's partial counts; each dispatch folds into an on-device
 compensated (TwoSum hi/lo) accumulator, transferred to the host ONCE at
 the end.  A single histogram cell therefore only needs float32 integer
 exactness within one i-chunk — bounded by CHUNK * (j tracers in the z
-window) and in practice far below 2^24 — while cross-sweep totals (up to
-1e9-1e10 pairs per cell at production scale) stay exact in the hi/lo
-pair: TwoSum captures each fold's rounding residual exactly, and the
-residual accumulator stays far below 2^24, so integer counts are exact
-up to ~2^47 and weighted sums carry float64-grade relative error.
-(Flushing every chunk to the host — the previous scheme — costs a
-device-to-host histogram transfer per chunk, which dominates wall time
-on hosts linked to the TPU by a network tunnel.)
+window) and in practice far below 2^24.  Each fold is a Knuth TwoSum
+(the fold's rounding residual is captured exactly) followed by a
+Fast2Sum renormalization of (hi, lo), so |lo| stays below one ulp of hi
+at all times and the only per-fold rounding is in the ``lo + err``
+update — a second-order term.  The worst-case cross-sweep error after n
+folds is ~n * eps32 * ulp(hi) absolute, i.e. <~1e-8 relative at
+production scale (1e9-1e10 pairs per cell over ~1e4-1e5 folds) — not
+bit-exact integers, but two orders below the kernels' 1e-6 contract and
+the sampling noise of any tabulation.  (Flushing every chunk to the
+host — the previous scheme — was exact but costs a device-to-host
+histogram transfer per chunk, which dominates wall time on hosts linked
+to the TPU by a network tunnel.)
 
 Three binning geometries:
 
@@ -247,19 +251,26 @@ def _sweep_impl(hist, pos1, labels1, idx1, pos2, labels2, idx2,
     return jax.lax.fori_loop(0, j_count, j_body, hist)
 
 
-@partial(jax.jit, donate_argnums=(0, 1))
-def _twosum_fold(hi, lo, x):
+def _twosum_fold_impl(hi, lo, x):
     """Fold ``x`` into the compensated (hi, lo) accumulator.
 
     Knuth TwoSum: ``s + err == hi + x`` exactly in float arithmetic, so
-    the only rounding left is ``lo + err`` — and |lo| stays orders of
-    magnitude below the totals, keeping integer counts exact to ~2^47
-    and weighted sums at float64-grade relative error.
+    the only rounding is in ``lo + err``; the trailing Fast2Sum
+    renormalization (valid because |lo'| <= |s| here) folds the residual
+    back into hi so |lo| never exceeds one ulp of hi — the accumulated
+    error stays second order (~n * eps32 * ulp(hi); see the module
+    docstring) instead of growing with the residual magnitude.
     """
     s = hi + x
     bp = s - hi
     err = (hi - (s - bp)) + (x - bp)
-    return s, lo + err
+    lo = lo + err
+    hi = s + lo
+    lo = lo - (hi - s)
+    return hi, lo
+
+
+_twosum_fold = partial(jax.jit, donate_argnums=(0, 1))(_twosum_fold_impl)
 
 
 def _sweep_block_impl(acc_hi, acc_lo, block, pos1, labels1,
@@ -294,10 +305,7 @@ def _sweep_block_impl(acc_hi, acc_lo, block, pos1, labels1,
             j_counts[chunk], kind, n_labels_1, n_labels_2, n_r, n_mu,
             exclude_self, strategy=strategy, pair_weight=pair_weight,
             unit_counts=unit_counts)
-        s = hi + hist
-        bp = s - hi
-        err = (hi - (s - bp)) + (hist - bp)
-        return s, lo + err
+        return _twosum_fold_impl(hi, lo, hist)
 
     return jax.lax.fori_loop(0, n_block, k_body, (acc_hi, acc_lo))
 
@@ -310,55 +318,89 @@ _sweep_block = partial(jax.jit, static_argnames=(
 
 @partial(jax.jit, static_argnames=("mesh", "kind", "n_labels_1",
                                    "n_labels_2", "n_r", "n_mu",
-                                   "exclude_self", "strategy",
-                                   "pair_weight"),
-         donate_argnums=(0,))
-def _sweep_i_chunk_sharded(hist, pos1, labels1, idx1, pos2, labels2, idx2,
-                           weights2, period, r_edges_sq, pi_max, mu_edges,
-                           mesh, kind, n_labels_1, n_labels_2, n_r, n_mu,
-                           exclude_self, strategy="matmul",
-                           pair_weight="unit"):
-    """Mesh-sharded sweep: the j-tracer set is split across devices.
+                                   "exclude_self", "n_block", "strategy",
+                                   "pair_weight", "unit_counts"),
+         donate_argnums=(0, 1))
+def _sweep_block_sharded(acc_hi, acc_lo, block, pos1, labels1, idx1,
+                         pos2, labels2, idx2, weights2, period,
+                         r_edges_sq, pi_max, mu_edges, j_starts, j_counts,
+                         mesh, kind, n_labels_1, n_labels_2, n_r, n_mu,
+                         exclude_self, n_block, strategy="matmul",
+                         pair_weight="unit", unit_counts=False):
+    """Mesh-sharded block sweep: j-tracers split across devices, with the
+    same SWEEP_BLOCK batching and in-call TwoSum folds as the single-chip
+    path (:func:`_sweep_block_impl`).
 
-    Each device accumulates its local partial histogram over its shard of
-    the second tracer set (the multi-chip analog of the reference's
-    bin-pair task farm, reference: tabcorr/tabcorr.py:880-901); one psum
-    over the interconnect merges the partials.
+    Each device sweeps ``n_block`` i-chunks against ITS shard of the
+    z-sorted j-tracers, visiting only its local z-window per i-chunk
+    (``j_starts``/``j_counts`` rows are per-device hulls from
+    :func:`_chunk_windows`), folding every chunk's float32 partial into a
+    device-local compensated accumulator; ONE psum per (hi, lo) pair
+    merges the block across the interconnect, and the merged partials
+    fold into the global accumulator inside the same jit — per-block
+    dispatch count identical to the single-chip path (the multi-chip
+    analog of the reference's bin-pair task farm,
+    reference: tabcorr/tabcorr.py:880-901).
     """
     from jax import shard_map
     from jax.sharding import PartitionSpec as P
 
     axis = mesh.axis_names[0]
+    n_hist = acc_hi.shape[0]
 
-    def local(p1, l1, i1, p2, l2, i2, w2):
-        n_hist_r = n_r * (n_mu if kind == "smu" else 1)
-        n_channels = 2 if pair_weight == "unit+log_rp" else 1
-        n_hist = n_channels * n_labels_1 * n_labels_2 * n_hist_r
-        partial_hist = jnp.zeros(n_hist + 1, dtype=w2.dtype)
-        # Mark the accumulator as device-varying for the shard_map VMA
-        # checker (the loop body mixes it with sharded data).
-        partial_hist = jax.lax.pcast(partial_hist, (axis,), to="varying")
-        partial_hist = _sweep_impl(
-            partial_hist, p1, l1, i1, p2, l2, i2, w2, period, r_edges_sq,
-            pi_max, mu_edges, 0, p2.shape[0] // CHUNK, kind, n_labels_1,
-            n_labels_2, n_r, n_mu, exclude_self, strategy=strategy,
-            pair_weight=pair_weight)
-        return jax.lax.psum(partial_hist, axis)
+    def local(p2, l2, i2, w2, j_s, j_c):
+        zero = jnp.zeros(n_hist, dtype=w2.dtype)
+        hi0 = jax.lax.pcast(zero, (axis,), to="varying")
+        lo0 = jax.lax.pcast(zero, (axis,), to="varying")
 
-    partial_hist = shard_map(
+        def k_body(k, carry):
+            hi, lo = carry
+            chunk = block.astype(jnp.int32) * n_block + k.astype(jnp.int32)
+            p1 = jax.lax.dynamic_slice(
+                pos1, (chunk * CHUNK, jnp.int32(0)), (CHUNK, 3))
+            l1 = jax.lax.dynamic_slice(labels1, (chunk * CHUNK,), (CHUNK,))
+            i1 = jax.lax.dynamic_slice(idx1, (chunk * CHUNK,), (CHUNK,))
+            # Fresh per-chunk histogram, marked device-varying for the
+            # shard_map VMA checker (the sweep mixes it with sharded
+            # data inside a fori_loop carry).
+            hist0 = jax.lax.pcast(jnp.zeros(n_hist, dtype=hi.dtype),
+                                  (axis,), to="varying")
+            hist = _sweep_impl(
+                hist0, p1, l1, i1, p2, l2,
+                i2, w2, period, r_edges_sq, pi_max, mu_edges,
+                j_s[0, chunk], j_c[0, chunk], kind, n_labels_1,
+                n_labels_2, n_r, n_mu, exclude_self, strategy=strategy,
+                pair_weight=pair_weight, unit_counts=unit_counts)
+            return _twosum_fold_impl(hi, lo, hist)
+
+        hi, lo = jax.lax.fori_loop(0, n_block, k_body, (hi0, lo0))
+        return jax.lax.psum(hi, axis), jax.lax.psum(lo, axis)
+
+    hi_sum, lo_sum = shard_map(
         local, mesh=mesh,
-        in_specs=(P(), P(), P(), P(axis), P(axis), P(axis), P(axis)),
-        out_specs=P())(pos1, labels1, idx1, pos2, labels2, idx2, weights2)
-    return hist + partial_hist
+        in_specs=(P(axis), P(axis), P(axis), P(axis),
+                  P(axis, None), P(axis, None)),
+        out_specs=(P(), P()))(pos2, labels2, idx2, weights2,
+                              j_starts, j_counts)
+    acc_hi, acc_lo = _twosum_fold_impl(acc_hi, acc_lo, hi_sum)
+    return _twosum_fold_impl(acc_hi, acc_lo, lo_sum)
 
 
-def _chunk_windows(z1, z2, z_cut, period_z):
+def _chunk_windows(z1, z2, z_cut, period_z, n_shards=None):
     """Circular j-chunk visit window per i-chunk, for z-sorted tracers.
 
     Each chunk covers a contiguous z interval; a j-chunk can contain pairs
     within ``z_cut`` of an i-chunk only if the periodic gap between their
-    intervals is at most ``z_cut``.  The qualifying set is a contiguous
-    circular run, returned as (start_chunk, count).
+    intervals is at most ``z_cut``.  With ``n_shards=None`` the qualifying
+    set is a contiguous circular run, returned as a list of
+    (start_chunk, count).  With ``n_shards`` set (the mesh-sharded sweep:
+    j-chunks split blockwise over devices), returns two
+    (n_shards, n1_chunks) int arrays (local_start, local_count) — the
+    non-circular HULL of each device's qualifying local chunks.  A hull
+    may include a few non-qualifying chunks when the global circular run
+    wraps through a device's range (boundary i-chunks only); that costs
+    a little extra work, never correctness — the pair geometry re-checks
+    every candidate pair.
     """
     n1c = len(z1) // CHUNK
     n2c = len(z2) // CHUNK
@@ -368,6 +410,10 @@ def _chunk_windows(z1, z2, z_cut, period_z):
     a2, b2 = z2c.min(axis=1), z2c.max(axis=1)
 
     margin = 1e-3 + 1e-6 * period_z  # float32 edge safety
+    if n_shards is not None:
+        cps = n2c // n_shards
+        starts = np.zeros((n_shards, n1c), dtype=np.int32)
+        counts = np.zeros((n_shards, n1c), dtype=np.int32)
     windows = []
     for i in range(n1c):
         gaps = []
@@ -376,6 +422,14 @@ def _chunk_windows(z1, z2, z_cut, period_z):
                 np.maximum(a2 + k - b1[i], a1[i] - (b2 + k)), 0.0))
         gap = np.minimum.reduce(gaps)
         mask = gap <= z_cut + margin
+        if n_shards is not None:
+            sub = mask.reshape(n_shards, cps)
+            has_any = sub.any(axis=1)
+            first = np.argmax(sub, axis=1)
+            last = cps - 1 - np.argmax(sub[:, ::-1], axis=1)
+            starts[:, i] = np.where(has_any, first, 0)
+            counts[:, i] = np.where(has_any, last - first + 1, 0)
+            continue
         if mask.all():
             windows.append((0, n2c))
             continue
@@ -386,6 +440,8 @@ def _chunk_windows(z1, z2, z_cut, period_z):
             windows.append((0, n2c))
         else:
             windows.append((int(run_starts[0]), int(mask.sum())))
+    if n_shards is not None:
+        return starts, counts
     return windows
 
 
@@ -451,8 +507,7 @@ def labeled_pair_count(pos1, labels1, n_labels_1, pos2=None, labels2=None,
         z_cut = r_edges[-1]
     else:
         z_cut = None
-    use_sort = (sort and mesh is None and z_cut is not None and
-                2 * z_cut < period[2])
+    use_sort = (sort and z_cut is not None and 2 * z_cut < period[2])
 
     auto = pos2 is None
     pos1 = np.asarray(pos1, dtype=np.float32)
@@ -520,12 +575,23 @@ def labeled_pair_count(pos1, labels1, n_labels_1, pos2=None, labels2=None,
     weights2 = _pad_chunk(weights2, CHUNK * n_shards, 0.0)
 
     n2_chunks = pos2.shape[0] // CHUNK
-    if use_sort:
-        windows = _chunk_windows(
-            np.asarray(pos1[:, 2]), np.asarray(pos2[:, 2]), z_cut,
-            period[2])
+    n1_chunks = pos1.shape[0] // CHUNK
+    if mesh is None:
+        if use_sort:
+            windows = _chunk_windows(
+                np.asarray(pos1[:, 2]), np.asarray(pos2[:, 2]), z_cut,
+                period[2])
+        else:
+            windows = [(0, n2_chunks)] * n1_chunks
     else:
-        windows = [(0, n2_chunks)] * (pos1.shape[0] // CHUNK)
+        if use_sort:
+            shard_starts, shard_counts = _chunk_windows(
+                np.asarray(pos1[:, 2]), np.asarray(pos2[:, 2]), z_cut,
+                period[2], n_shards=n_shards)
+        else:
+            cps = n2_chunks // n_shards
+            shard_starts = np.zeros((n_shards, n1_chunks), np.int32)
+            shard_counts = np.full((n_shards, n1_chunks), cps, np.int32)
 
     period_dev = jnp.asarray(period, dtype=jnp.float32)
     edges_dev = jnp.asarray(r_edges**2, dtype=jnp.float32)
@@ -542,25 +608,32 @@ def labeled_pair_count(pos1, labels1, n_labels_1, pos2=None, labels2=None,
     # docstring) with no per-chunk device-to-host transfer.
     acc_hi = jnp.zeros(n_hist + 1, dtype=weights2.dtype)
     acc_lo = jnp.zeros(n_hist + 1, dtype=weights2.dtype)
+    # Batch i-chunks per dispatch and keep the WHOLE loop body in one
+    # jit call per block (see _sweep_block_impl / _sweep_block_sharded;
+    # both paths share the SWEEP_BLOCK batching, z-window sorting and
+    # in-call TwoSum folds).  The final short block pads with
+    # j_count = 0 chunks (no-ops).
+    n_blocks = -(-n1_chunks // SWEEP_BLOCK)
+    pad_chunks = n_blocks * SWEEP_BLOCK - n1_chunks
     if mesh is None:
-        # Batch i-chunks per dispatch and keep the WHOLE loop body in
-        # one jit call per block (see _sweep_block_impl).  The final
-        # short block pads with j_count = 0 chunks (no-ops).
-        n1_chunks = pos1.shape[0] // CHUNK
-        n_blocks = -(-n1_chunks // SWEEP_BLOCK)
-        pad_chunks = n_blocks * SWEEP_BLOCK - n1_chunks
         j_starts = jnp.asarray(np.array(
             [w[0] for w in windows] + [0] * pad_chunks, dtype=np.int32))
         j_counts = jnp.asarray(np.array(
             [w[1] for w in windows] + [0] * pad_chunks, dtype=np.int32))
-        pos1 = _pad_chunk(pos1, SWEEP_BLOCK * CHUNK, "edge")
-        labels1 = _pad_chunk(labels1, SWEEP_BLOCK * CHUNK, -1)
-        idx1 = _pad_chunk(idx1, SWEEP_BLOCK * CHUNK, -2)
-        blocks = range(n_blocks)
-        if progress:
-            import tqdm
-            blocks = tqdm.tqdm(blocks, smoothing=0, desc="pair counting")
-        for b in blocks:
+    else:
+        j_starts = jnp.asarray(np.pad(shard_starts,
+                                      ((0, 0), (0, pad_chunks))))
+        j_counts = jnp.asarray(np.pad(shard_counts,
+                                      ((0, 0), (0, pad_chunks))))
+    pos1 = _pad_chunk(pos1, SWEEP_BLOCK * CHUNK, "edge")
+    labels1 = _pad_chunk(labels1, SWEEP_BLOCK * CHUNK, -1)
+    idx1 = _pad_chunk(idx1, SWEEP_BLOCK * CHUNK, -2)
+    blocks = range(n_blocks)
+    if progress:
+        import tqdm
+        blocks = tqdm.tqdm(blocks, smoothing=0, desc="pair counting")
+    for b in blocks:
+        if mesh is None:
             acc_hi, acc_lo = _sweep_block(
                 acc_hi, acc_lo, b, pos1, labels1, idx1,
                 pos2, labels2, idx2, weights2, period_dev, edges_dev,
@@ -569,23 +642,16 @@ def labeled_pair_count(pos1, labels1, n_labels_1, pos2=None, labels2=None,
                 exclude_self=auto, n_block=SWEEP_BLOCK,
                 strategy=strategy, pair_weight=pair_weight,
                 unit_counts=unit_counts)
-    else:
-        starts = range(0, pos1.shape[0], CHUNK)
-        if progress:
-            import tqdm
-            starts = tqdm.tqdm(starts, smoothing=0, desc="pair counting")
-        for start in starts:
-            j_start, j_count = windows[start // CHUNK]
-            hist = jnp.zeros(n_hist + 1, dtype=weights2.dtype)
-            hist = _sweep_i_chunk_sharded(
-                hist, pos1[start:start + CHUNK],
-                labels1[start:start + CHUNK], idx1[start:start + CHUNK],
+        else:
+            acc_hi, acc_lo = _sweep_block_sharded(
+                acc_hi, acc_lo, b, pos1, labels1, idx1,
                 pos2, labels2, idx2, weights2, period_dev, edges_dev,
-                pi_max_dev, mu_dev, mesh=mesh, kind=kind,
-                n_labels_1=int(n_labels_1), n_labels_2=int(n_labels_2),
-                n_r=n_r, n_mu=n_mu, exclude_self=auto,
-                strategy=strategy, pair_weight=pair_weight)
-            acc_hi, acc_lo = _twosum_fold(acc_hi, acc_lo, hist)
+                pi_max_dev, mu_dev, j_starts, j_counts, mesh=mesh,
+                kind=kind, n_labels_1=int(n_labels_1),
+                n_labels_2=int(n_labels_2), n_r=n_r, n_mu=n_mu,
+                exclude_self=auto, n_block=SWEEP_BLOCK,
+                strategy=strategy, pair_weight=pair_weight,
+                unit_counts=unit_counts)
 
     host_hist = (np.asarray(acc_hi, dtype=np.float64) +
                  np.asarray(acc_lo, dtype=np.float64))

@@ -35,7 +35,7 @@ CROSS = "cross"
 
 @partial(jax.tree_util.register_dataclass,
          data_fields=["tpcf_dense", "n_h", "log_prim_quad", "quad_weight",
-                      "sec_perc"],
+                      "sec_perc", "log_prim_quad_lo"],
          meta_fields=["mode", "tpcf_shape", "n_centrals"])
 @dataclasses.dataclass(frozen=True)
 class TableData:
@@ -57,6 +57,14 @@ class TableData:
     n_centrals : int, number of leading bins that are centrals (static);
         bins are ordered [centrals..., satellites...] as in the reference's
         vstack construction (reference: tabcorr/tabcorr.py:229-234).
+    log_prim_quad_lo : (n_bins, n_gauss) or None.  Residual of the float64
+        quadrature nodes after rounding ``log_prim_quad`` to the device
+        dtype.  When present, occupations are evaluated with a first-order
+        JVP correction along this residual (see :func:`mean_occupation`),
+        removing the dominant float32 error of the device path (node
+        quantization: ~5e-7 absolute in logM ~ 1.4e-6 in the erf argument
+        at sigma_logM = 0.25, which otherwise exceeds every other error
+        source combined).  None for float64 tables (no residual).
     """
 
     tpcf_dense: jnp.ndarray
@@ -67,6 +75,7 @@ class TableData:
     mode: str
     tpcf_shape: tuple
     n_centrals: int
+    log_prim_quad_lo: jnp.ndarray | None = None
 
     @property
     def n_bins(self):
@@ -102,12 +111,27 @@ def mean_occupation(table: TableData, occupation_cen, occupation_sat, params):
     ``occupation_cen/sat(params, log_prim_haloprop, sec_haloprop_percentile)``
     are pure jax functions of scalar ``params``; batch parameter vectors by
     ``jax.vmap``-ing at the :func:`predict` level.
+
+    When the table carries ``log_prim_quad_lo`` (float32 tables), the
+    occupation is corrected to first order along the node residual:
+    ``occ(hi + lo) ~ occ(hi) + jvp(occ)(hi; lo)``.  The correction term is
+    ~1e-6 of the occupation, so its own rounding is negligible and the
+    quadrature recovers the float64 node positions to second order.
     """
     nc = table.n_centrals
     sec = table.sec_perc[:, None]
-    occ_c = occupation_cen(params, table.log_prim_quad[:nc], sec[:nc])
-    occ_s = occupation_sat(params, table.log_prim_quad[nc:], sec[nc:])
-    occ = jnp.concatenate([occ_c, occ_s], axis=-2)
+
+    def occ_all(logm):
+        occ_c = occupation_cen(params, logm[:nc], sec[:nc])
+        occ_s = occupation_sat(params, logm[nc:], sec[nc:])
+        return jnp.concatenate([occ_c, occ_s], axis=-2)
+
+    if table.log_prim_quad_lo is None:
+        occ = occ_all(table.log_prim_quad)
+    else:
+        occ, d_occ = jax.jvp(occ_all, (table.log_prim_quad,),
+                             (table.log_prim_quad_lo,))
+        occ = occ + d_occ
     return jnp.sum(table.quad_weight * occ, axis=-1)
 
 

@@ -56,7 +56,10 @@ def shard_table_data(table: TableData, n_shards: int) -> TableData:
             _pad_to_multiple(table.quad_weight, 0, n_shards)),
         sec_perc=jnp.asarray(_pad_to_multiple(table.sec_perc, 0, n_shards)),
         mode=table.mode, tpcf_shape=table.tpcf_shape,
-        n_centrals=table.n_centrals)
+        n_centrals=table.n_centrals,
+        log_prim_quad_lo=(None if table.log_prim_quad_lo is None else
+                          jnp.asarray(_pad_to_multiple(
+                              table.log_prim_quad_lo, 0, n_shards))))
 
 
 def make_sharded_predict(mesh, table: TableData, occupation_cen,
@@ -82,7 +85,9 @@ def make_sharded_predict(mesh, table: TableData, occupation_cen,
         tpcf_dense=dense_spec, n_h=P(TABLE_AXIS),
         log_prim_quad=P(TABLE_AXIS, None), quad_weight=P(TABLE_AXIS, None),
         sec_perc=P(TABLE_AXIS), mode=table.mode,
-        tpcf_shape=table.tpcf_shape, n_centrals=table.n_centrals)
+        tpcf_shape=table.tpcf_shape, n_centrals=table.n_centrals,
+        log_prim_quad_lo=(None if table.log_prim_quad_lo is None else
+                          P(TABLE_AXIS, None)))
 
     params_spec = P(BATCH_AXIS)
 
@@ -90,10 +95,20 @@ def make_sharded_predict(mesh, table: TableData, occupation_cen,
         # Occupation on this device's bin shard. Bin ordering within a
         # shard is irrelevant: the gal-type split is encoded per bin via
         # a mask rather than the global [cen..., sat...] prefix.
-        occ_c = occupation_cen(params, table_shard.log_prim_quad,
-                               table_shard.sec_perc[:, None])
-        occ_s = occupation_sat(params, table_shard.log_prim_quad,
-                               table_shard.sec_perc[:, None])
+        sec = table_shard.sec_perc[:, None]
+
+        def occ_pair(logm):
+            return (occupation_cen(params, logm, sec),
+                    occupation_sat(params, logm, sec))
+
+        if table_shard.log_prim_quad_lo is None:
+            occ_c, occ_s = occ_pair(table_shard.log_prim_quad)
+        else:
+            # Node-residual correction (see ops.predict.mean_occupation).
+            (occ_c, occ_s), (d_c, d_s) = jax.jvp(
+                occ_pair, (table_shard.log_prim_quad,),
+                (table_shard.log_prim_quad_lo,))
+            occ_c, occ_s = occ_c + d_c, occ_s + d_s
         n_local = table_shard.log_prim_quad.shape[0]
         shard_index = jax.lax.axis_index(TABLE_AXIS)
         global_bin = shard_index * n_local + jnp.arange(n_local)

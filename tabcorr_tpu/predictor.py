@@ -103,7 +103,10 @@ def _pad_table_data(table, n_cen, n_sat):
                                 dtype=table.quad_weight.dtype),
         sec_perc=jnp.asarray(pad_axis(table.sec_perc, 0),
                              dtype=table.sec_perc.dtype),
-        mode=table.mode, tpcf_shape=table.tpcf_shape, n_centrals=n_cen)
+        mode=table.mode, tpcf_shape=table.tpcf_shape, n_centrals=n_cen,
+        log_prim_quad_lo=(None if table.log_prim_quad_lo is None else
+                          jnp.asarray(pad_axis(table.log_prim_quad_lo, 0),
+                                      dtype=table.log_prim_quad.dtype)))
 
 
 def _interpolator_predict_fn(interp, model, n_gauss, dtype,
@@ -202,7 +205,8 @@ def _interpolator_fused_predict_fn(interp, model, n_gauss, dtype,
         n_h=base.n_h, log_prim_quad=base.log_prim_quad,
         quad_weight=base.quad_weight, sec_perc=base.sec_perc,
         mode=base.mode, tpcf_shape=(n_nodes * n_xi,),
-        n_centrals=base.n_centrals)
+        n_centrals=base.n_centrals,
+        log_prim_quad_lo=base.log_prim_quad_lo)
 
     # 'scaled' budgets normalize within each node's row block: near a
     # low-amplitude grid node the interpolated output is that node's
@@ -332,7 +336,7 @@ def make_predictor(obj, model, n_gauss=10, dtype=jnp.float32,
 
 def make_multi_predictor(objs, model, n_gauss=10, dtype=jnp.float32,
                          jit=True, engine="auto", accuracy=None,
-                         batch_tile=None):
+                         batch_tile=None, mesh=None, batch_axis="dp"):
     """Joint predictor over several tabulations (e.g. wp + xi_0/2/4 + ds).
 
     Returns ``f(params dict of (B,)) -> list of (ngal, xi)`` evaluating all
@@ -349,6 +353,12 @@ def make_multi_predictor(objs, model, n_gauss=10, dtype=jnp.float32,
     ``batch_tile`` sets the bundle kernel's batch tile (default 512,
     tuned for >=10^5-element batches; pass the half-ensemble size for
     small MCMC ensembles — batches pad up to a tile multiple).
+
+    ``mesh`` batch-shards the predictor over a device mesh along
+    ``batch_axis`` (tables replicated, zero hot-loop communication; see
+    the bundle docstring).  Supported by both engines: the bundle wraps
+    its kernel in ``shard_map``; the XLA engine relies on jit sharding
+    propagation from batch-sharded inputs.
     """
     bundle_eligible = (
         jnp.dtype(dtype) == jnp.dtype(jnp.float32) and
@@ -367,7 +377,7 @@ def make_multi_predictor(objs, model, n_gauss=10, dtype=jnp.float32,
             tables, *occupation_functions(model),
             tuple(model.param_dict.keys()),
             batch_tile=512 if batch_tile is None else batch_tile,
-            accuracy=accuracy)
+            accuracy=accuracy, mesh=mesh, batch_axis=batch_axis)
 
     fns = [make_predictor(obj, model, n_gauss=n_gauss, dtype=dtype,
                           jit=False) for obj in objs]

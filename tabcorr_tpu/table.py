@@ -203,6 +203,14 @@ class TabCorr:
                self._gal_type_version)
         if key not in self._table_data_cache:
             log_quad, weight = self._quadrature(n_gauss)
+            if jnp.dtype(dtype).itemsize < 8:
+                # Node residual for the first-order occupation correction
+                # (see ops.predict.TableData.log_prim_quad_lo).
+                hi64 = np.asarray(jnp.asarray(log_quad, dtype=dtype),
+                                  dtype=np.float64)
+                log_quad_lo = jnp.asarray(log_quad - hi64, dtype=dtype)
+            else:
+                log_quad_lo = None
             self._table_data_cache[key] = TableData(
                 tpcf_dense=jnp.asarray(self.dense_matrix(), dtype=dtype),
                 n_h=jnp.asarray(self.gal_type["n_h"], dtype=dtype),
@@ -212,7 +220,8 @@ class TabCorr:
                     self.gal_type["sec_haloprop_percentile"], dtype=dtype),
                 mode=self.mode,
                 tpcf_shape=tuple(self.tpcf_shape),
-                n_centrals=self.n_centrals)
+                n_centrals=self.n_centrals,
+                log_prim_quad_lo=log_quad_lo)
         return self._table_data_cache[key]
 
     # ------------------------------------------------------------------

@@ -28,48 +28,229 @@ def get_namespace(*arrays):
 
 # Pallas/Mosaic has no erf lowering; inside a Pallas kernel trace the
 # polynomial implementation below is substituted (see pallas_lowering()).
+# The same implementation also serves the float32 XLA device path: XLA's
+# own f32 erfc carries up to ~5e-6 relative error (~80 ulp) in the
+# Ncen ~ 0.01-0.5 transition region, while this one stays under ~4e-7.
 _PALLAS_LOWERING = False
 
-# Degree-12 least-squares fit of erfcx(z) = erfc(z) exp(z^2) in
-# t = 2 / (2 + z) over z in [0, 6]; max relative error 8e-10 (float64
-# fit; in float32 the exp(-z^2) argument rounding dominates at
-# ~z^2 * 2^-24 relative — the same tail behavior as XLA's own f32 erf).
-_ERFCX_COEF = (
-    -1.2776009901e-02, 9.8378898822e-02, -2.9996512049e-01,
-    4.1463671448e-01, -1.1503488132e-01, -3.5961157476e-01,
-    3.5721686113e-01, -1.3651431025e-01, 2.6072371143e-01,
-    2.2567408409e-01, 2.8547811849e-01, 2.8178059160e-01,
-    1.2917484458e-05)
+# Degree-12 Chebyshev fit of erfcx(z) / t in s = (t - mid)/half, where
+# t = 2/(2+z), z in [0, 9] (f64 fit rel err 2e-10).  Two conditioning
+# choices make the float32 evaluation ~3 ulp (vs ~80 ulp for the Horner
+# power-basis fit this replaces):
+# * fitting erfcx/t (range [0.56, 1], ratio < 2) instead of erfcx
+#   (range [0.12, 1]) keeps the absolute eval-noise floor small
+#   RELATIVE to the value;
+# * Chebyshev + Clenshaw recurrence avoids the power-basis Horner
+#   cancellation (intermediate sums ~5x the result).
+_ERFCX_T_MID = 0.5909090909090909       # (2/11 + 1) / 2
+_ERFCX_T_HALF = 0.40909090909090906     # (1 - 2/11) / 2
+_ERFCX_CHEB = (
+    6.25294136305943327e-01,
+    3.27537655059554789e-01,
+    4.66710137417082824e-02,
+    1.14709872925741773e-03,
+    -6.32133426496332826e-04,
+    -3.11799187734932201e-05,
+    1.35700105768451084e-05,
+    1.61242924904462680e-07,
+    -3.53125074203957021e-07,
+    2.54048703496707746e-08,
+    7.62659513076441469e-09,
+    -1.68038791865829202e-09,
+    -2.11133909073279523e-11)
 
 
-def _erfcx_poly(t, xp):
-    acc = xp.zeros_like(t)
-    for c in _ERFCX_COEF:
-        acc = acc * t + c
+# ----------------------------------------------------------------------
+# Accurate float32 transcendentals.
+#
+# TPU/XLA f32 elementary functions are fast but loose: measured on v5e,
+# exp carries up to ~4.8e-6 relative error (~80 ulp), pow ~5.5e-6, and
+# log1p up to ~1.1e-4 ABSOLUTE error near r = 0.25.  Those errors would
+# dominate the occupation pipeline's <1e-6 contract, so the float32
+# device path uses the compensated implementations below (~2-3 ulp,
+# measured 2.4e-7 for exp over [-81, 0]); all are plain arithmetic +
+# integer bitcasts, so they lower under Pallas/Mosaic and differentiate
+# (the discrete power-of-two scalings are stop_gradient-ed; tangents
+# flow through the continuous factors).
+# ----------------------------------------------------------------------
+_LN2_HI = 0.693359375                 # 9-bit high part: n * _LN2_HI exact
+_LN2_LO = -2.12194440054690583e-4
+_INV_LN2 = 1.4426950408889634
+_LOG2_10_HI = 3.322265625            # 3402/1024: 12-bit high part of log2(10)
+_LOG2_10_LO = -3.375301126376628e-4  # log2(10) - _LOG2_10_HI
+_SQRT2 = 1.4142135623730951
+# exp(r) Taylor, |r| <= ln2/2 (truncation ~1e-10)
+_EXP_POLY = (1 / 5040., 1 / 720., 1 / 120., 1 / 24., 1 / 6., 0.5, 1.0, 1.0)
+# 2^f = exp(f ln2) Taylor in (f ln2), |f| <= 0.52
+_ATANH_POLY = (1 / 9., 1 / 7., 1 / 5., 1 / 3., 1.0)  # in s^2; ln m = 2 s P
+
+
+def _pow2_int(n):
+    """Exact 2^n for integer-valued float32 n in [-126, 127] (bitcast)."""
+    import jax
+    import jax.numpy as jnp
+    n = jax.lax.stop_gradient(n)
+    biased = (n + 127.0).astype(jnp.int32) << 23
+    return jax.lax.stop_gradient(
+        jax.lax.bitcast_convert_type(biased, jnp.float32))
+
+
+def _poly_horner(coefs, r, xp):
+    acc = xp.full_like(r, coefs[0])
+    for c in coefs[1:]:
+        acc = acc * r + c
     return acc
 
 
-def erf_poly(x):
-    """erf via the erfcx polynomial (Pallas-lowerable: exp + arithmetic).
+def _exp_f32(x):
+    """exp(x) for float32 device arrays, ~2-3 ulp (vs ~80 for XLA's).
 
-    Relatively accurate complementary tail: erfc(z) = erfcx(z) exp(-z^2)
-    with erfcx fitted to 1.2e-9 relative, so occupations of deep-tail
-    (Ncen -> 0) halo bins keep ~z^2 * 2^-24 relative accuracy instead of
-    the ~1e-4 tail error of low-order absolute-error approximations.
+    Cody-Waite: n = round(x/ln2); r = (x - n*LN2_HI) - n*LN2_LO (the
+    9-bit LN2_HI makes n*LN2_HI exact for |n| < 2^15, and the first
+    subtraction is exact because the difference is a small multiple of
+    x's ulp); exp(x) = 2^n * P(r) with an exact bitcast 2^n.
+    """
+    import jax.numpy as jnp
+    xp = get_namespace(x)
+    n = xp.round(x * _INV_LN2)
+    r = (x - n * jnp.float32(_LN2_HI)) - n * jnp.float32(_LN2_LO)
+    return _poly_horner(_EXP_POLY, r, xp) * _pow2_int(n)
+
+
+def _exp10_f32(x):
+    """10^x for float32 device arrays, ~2-3 ulp.
+
+    10^x = 2^(x log2 10); the product is formed in double-float32 (x is
+    Veltkamp-split so both high products are exact), keeping the reduced
+    argument f = x log2 10 - n accurate to ~1e-9.
+    """
+    import jax.numpy as jnp
+    xp = get_namespace(x)
+    c = x * jnp.float32(4097.0)
+    xh = c - (c - x)
+    xl = x - xh
+    n = xp.round(x * jnp.float32(_LOG2_10_HI))
+    f = (((xh * jnp.float32(_LOG2_10_HI) - n) +
+          xl * jnp.float32(_LOG2_10_HI)) + x * jnp.float32(_LOG2_10_LO))
+    r = f * jnp.float32(0.6931471805599453)
+    return _poly_horner(_EXP_POLY, r, xp) * _pow2_int(n)
+
+
+def _log1p_f32(y):
+    """log1p(y) for float32 device arrays, y > -1; ~1e-7 absolute.
+
+    For |y| small the atanh form 2 atanh(y / (2 + y)) works directly on y
+    (no 1 + y rounding).  Otherwise w = 1 + y is range-reduced by exact
+    power-of-two scaling into [sqrt2/2, sqrt2) via bitcast exponent
+    extraction, and ln w = k ln2 + 2 atanh((m-1)/(m+1)).  XLA's own f32
+    log1p on TPU carries up to ~1.1e-4 absolute error.
+    """
+    import jax
+    import jax.numpy as jnp
+    xp = get_namespace(y)
+
+    def atanh_series(s):
+        return 2.0 * s * _poly_horner(_ATANH_POLY, s * s, xp)
+
+    # Small branch: |y| <= 0.25 keeps |s| <= 0.143.
+    s_small = y / (2.0 + y)
+    small = atanh_series(s_small)
+
+    w = 1.0 + y
+    bits = jax.lax.bitcast_convert_type(
+        jax.lax.stop_gradient(xp.maximum(w, 1e-30)), jnp.int32)
+    e = ((bits >> 23) & 0xff) - 127
+    m0 = jax.lax.bitcast_convert_type(
+        (bits & 0x007fffff) | 0x3f800000, jnp.float32)
+    k = (e + (m0 >= jnp.float32(_SQRT2))).astype(jnp.float32)
+    k = jax.lax.stop_gradient(k)
+    m = w * _pow2_int(-k)                    # in [sqrt2/2, sqrt2)
+    s = (m - 1.0) / (m + 1.0)
+    large = (k * jnp.float32(_LN2_HI) +
+             (atanh_series(s) + k * jnp.float32(_LN2_LO)))
+    return xp.where(xp.abs(y) <= 0.25, small, large)
+
+
+def _is_f32_device(x) -> bool:
+    import numpy as np_mod
+    dtype = getattr(x, "dtype", None)
+    return dtype is not None and dtype != np_mod.float64
+
+
+def exp(x):
+    """Accurate exp on the matching backend (see module notes above)."""
+    if is_numpy(x):
+        return np.exp(x)
+    if _is_f32_device(x):
+        return _exp_f32(x)
+    import jax.numpy as jnp
+    return jnp.exp(x)
+
+
+def exp10(x):
+    """Accurate 10**x on the matching backend."""
+    if is_numpy(x):
+        return 10.0 ** x
+    if _is_f32_device(x):
+        return _exp10_f32(x)
+    import jax.numpy as jnp
+    return 10.0 ** x
+
+
+def log1p(x):
+    """Accurate log1p on the matching backend."""
+    if is_numpy(x):
+        return np.log1p(x)
+    if _is_f32_device(x):
+        return _log1p_f32(x)
+    import jax.numpy as jnp
+    return jnp.log1p(x)
+
+
+def _erfc_abs_poly(z, xp):
+    """erfc(z) for z >= 0 via erfcx(z) exp(-z^2); ~4e-7 relative in f32.
+
+    The exp argument uses a Veltkamp-split compensation: z*z rounds at
+    z^2 * 2^-24 absolute in float32, which would be the dominant tail
+    error (5e-7 relative at z=3); splitting z into 12-bit halves makes
+    every partial product exact, recovering the residual ``err`` so
+    exp(-z2)(1 - err) carries the full-precision argument.
+    """
+    zc = xp.minimum(z, 9.0)               # poly range; erfc(9) ~ 4e-37
+    t = 2.0 / (2.0 + zc)
+    s = (t - _ERFCX_T_MID) / _ERFCX_T_HALF
+    two_s = 2.0 * s
+    b1 = xp.zeros_like(s)
+    b2 = xp.zeros_like(s)
+    for c in _ERFCX_CHEB[:0:-1]:
+        b0 = two_s * b1 - b2 + c
+        b2 = b1
+        b1 = b0
+    h = s * b1 - b2 + _ERFCX_CHEB[0]      # erfcx(z) / t
+
+    c_split = zc * 4097.0
+    zh = c_split - (c_split - zc)
+    zl = zc - zh
+    z2 = zc * zc
+    err = (zh * zh - z2) + (2.0 * zh) * zl + zl * zl
+    return h * t * exp(-z2) * (1.0 - err)
+
+
+def erf_poly(x):
+    """erf via the erfcx Chebyshev fit (Pallas-lowerable: exp + arithmetic).
+
+    Relatively accurate complementary tail: erfc(z) = erfcx(z) exp(-z^2),
+    so occupations of deep-tail (Ncen -> 0) halo bins keep relative
+    accuracy instead of the ulp-of-1 absolute error of 1 - erf forms.
     """
     xp = get_namespace(x)
-    z = xp.abs(x)
-    t = 2.0 / (2.0 + z)
-    erfc_z = _erfcx_poly(t, xp) * xp.exp(-z * z)
-    return xp.sign(x) * (1.0 - erfc_z)
+    return xp.sign(x) * (1.0 - _erfc_abs_poly(xp.abs(x), xp))
 
 
 def erfc_poly(x):
     """erfc with a relatively-accurate positive tail (see erf_poly)."""
     xp = get_namespace(x)
-    z = xp.abs(x)
-    t = 2.0 / (2.0 + z)
-    erfc_abs = _erfcx_poly(t, xp) * xp.exp(-z * z)
+    erfc_abs = _erfc_abs_poly(xp.abs(x), xp)
     return xp.where(x >= 0, erfc_abs, 2.0 - erfc_abs)
 
 
@@ -94,12 +275,22 @@ class pallas_lowering:
         return False
 
 
+def _use_poly(x) -> bool:
+    """Polynomial path: inside Pallas traces (Mosaic has no erf) and for
+    every sub-float64 device dtype (more accurate than XLA's f32 erfc)."""
+    if _PALLAS_LOWERING:
+        return True
+    import numpy as np_mod
+    dtype = getattr(x, "dtype", None)
+    return dtype is not None and dtype != np_mod.float64
+
+
 def erf(x):
     """Error function on the matching backend."""
     if is_numpy(x):
         from scipy.special import erf as np_erf
         return np_erf(x)
-    if _PALLAS_LOWERING:
+    if _use_poly(x):
         return erf_poly(x)
     from jax.scipy.special import erf as jax_erf
     return jax_erf(x)
@@ -117,7 +308,7 @@ def erfc(x):
     if is_numpy(x):
         from scipy.special import erfc as np_erfc
         return np_erfc(x)
-    if _PALLAS_LOWERING:
+    if _use_poly(x):
         return erfc_poly(x)
     from jax.scipy.special import erfc as jax_erfc
     return jax_erfc(x)

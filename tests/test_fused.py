@@ -179,6 +179,46 @@ def test_bundle_scaled_accuracy_contract(bol_model):
     assert np.max(np.abs(np.asarray(xi[0]) - xi_h)) < 1e-6 * scale
 
 
+def test_cross_mode_scaled_contract(ds_tabcorr, bol_model):
+    # 'scaled' on a CROSS-mode table (matvec contraction) engages the
+    # pass-class machinery too — row k contracts against its own matrix
+    # row, so the same amplitude argument applies.  Rows rescaled to span
+    # 8 decades force multiple pass groups; the result must come back in
+    # original row order and within the 1e-6-scaled budget of a float64
+    # contraction.
+    from tabcorr_tpu.ops.fused import (_pass_groups,
+                                       make_fused_contraction)
+    from tabcorr_tpu.ops.predict import mean_occupation
+
+    table = ds_tabcorr.table_data(n_gauss=10, dtype=jnp.float32)
+    n_xi = table.tpcf_dense.shape[0]
+    factors = np.logspace(0, -8, n_xi)
+    dense = np.asarray(table.tpcf_dense, np.float64) * factors[:, None]
+    import dataclasses
+    table = dataclasses.replace(table,
+                                tpcf_dense=jnp.asarray(dense, jnp.float32))
+
+    groups, _, inv = _pass_groups(table.tpcf_dense, False, "scaled")
+    assert len(groups) >= 2
+    assert sorted(inv) == list(range(n_xi))
+
+    occ_c, occ_s = occupation_functions(bol_model)
+    params = params_batch(bol_model, {}, (), dtype=jnp.float32)
+    mean_occ = np.asarray(mean_occupation(table, occ_c, occ_s, params),
+                          np.float64)
+    ngal = mean_occ * np.asarray(table.n_h, np.float64)
+    want = dense @ ngal / ngal.sum()
+
+    contract = make_fused_contraction(table, batch_tile=8, interpret=True,
+                                      error_model="scaled")
+    ngal_b = jnp.broadcast_to(
+        jnp.asarray(ngal, jnp.float32)[None, :], (8, len(ngal)))
+    _, xi = contract(ngal_b)
+    scale = float(np.max(np.abs(want)))
+    assert np.max(np.abs(np.asarray(xi[0], np.float64) - want)) < \
+        1e-6 * scale
+
+
 def test_interpolator_fixture_fused_scaled_matches_host():
     # The 4-node xi_0/2/4 Interpolator fixture (log_eta grid, produced by
     # scripts/make_interp_bench_fixture.py) through the stacked-node

@@ -102,7 +102,7 @@ def test_nuts_samples_gaussian():
     key = jax.random.key(11)
     positions0 = jax.random.normal(jax.random.key(12), (8, 2))
     chain, lp, mean_depth, step_size = run_nuts(
-        key, _gaussian_logprob, positions0, n_warmup=100, n_steps=400,
+        key, _gaussian_logprob, positions0, n_warmup=100, n_steps=800,
         max_depth=6, initial_step_size=0.5)
     samples = np.asarray(chain[100:]).reshape(-1, 2)
     assert float(mean_depth) >= 1.0
@@ -140,7 +140,7 @@ def test_nuts_accept_stat_in_range():
 
     accepts = []
     for eps in (0.05, 5.0):
-        _, _, _, accept = nuts_step(
+        _, _, _, accept, _ = nuts_step(
             jax.random.key(0), jnp.zeros(2), _gaussian_logprob, eps,
             max_depth=5)
         a = float(accept)
@@ -172,6 +172,53 @@ def test_nuts_stable_on_heavy_tailed_target():
     # median is robust against the heavy tails.
     med = np.median(np.abs(samples))
     assert 0.5 < med < 1.1, med
+
+
+def test_nuts_early_exit_saves_gradients():
+    # The while_loop tree must stop paying leapfrog gradients when the
+    # trajectory turns: on a well-conditioned Gaussian with a tuned step
+    # size, trajectories terminate after ~2^3 steps, far below the
+    # 2^max_depth = 256 an unrolled tree would always execute.
+    from tabcorr_tpu.mcmc import nuts_step
+
+    keys = jax.random.split(jax.random.key(5), 64)
+    grads = []
+    for k in keys[:16]:
+        *_, n_grad = nuts_step(k, jnp.zeros(2), _gaussian_logprob,
+                               0.3, max_depth=8)
+        grads.append(int(n_grad))
+    assert max(grads) < 100
+    assert np.mean(grads) < 40
+
+
+def test_nuts_mass_matrix_adaptation():
+    # Anisotropic Gaussian (std 1 vs 30): the adapted diagonal metric
+    # must recover both scales while spending measurably fewer gradient
+    # evaluations per step — the identity-metric run needs ~2^3 leapfrog
+    # steps per trajectory to traverse the wide direction, the adapted
+    # one ~2^1.4 (standardized geometry).
+    from tabcorr_tpu.mcmc import run_nuts
+
+    scales = jnp.array([1.0, 30.0])
+
+    def logprob(x):
+        return -0.5 * jnp.sum((x / scales) ** 2)
+
+    positions0 = jax.random.normal(jax.random.key(21), (8, 2))
+    chain_a, _, depth_a, eps_a = run_nuts(
+        jax.random.key(22), logprob, positions0, n_warmup=300,
+        n_steps=400, max_depth=9, adapt_mass_matrix=True)
+    samples = np.asarray(chain_a[100:]).reshape(-1, 2)
+    np.testing.assert_allclose(samples.std(axis=0), np.asarray(scales),
+                               rtol=0.25)
+
+    chain_i, _, depth_i, eps_i = run_nuts(
+        jax.random.key(22), logprob, positions0, n_warmup=300,
+        n_steps=400, max_depth=9, adapt_mass_matrix=False)
+    # Both runs are calibrated (NUTS is robust), but the adapted metric
+    # must get there with >= 2x fewer leapfrog gradient evaluations
+    # per step (mean tree depth smaller by >= 1 doubling).
+    assert float(depth_a) <= float(depth_i) - 1.0
 
 
 def test_vectorized_ensemble_matches_per_walker():

@@ -84,6 +84,71 @@ def test_sharded_predict_matches_plain(fixture, bol_model, table_parallel,
                                rtol=1e-12)
 
 
+def test_bundle_sharded_matches_plain(wp_tabcorr, ds_tabcorr, bol_model):
+    # The flagship dp-sharded bundle: parameter batch split over the dp
+    # mesh axis, table constants replicated, one Pallas kernel per shard
+    # (interpret mode on CPU).  Per-row arithmetic is identical to the
+    # single-device kernel, so results must match to float32 tolerance
+    # even though the batch padding differs (48 pads to 48 vs 64).
+    if len(jax.devices()) < 8:
+        pytest.skip("needs 8 virtual devices")
+    from tabcorr_tpu.predictor import make_multi_predictor
+
+    mesh = make_mesh(8, table_parallel=1)
+    f_plain = make_multi_predictor([wp_tabcorr, ds_tabcorr], bol_model,
+                                   engine="bundle", batch_tile=8)
+    f_shard = make_multi_predictor([wp_tabcorr, ds_tabcorr], bol_model,
+                                   engine="bundle", batch_tile=8,
+                                   mesh=mesh)
+    params = _batch(bol_model, 48, dtype=jnp.float32)
+    out_p = f_plain(params)
+    out_s = f_shard(params)
+    for (ng_p, xi_p), (ng_s, xi_s) in zip(out_p, out_s):
+        np.testing.assert_allclose(np.asarray(ng_s), np.asarray(ng_p),
+                                   rtol=1e-6)
+        np.testing.assert_allclose(
+            np.asarray(xi_s), np.asarray(xi_p), rtol=1e-5,
+            atol=1e-6 * float(np.max(np.abs(np.asarray(xi_p)))))
+
+
+def test_bundle_sharded_ensemble_step(wp_tabcorr, bol_model):
+    # Full multi-chip MCMC hot loop: stretch-move ensemble with the
+    # vectorized Gaussian log posterior evaluated through the dp-sharded
+    # bundle.  The sharded chain must match the single-device chain.
+    if len(jax.devices()) < 8:
+        pytest.skip("needs 8 virtual devices")
+    from tabcorr_tpu.mcmc import ensemble_step, make_gaussian_logpost_batched
+    from tabcorr_tpu.predictor import make_multi_predictor
+
+    mesh = make_mesh(8, table_parallel=1)
+    names = ("logMmin", "logM1")
+    base = {k: jnp.float32(v) for k, v in bol_model.param_dict.items()}
+    _, data = wp_tabcorr.predict(bol_model, check_consistency=False)
+    inv_cov = np.diag(1.0 / (0.05 * np.abs(data.ravel()) + 1e-3) ** 2)
+
+    chains = {}
+    for key, mesh_arg in (("plain", None), ("sharded", mesh)):
+        f = make_multi_predictor([wp_tabcorr], bol_model, engine="bundle",
+                                 batch_tile=8, mesh=mesh_arg)
+        log_prob = make_gaussian_logpost_batched(
+            f, names, base, [data.ravel()], [inv_cov])
+        rng = np.random.default_rng(11)
+        walkers = jnp.asarray(
+            np.array([bol_model.param_dict[k] for k in names])[None, :]
+            + 0.02 * rng.normal(size=(32, 2)), dtype=jnp.float32)
+        lp = log_prob(walkers)
+        for step in range(3):
+            walkers, lp, acc = ensemble_step(
+                jax.random.key(step), walkers, lp, log_prob,
+                vectorized=True)
+        chains[key] = (np.asarray(walkers), np.asarray(lp))
+
+    np.testing.assert_allclose(chains["sharded"][0], chains["plain"][0],
+                               rtol=2e-6, atol=1e-7)
+    np.testing.assert_allclose(chains["sharded"][1], chains["plain"][1],
+                               rtol=1e-4, atol=1e-3)
+
+
 def test_shard_table_padding(wp_tabcorr):
     table = wp_tabcorr.table_data(dtype=jnp.float64)
     padded = shard_table_data(table, 7)
@@ -136,6 +201,48 @@ def test_sharded_pair_counting_matches_plain():
                                    kind="proj", r_edges=rp_bins,
                                    pair_weight="unit+log_rp", mesh=mesh)
     np.testing.assert_allclose(sharded_b, plain_b, rtol=5e-4)
+
+
+def test_sharded_sweep_dispatch_structure(monkeypatch):
+    # The mesh path must batch SWEEP_BLOCK i-chunks per device dispatch
+    # (one call per block, like the single-chip path — not one per
+    # i-chunk) and activate per-device z-windows: each shard's hull must
+    # cover only its local chunks within the line-of-sight cut.
+    from jax.sharding import Mesh
+    import tabcorr_tpu.ops.paircount as pc
+
+    rng = np.random.default_rng(3)
+    L, N = 100.0, pc.CHUNK * 32          # 32 i-chunks -> 2 blocks
+    pos = rng.uniform(0, L, (N, 3))
+    labels = np.zeros(N, dtype=np.int32)
+    rp_bins = np.array([0.5, 2.0])
+    mesh = Mesh(np.array(jax.devices()), ("shard",))
+
+    calls = []
+    orig = pc._sweep_block_sharded
+
+    def counting(*args, **kw):
+        calls.append(kw.get("n_block"))
+        return orig(*args, **kw)
+
+    monkeypatch.setattr(pc, "_sweep_block_sharded", counting)
+    counts = pc.labeled_pair_count(pos, labels, 1, period=L, kind="rppi",
+                                   r_edges=rp_bins, pi_max=4.0, mesh=mesh)
+    n_blocks = -(-32 // pc.SWEEP_BLOCK)
+    assert len(calls) == n_blocks
+    plain = pc.labeled_pair_count(pos, labels, 1, period=L, kind="rppi",
+                                  r_edges=rp_bins, pi_max=4.0)
+    np.testing.assert_array_equal(counts, plain)
+
+    # Windows really engage: with pi_max << L each device's hull must be
+    # far smaller than its full chunk range for interior i-chunks.
+    z = np.sort(pos[:, 2].astype(np.float32))
+    n_shards = len(jax.devices())
+    starts, cnts = pc._chunk_windows(
+        z, z, 4.0, L, n_shards=n_shards)
+    cps = 32 // n_shards
+    assert cnts.max() <= cps
+    assert cnts.sum() < 0.7 * cnts.size * cps
 
 
 def test_sharded_tabulate_matches_plain():
