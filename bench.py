@@ -104,7 +104,7 @@ def make_bundle_predict_all(wp_table, xi_table, occ_c, occ_s, param_names,
     from tabcorr_tpu.ops.fused import make_fused_bundle_predictor
 
     f = make_fused_bundle_predictor([wp_table, xi_table], occ_c, occ_s,
-                                    param_names, batch_tile=512,
+                                    param_names, batch_tile=256,
                                     accuracy=accuracy)
 
     @jax.jit

@@ -72,13 +72,30 @@ def aemulus_snapshot_number(redshift):
 
 
 def read_gadget_snapshot(source, read_pos=True, read_vel=True,
-                         read_id=False, subsample=1.0, seed=42, rng=None):
+                         read_id=False, read_mass=False, subsample=1.0,
+                         seed=42, rng=None, lgadget=False):
     """Read a Gadget-2 format-1 binary snapshot (single file or stream).
 
     Returns a dict with 'header' plus requested blocks for all particle
-    types concatenated. Block layout: header, positions (3f4 per
-    particle), velocities (3f4), ids. Each block is wrapped in 4-byte
+    types concatenated. Block layout: header, positions (3 floats per
+    particle), velocities, ids, masses. Each block is wrapped in 4-byte
     Fortran record markers.
+
+    Variants handled like the reference reader
+    (reference: scripts/parse_snapshot.py:96-140):
+
+    * float64 position/velocity blocks and 8-byte ids are auto-detected
+      from the record size (``size == n * items * 8`` selects the wide
+      dtype; any other size is an error);
+    * a per-particle MASS block follows the ids for every particle type
+      whose header ``mass`` entry is zero; ``read_mass=True`` returns a
+      per-particle mass array for ALL particles (header-constant types
+      filled from the header).  If no type needs the block, header
+      masses are broadcast;
+    * ``lgadget=True`` applies the L-Gadget header convention: all
+      particles are type 1 and ``npart_total[2]`` actually carries the
+      high word of the type-1 total count (stored in the header dict as
+      ``npart_total_highword``); L-Gadget writes no mass block.
     """
     if rng is None:
         rng = np.random.default_rng(seed)
@@ -97,6 +114,15 @@ def read_gadget_snapshot(source, read_pos=True, read_vel=True,
                 raise IOError("Corrupt Gadget block markers.")
             return data
 
+        def block_dtype(raw, count, items, narrow, wide):
+            """Pick the element dtype from the record size (the
+            reference's size_check, scripts/parse_snapshot.py:112-117)."""
+            if len(raw) == count * items * np.dtype(narrow).itemsize:
+                return np.dtype(narrow)
+            if len(raw) == count * items * np.dtype(wide).itemsize:
+                return np.dtype(wide)
+            raise ValueError("Invalid block size in file!")
+
         # Canonical Gadget-2 header layout: npart[6]u4, mass[6]f8, time f8,
         # redshift f8, flag_sfr/feedback i4 x2, npartTotal[6]u4,
         # flag_cooling/num_files i4 x2, BoxSize f8, Omega0 f8,
@@ -105,6 +131,7 @@ def read_gadget_snapshot(source, read_pos=True, read_vel=True,
         npart = struct.unpack("<6I", header_raw[0:24])
         mass = struct.unpack("<6d", header_raw[24:72])
         time, redshift = struct.unpack("<dd", header_raw[72:88])
+        npart_total = list(struct.unpack("<6I", header_raw[96:120]))
         boxsize = struct.unpack("<d", header_raw[128:136])[0]
         omega0, omega_l, hubble = struct.unpack("<ddd",
                                                 header_raw[136:160])
@@ -113,25 +140,67 @@ def read_gadget_snapshot(source, read_pos=True, read_vel=True,
             npart=npart, mass=mass, time=time, redshift=redshift,
             boxsize=boxsize, omega0=omega0, omega_lambda=omega_l,
             hubble_param=hubble)
+        if lgadget:
+            # L-Gadget stores the high word of the type-1 total count in
+            # npart_total[2] (reference: scripts/parse_snapshot.py:75-78);
+            # it writes no per-particle mass block.
+            out["header"]["npart_total_highword"] = npart_total[2]
+            npart_total[2] = 0
+        out["header"]["npart_total"] = tuple(npart_total)
 
         keep = (rng.random(n_total) < subsample if subsample < 1.0
                 else slice(None))
-        # Blocks are strictly sequential (pos, vel, ids): an unread block
-        # must still be consumed, else the next read returns the wrong
-        # block reinterpreted under the wrong dtype.
-        if read_pos:
-            data = np.frombuffer(read_block(), dtype="<f4").reshape(-1, 3)
-            out["pos"] = np.array(data[keep])
-        elif read_vel or read_id:
-            read_block()
-        if read_vel:
-            data = np.frombuffer(read_block(), dtype="<f4").reshape(-1, 3)
-            out["vel"] = np.array(data[keep])
-        elif read_id:
-            read_block()
-        if read_id:
-            data = np.frombuffer(read_block(), dtype="<u4")
-            out["id"] = np.array(data[keep])
+        # The mass block only exists for types with header mass == 0 and
+        # particles present.
+        mass_npart = [0 if m else n for m, n in zip(mass, npart)]
+        has_mass_block = (not lgadget) and sum(mass_npart) > 0
+
+        # Blocks are strictly sequential (pos, vel, ids, masses): an
+        # unread block must still be consumed, else the next read returns
+        # the wrong block reinterpreted under the wrong dtype.
+        want = dict(pos=read_pos, vel=read_vel, id=read_id,
+                    mass=read_mass)
+        later = {"pos": ("vel", "id", "mass"), "vel": ("id", "mass"),
+                 "id": ("mass",), "mass": ()}
+
+        def handle(name, items, narrow, wide, count=n_total):
+            if not (want[name] or any(want[k] for k in later[name])):
+                return False  # nothing later either: stop reading
+            raw = read_block()
+            if want[name]:
+                dtype = block_dtype(raw, count, items, narrow, wide)
+                data = np.frombuffer(raw, dtype=dtype)
+                if items > 1:
+                    data = data.reshape(-1, items)
+                out[name] = np.array(data[keep])
+            return True
+
+        if not handle("pos", 3, "<f4", "<f8"):
+            return out
+        if not handle("vel", 3, "<f4", "<f8"):
+            return out
+        if not handle("id", 1, "<u4", "<u8"):
+            return out
+        if want["mass"]:
+            if has_mass_block:
+                raw = read_block()
+                dtype = block_dtype(raw, sum(mass_npart), 1, "<f4", "<f8")
+                block = np.frombuffer(raw, dtype=dtype).astype(np.float64)
+                full = np.empty(n_total, np.float64)
+                at_block, at_full = 0, 0
+                for t in range(6):
+                    n_t = npart[t]
+                    if mass_npart[t]:
+                        full[at_full:at_full + n_t] = \
+                            block[at_block:at_block + n_t]
+                        at_block += n_t
+                    else:
+                        full[at_full:at_full + n_t] = mass[t]
+                    at_full += n_t
+                out["mass"] = full[keep]
+            else:
+                full = np.repeat(np.asarray(mass, np.float64), npart)
+                out["mass"] = full[keep]
     finally:
         if own_stream:
             stream.close()
@@ -285,8 +354,26 @@ def download_aemulus_alpha_particles(simulation, redshift, fetch=None,
             "z": positions[:, 2]}
 
 
-def read_abacus_summit_halos(raw_dir, n_min=300):
+def abacus_halo_dir(raw_dir, redshift=None):
+    """z-specific CompaSO halo directory under a simulation root.
+
+    ``redshift=None`` keeps ``raw_dir`` as-is (back-compat for callers
+    that already point at the z-directory).
+    """
+    halo_dir = Path(raw_dir)
+    if redshift is not None:
+        halo_dir = halo_dir / "halos" / f"z{redshift:.3f}"
+    return halo_dir
+
+
+def read_abacus_summit_halos(raw_dir, redshift=None, n_min=300):
     """Read an AbacusSummit CompaSO halo catalog (requires abacusutils).
+
+    ``raw_dir`` is the SIMULATION ROOT (the same convention as
+    :func:`read_abacus_summit_particles`): the z-specific CompaSO
+    directory ``{raw_dir}/halos/z{redshift:.3f}`` is derived internally
+    when ``redshift`` is given.  With ``redshift=None``, ``raw_dir``
+    must itself be the z-specific halo directory (back-compat).
 
     Reference recipe (scripts/parse_snapshot.py:225-253): N >= n_min
     particles, mass = N * particle mass under the L1 SO definition, radius
@@ -295,14 +382,16 @@ def read_abacus_summit_halos(raw_dir, n_min=300):
     same recentering as the particle reader, keeping halo and particle
     coordinates consistent for lensing).
     """
+    halo_dir = abacus_halo_dir(raw_dir, redshift)
     try:
         from abacusnbody.data.compaso_halo_catalog import CompaSOHaloCatalog
     except ImportError:
         raise RuntimeError(
             "AbacusSummit ingestion requires the 'abacusutils' package.")
     cat = CompaSOHaloCatalog(
-        raw_dir, fields=["N", "x_L2com", "v_L2com", "r100_L2com",
-                         "rvcirc_max_L2com"],
+        str(halo_dir),
+        fields=["N", "x_L2com", "v_L2com", "r100_L2com",
+                "rvcirc_max_L2com"],
         filter_func=lambda h: h["N"] >= n_min)
     halos = cat.halos
     meta = cat.header
@@ -474,7 +563,8 @@ def main():
     parser.add_argument("--raw_dir", default=None,
                         help="local directory with the raw simulation "
                              "products (skips any download; required for "
-                             "AbacusSummit)")
+                             "AbacusSummit, where it is the SIMULATION "
+                             "ROOT for halos and particles alike)")
     parser.add_argument("--subsample", type=float, default=None,
                         help="particle subsample fraction (default: 0.01 "
                              "of all particles for AemulusAlpha, 0.00025 "
@@ -506,7 +596,10 @@ def main():
         if args.raw_dir is None:
             raise RuntimeError(
                 "AbacusSummit ingestion reads local CompaSO products; "
-                "pass --raw_dir.")
+                "pass --raw_dir (the SIMULATION ROOT, e.g. "
+                ".../AbacusSummit_base_c000_ph000 — the z-specific "
+                "subdirectories are derived internally for halos and "
+                "particles alike).")
         if args.particles:
             table = read_abacus_summit_particles(
                 args.raw_dir, args.redshift, simulation=name,
@@ -515,7 +608,8 @@ def main():
                           else args.subsample))
             append_snapshot_table(out_path, "particles", table)
         else:
-            halos, meta = read_abacus_summit_halos(args.raw_dir)
+            halos, meta = read_abacus_summit_halos(args.raw_dir,
+                                                   redshift=args.redshift)
             append_snapshot_table(out_path, "halos", halos, attrs=meta)
 
     print(f"Wrote {out_path}")

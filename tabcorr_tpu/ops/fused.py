@@ -33,10 +33,9 @@ from jax.experimental.pallas import tpu as pltpu
 from ..utils import backend
 from .predict import AUTO, TableData, mean_occupation
 
-# Default batch tile for the per-table contraction kernel.  The bundle
-# callers pass 512 (fastest measured on v5e at production table sizes,
-# with the Mosaic VMEM limit raised); 256 stays the default here for
-# smaller per-table workloads.
+# Default batch tile: 256 is the fastest measured on v5e at production
+# table sizes for the bundle with the accurate-transcendental occupation
+# path (the tile sweep 128/256/384/512/1024/2048 peaks there).
 DEFAULT_TILE = 256
 
 

@@ -350,9 +350,10 @@ def make_multi_predictor(objs, model, n_gauss=10, dtype=jnp.float32,
     path; 'xla' composes per-table predictors.  ``accuracy`` optionally
     gives one error contract per table ('elementwise' or 'scaled', see
     the bundle docstring); it applies to the bundle engine only.
-    ``batch_tile`` sets the bundle kernel's batch tile (default 512,
-    tuned for >=10^5-element batches; pass the half-ensemble size for
-    small MCMC ensembles — batches pad up to a tile multiple).
+    ``batch_tile`` sets the bundle kernel's batch tile (default 256,
+    fastest measured on v5e for >=10^5-element batches with the
+    accurate-transcendental occupation path; pass the half-ensemble
+    size for small MCMC ensembles — batches pad up to a tile multiple).
 
     ``mesh`` batch-shards the predictor over a device mesh along
     ``batch_axis`` (tables replicated, zero hot-loop communication; see
@@ -376,7 +377,7 @@ def make_multi_predictor(objs, model, n_gauss=10, dtype=jnp.float32,
         return make_fused_bundle_predictor(
             tables, *occupation_functions(model),
             tuple(model.param_dict.keys()),
-            batch_tile=512 if batch_tile is None else batch_tile,
+            batch_tile=256 if batch_tile is None else batch_tile,
             accuracy=accuracy, mesh=mesh, batch_axis=batch_axis)
 
     fns = [make_predictor(obj, model, n_gauss=n_gauss, dtype=dtype,

@@ -116,6 +116,12 @@ class TabCorr:
                 "prim_haloprop_key", "sec_haloprop_key"]
         for key in keys:
             fstream.attrs[key] = self.attrs[key]
+        # Extra provenance attrs beyond the reference schema (e.g.
+        # 'delta_sigma_estimator') round-trip too; the reference reader
+        # ignores unknown attrs, so files stay loadable by it.
+        for key, value in self.attrs.items():
+            if key not in keys and value is not None:
+                fstream.attrs[key] = value
 
         fstream["tpcf_matrix"] = self.tpcf_matrix.astype(matrix_dtype)
 

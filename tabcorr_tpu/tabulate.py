@@ -542,6 +542,18 @@ def tabulate(cls, halocat, tpcf, *tpcf_args, mode="auto",
         "Num_ptcl_requirement": Num_ptcl_requirement,
         "prim_haloprop_key": prim_haloprop_key,
         "sec_haloprop_key": sec_haloprop_key}
+    if fast and fast_path.name == "mean_delta_sigma":
+        # Record the delta-sigma estimator convention in the file: the
+        # default 'annulus_mean' is the exact area-weighted annulus
+        # average (closed form from pair-count sums); 'midpoint'
+        # evaluates sigma_bar(<r_mid) - sigma(annulus) at the geometric
+        # bin center, the convention closest to halotools'
+        # mean_delta_sigma used for the published reference tables
+        # (reference: scripts/tabulate_snapshot.py:235-237).  The two
+        # differ at O((dr/r)^2), quantified in
+        # tests/test_delta_sigma.py::test_estimator_difference_is_below_
+        # table_validation_tolerance.
+        halotab.attrs["delta_sigma_estimator"] = fast_path.estimator
 
     if fast:
         args, kwargs = fast_path.args_for_file()

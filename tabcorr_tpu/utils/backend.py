@@ -33,8 +33,9 @@ def get_namespace(*arrays):
 # Ncen ~ 0.01-0.5 transition region, while this one stays under ~4e-7.
 _PALLAS_LOWERING = False
 
-# Degree-12 Chebyshev fit of erfcx(z) / t in s = (t - mid)/half, where
-# t = 2/(2+z), z in [0, 9] (f64 fit rel err 2e-10).  Two conditioning
+# Degree-10 Chebyshev fit of erfcx(z) / t in s = (t - mid)/half, where
+# t = 2/(2+z), z in [0, 9] (f64 fit rel err 4.7e-9 — below the float32
+# evaluation noise, so a higher degree buys nothing).  Two conditioning
 # choices make the float32 evaluation ~3 ulp (vs ~80 ulp for the Horner
 # power-basis fit this replaces):
 # * fitting erfcx/t (range [0.56, 1], ratio < 2) instead of erfcx
@@ -46,18 +47,16 @@ _ERFCX_T_MID = 0.5909090909090909       # (2/11 + 1) / 2
 _ERFCX_T_HALF = 0.40909090909090906     # (1 - 2/11) / 2
 _ERFCX_CHEB = (
     6.25294136305943327e-01,
-    3.27537655059554789e-01,
-    4.66710137417082824e-02,
-    1.14709872925741773e-03,
-    -6.32133426496332826e-04,
-    -3.11799187734932201e-05,
-    1.35700105768451084e-05,
-    1.61242924904462680e-07,
-    -3.53125074203957021e-07,
-    2.54048703496707746e-08,
-    7.62659513076441469e-09,
-    -1.68038791865829202e-09,
-    -2.11133909073279523e-11)
+    3.27537655059554844e-01,
+    4.66710137417080811e-02,
+    1.14709872925738217e-03,
+    -6.32133426496396360e-04,
+    -3.11799187735415078e-05,
+    1.35700105768268142e-05,
+    1.61242924896433125e-07,
+    -3.53125074246410366e-07,
+    2.54048703836859137e-08,
+    7.62659510188308266e-09)
 
 
 # ----------------------------------------------------------------------

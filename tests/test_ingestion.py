@@ -363,3 +363,134 @@ def test_gadget_reader_skips_unread_blocks(tmp_path):
         path, read_pos=True, read_vel=False, read_id=True)
     np.testing.assert_array_equal(out2["pos"], pos)
     np.testing.assert_array_equal(out2["id"], np.arange(10) + 1000)
+
+
+def _gadget_bytes_variant(pos, vel, ids, boxsize=1050.0, redshift=1.0,
+                          float_dtype="<f4", id_dtype="<u4",
+                          header_masses=(0, 1e9, 0, 0, 0, 0),
+                          npart=None, npart_total=None, mass_block=None):
+    """Gadget-2 format-1 bytes with controllable dtypes/blocks."""
+    def block(data):
+        return struct.pack("<I", len(data)) + data + \
+            struct.pack("<I", len(data))
+
+    n = len(pos)
+    npart = npart or (0, n, 0, 0, 0, 0)
+    npart_total = npart_total or npart
+    header = struct.pack("<6I", *npart)
+    header += struct.pack("<6d", *header_masses)
+    header += struct.pack("<dd", 1.0 / (1 + redshift), redshift)
+    header += struct.pack("<ii", 0, 0)
+    header += struct.pack("<6I", *npart_total)
+    header += struct.pack("<ii", 0, 1)
+    header += struct.pack("<dddd", boxsize, 0.3, 0.7, 0.7)
+    header = header.ljust(256, b"\0")
+    raw = (block(header) +
+           block(np.asarray(pos, float_dtype).tobytes()) +
+           block(np.asarray(vel, float_dtype).tobytes()) +
+           block(np.asarray(ids, id_dtype).tobytes()))
+    if mass_block is not None:
+        raw += block(np.asarray(mass_block, float_dtype).tobytes())
+    return raw
+
+
+def test_abacus_raw_dir_unified_semantics():
+    # --raw_dir is the SIMULATION ROOT for halos and particles alike;
+    # the z-directory is derived internally (VERDICT r2 weak #7).
+    import parse_snapshot
+    from pathlib import Path
+
+    assert parse_snapshot.abacus_halo_dir("/sims/base_c000", 0.5) == \
+        Path("/sims/base_c000/halos/z0.500")
+    assert parse_snapshot.abacus_halo_dir("/sims/base_c000/halos/z0.500") \
+        == Path("/sims/base_c000/halos/z0.500")
+
+
+def test_gadget_reader_float64_blocks(tmp_path):
+    # The reference reader auto-detects f8 position/velocity blocks and
+    # u8 ids from the record size (scripts/parse_snapshot.py:112-117);
+    # values must come back byte-exactly.
+    import parse_snapshot
+
+    rng = np.random.default_rng(8)
+    pos = rng.uniform(0, 1050, (12, 3))
+    vel = rng.normal(0, 500, (12, 3))
+    ids = np.arange(12, dtype="<u8") + 2**33
+    path = tmp_path / "snap_f8"
+    path.write_bytes(_gadget_bytes_variant(
+        pos, vel, ids, float_dtype="<f8", id_dtype="<u8"))
+    out = parse_snapshot.read_gadget_snapshot(
+        path, read_pos=True, read_vel=True, read_id=True)
+    np.testing.assert_array_equal(out["pos"], pos)
+    np.testing.assert_array_equal(out["vel"], vel)
+    np.testing.assert_array_equal(out["id"], ids)
+
+    # A corrupt record size (neither f4 nor f8) must raise.
+    bad = bytearray(_gadget_bytes_variant(pos, vel, ids))
+    size = struct.unpack("<I", bad[256 + 8:256 + 12])[0]
+    struct.pack_into("<I", bad, 256 + 8, size - 4)
+    badpath = tmp_path / "snap_bad"
+    badpath.write_bytes(bytes(bad))
+    with pytest.raises((ValueError, IOError)):
+        parse_snapshot.read_gadget_snapshot(badpath, read_pos=True)
+
+
+def test_gadget_reader_mass_block(tmp_path):
+    # Mixed mass sources: type 0 carries a per-particle MASS block, type
+    # 1 a constant header mass (reference: scripts/parse_snapshot.py:
+    # 100-109).  read_mass must interleave them in type order.
+    import parse_snapshot
+
+    rng = np.random.default_rng(9)
+    n0, n1 = 5, 7
+    pos = rng.uniform(0, 1050, (n0 + n1, 3)).astype("<f4")
+    vel = np.zeros_like(pos)
+    ids = np.arange(n0 + n1, dtype="<u4")
+    block_mass = rng.uniform(1e8, 1e9, n0).astype("<f4")
+    path = tmp_path / "snap_mass"
+    path.write_bytes(_gadget_bytes_variant(
+        pos, vel, ids, header_masses=(0.0, 2e9, 0, 0, 0, 0),
+        npart=(n0, n1, 0, 0, 0, 0), mass_block=block_mass))
+    out = parse_snapshot.read_gadget_snapshot(
+        path, read_pos=True, read_vel=False, read_id=False,
+        read_mass=True)
+    want = np.concatenate([block_mass.astype(np.float64),
+                           np.full(n1, 2e9)])
+    np.testing.assert_array_equal(out["mass"], want)
+
+    # All-constant masses: no block in the file, header values broadcast.
+    path2 = tmp_path / "snap_nomass"
+    path2.write_bytes(_gadget_bytes_variant(
+        pos, vel, ids, header_masses=(3e9, 2e9, 0, 0, 0, 0),
+        npart=(n0, n1, 0, 0, 0, 0)))
+    out2 = parse_snapshot.read_gadget_snapshot(
+        path2, read_pos=False, read_vel=False, read_id=False,
+        read_mass=True)
+    np.testing.assert_array_equal(
+        out2["mass"], np.concatenate([np.full(n0, 3e9), np.full(n1, 2e9)]))
+
+
+def test_gadget_reader_lgadget(tmp_path):
+    # L-Gadget layout: all particles type 1, npart_total[2] carries the
+    # high word of the total count, no mass block follows the ids
+    # (reference: scripts/parse_snapshot.py:75-78).
+    import parse_snapshot
+
+    rng = np.random.default_rng(10)
+    n = 9
+    pos = rng.uniform(0, 1050, (n, 3)).astype("<f4")
+    vel = rng.normal(0, 100, (n, 3)).astype("<f4")
+    ids = np.arange(n, dtype="<u8")
+    path = tmp_path / "snap_lg"
+    path.write_bytes(_gadget_bytes_variant(
+        pos, vel, ids, id_dtype="<u8",
+        header_masses=(0, 0, 0, 0, 0, 0),       # lgadget: mass in header 0
+        npart=(0, n, 0, 0, 0, 0),
+        npart_total=(0, n, 3, 0, 0, 0)))        # high word = 3
+    out = parse_snapshot.read_gadget_snapshot(
+        path, read_pos=True, read_vel=True, read_id=True, lgadget=True)
+    np.testing.assert_array_equal(out["pos"], pos)
+    np.testing.assert_array_equal(out["vel"], vel)
+    np.testing.assert_array_equal(out["id"], ids)
+    assert out["header"]["npart_total_highword"] == 3
+    assert out["header"]["npart_total"][2] == 0

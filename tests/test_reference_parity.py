@@ -55,3 +55,131 @@ def test_mean_occupation_matches_reference_runtime(fixtures):
     occ_ref = theirs.mean_occupation(model_ref)
     occ = ours.mean_occupation(model, check_consistency=False)
     np.testing.assert_allclose(occ, occ_ref, rtol=1e-6)
+
+
+def _paired_models(threshold, redshift, **extra):
+    from halotools.empirical_models import PrebuiltHodModelFactory
+
+    model_ref = PrebuiltHodModelFactory("zheng07", threshold=threshold,
+                                        redshift=redshift)
+    model = tt.Zheng07Model(threshold=threshold, redshift=redshift)
+    for key, value in extra.items():
+        model_ref.param_dict[key] = value
+        model.param_dict[key] = value
+    return model, model_ref
+
+
+def test_separate_gal_type_matches_reference_runtime(fixtures):
+    # BASELINE config #2: cen/sat/cross decomposition + ngal.
+    ours, theirs = fixtures
+    model, model_ref = _paired_models(-18, ours.attrs["redshift"])
+    ngal_ref, xi_ref = theirs.predict(model_ref, separate_gal_type=True)
+    ngal, xi = ours.predict(model, separate_gal_type=True,
+                            check_consistency=False)
+    assert set(xi) == set(xi_ref)
+    for key in ngal_ref:
+        assert np.isclose(ngal[key], ngal_ref[key], rtol=1e-6)
+    for key in xi_ref:
+        np.testing.assert_allclose(xi[key], xi_ref[key], rtol=1e-6)
+
+
+def test_xi_ell_tabulation_matches_reference_runtime():
+    # BASELINE config #3 (multipoles): the reference runtime must be able
+    # to read a tabulation PRODUCED BY THIS REPO's pipeline and predict
+    # identically — format and semantics, not just values.
+    path = "tests/data/examples/synthetic_xi_ell.hdf5"
+    ours = tt.TabCorr.read(path)
+    theirs = tabcorr_ref.TabCorr.read(path)
+    model, model_ref = _paired_models(-18, ours.attrs["redshift"],
+                                      logM1=12.6)
+    ngal_ref, xi_ref = theirs.predict(model_ref)
+    ngal, xi = ours.predict(model, check_consistency=False)
+    assert np.isclose(ngal, ngal_ref, rtol=1e-6)
+    np.testing.assert_allclose(xi, xi_ref, rtol=1e-6,
+                               atol=1e-6 * np.max(np.abs(xi_ref)))
+
+
+def test_interpolator_matches_reference_runtime():
+    # BASELINE config #4: the database Interpolator path end-to-end.
+    import tabcorr as ref_pkg
+
+    interp_ref = ref_pkg.database.read("AbacusSummit", 0.5, "ds",
+                                      tab_config="efficient", i_cosmo=0)
+    interp = tt.database.read("AbacusSummit", 0.5, "ds",
+                              tab_config="efficient", i_cosmo=0)
+    from halotools.empirical_models import PrebuiltHodModelFactory
+    model_ref = PrebuiltHodModelFactory("zheng07", threshold=-21,
+                                        redshift=0.5)
+    model = tt.Zheng07Model(threshold=-21, redshift=0.5,
+                            prim_haloprop_key="halo_m258m")
+    for m in (model_ref, model):
+        m.param_dict["log_eta"] = 0.07
+        m.param_dict["alpha_s"] = 1.0
+        m.param_dict["alpha_c"] = 0.0
+    model_ref.prim_haloprop_key = "halo_m258m"
+    ngal_ref, xi_ref = interp_ref.predict(model_ref)
+    ngal, xi = interp.predict(model, check_consistency=False)
+    assert np.isclose(ngal, ngal_ref, rtol=1e-6)
+    np.testing.assert_allclose(xi, xi_ref, rtol=1e-6)
+
+    ngal_ref, xi_ref = interp_ref.predict(model_ref,
+                                          separate_gal_type=True)
+    ngal, xi = interp.predict(model, separate_gal_type=True,
+                              check_consistency=False)
+    for key in xi_ref:
+        np.testing.assert_allclose(xi[key], xi_ref[key], rtol=1e-6)
+
+
+def test_logposterior_matches_reference_runtime(fixtures):
+    # BASELINE config #5: the MCMC likelihood reduces to predict parity —
+    # the Gaussian chi^2 against identical data/covariance must agree at
+    # several parameter points (so an entire chain agrees step for step
+    # given the same proposals).
+    ours, theirs = fixtures
+    model, model_ref = _paired_models(-18, ours.attrs["redshift"])
+    _, data = ours.predict(model, check_consistency=False)
+    inv_cov = np.diag(1.0 / (0.05 * np.abs(data.ravel()) + 1e-3) ** 2)
+
+    for logM1, logMmin in ((12.2, 11.3), (12.5, 11.5), (12.9, 11.2)):
+        for m in (model, model_ref):
+            m.param_dict["logM1"] = logM1
+            m.param_dict["logMmin"] = logMmin
+        _, xi_ref = theirs.predict(model_ref)
+        _, xi = ours.predict(model, check_consistency=False)
+        r_ref = xi_ref.ravel() - data.ravel()
+        r = xi.ravel() - data.ravel()
+        chi2_ref = r_ref @ inv_cov @ r_ref
+        chi2 = r @ inv_cov @ r
+        assert np.isclose(chi2, chi2_ref, rtol=1e-5, atol=1e-8)
+
+
+def test_delta_sigma_estimator_convention_vs_halotools():
+    # Settles the ds estimator convention (VERDICT r2 #3) the moment
+    # halotools is importable: compute mean_delta_sigma on one small
+    # mock with halotools and with BOTH of this package's estimators.
+    # The assertion message records the measured deltas either way.
+    from halotools.mock_observables import mean_delta_sigma as ht_ds
+
+    rng = np.random.default_rng(11)
+    L = 120.0
+    gals = rng.uniform(0, L, (30, 3))
+    rows = np.repeat(np.arange(30), 2000)
+    r = rng.power(0.5, len(rows)) * 8.0
+    phi = rng.uniform(0, 2 * np.pi, len(rows))
+    ptcls = (gals[rows] + np.column_stack(
+        [r * np.cos(phi), r * np.sin(phi),
+         rng.uniform(-6, 6, len(rows))])) % L
+    rp_bins = np.logspace(-0.3, 0.8, 8)
+
+    want = ht_ds(gals, ptcls, 1e9, rp_bins, period=L)
+    got_am = tt.corrfunc.mean_delta_sigma(gals, ptcls, 1e9, rp_bins,
+                                          period=L,
+                                          estimator="annulus_mean")
+    got_mid = tt.corrfunc.mean_delta_sigma(gals, ptcls, 1e9, rp_bins,
+                                           period=L,
+                                           estimator="midpoint")
+    d_am = np.max(np.abs(got_am / want - 1))
+    d_mid = np.max(np.abs(got_mid / want - 1))
+    assert min(d_am, d_mid) < 1e-4, (
+        f"neither estimator matches halotools: annulus_mean delta "
+        f"{d_am:.3e}, midpoint delta {d_mid:.3e}")
