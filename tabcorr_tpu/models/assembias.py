@@ -88,6 +88,20 @@ class AssembiasZheng07Model(Zheng07Model):
                    sec_haloprop_percentile):
         base = super().occupation(params, gal_type, log_prim_haloprop,
                                   sec_haloprop_percentile)
+        return self._decorate(params, gal_type, base,
+                              sec_haloprop_percentile)
+
+    def occupation_residual(self, params, gal_type, log_prim_haloprop,
+                            log_prim_res, sec_haloprop_percentile):
+        # The decoration depends on log10(M) only through the baseline
+        # occupation, so the exact zheng07 residual absorption composes.
+        base = super().occupation_residual(params, gal_type,
+                                           log_prim_haloprop, log_prim_res,
+                                           sec_haloprop_percentile)
+        return self._decorate(params, gal_type, base,
+                              sec_haloprop_percentile)
+
+    def _decorate(self, params, gal_type, base, sec_haloprop_percentile):
         if gal_type == CENTRALS:
             strength = params["mean_occupation_centrals_assembias_param1"]
             return heaviside_assembias(

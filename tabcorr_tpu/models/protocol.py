@@ -53,6 +53,25 @@ class HodModel:
         """Mean occupation; pure function of ``params`` (jax-traceable)."""
         raise NotImplementedError
 
+    def occupation_residual(self, params, gal_type, log_prim_haloprop,
+                            log_prim_res, sec_haloprop_percentile):
+        """Occupation at the double-float node ``log_prim + log_prim_res``.
+
+        ``log_prim_res`` is the float64 residual of the float32-rounded
+        quadrature node (|res| < ulp(log_prim)/2, so ``log_prim + res``
+        would round it away).  The default recovers it to first order
+        via a traced JVP; analytic models should override with an exact
+        absorption (see models.zheng07) — it is both more accurate and
+        roughly halves the fused-kernel occupation cost by skipping the
+        tangent arithmetic.
+        """
+        import jax
+        occ, d = jax.jvp(
+            lambda l: self.occupation(params, gal_type, l,
+                                      sec_haloprop_percentile),
+            (log_prim_haloprop,), (log_prim_res,))
+        return occ + d
+
     # -- reference-compatible conveniences --------------------------------
     def _mean_occupation(self, gal_type, prim_haloprop=None,
                          sec_haloprop_percentile=None, **kwargs):

@@ -39,7 +39,7 @@ ZHENG07_THRESHOLD_PARAMS = {
 }
 
 
-def zheng07_centrals(params, log_prim_haloprop):
+def zheng07_centrals(params, log_prim_haloprop, log_prim_res=None):
     """<N_cen> as a pure function of a params dict and log10(M).
 
     Evaluated as erfc(-x)/2 rather than (1 + erf(x))/2: identical in
@@ -51,14 +51,33 @@ def zheng07_centrals(params, log_prim_haloprop):
     dividing: inside the batched Pallas kernel the division would run on
     the broadcast (batch, nodes) array, while the reciprocal runs on the
     (batch, 1) parameter column.
+
+    ``log_prim_res`` is the float64 residual of float32-rounded node
+    positions (ops.predict.TableData.log_prim_quad_lo).  Adding it to
+    ``log_prim_haloprop`` directly would round it away entirely
+    (|res| < ulp(logM)/2); adding it AFTER the ~O(1)-magnitude
+    subtraction ``logM - logMmin`` applies it at ulp(logM - logMmin)
+    resolution, recovering the float64 node position exactly where it
+    matters — one extra add instead of the generic traced-JVP
+    correction, whose tangent arithmetic roughly doubled the
+    occupation cost in the fused kernel.
     """
     inv_sigma = 1.0 / params["sigma_logM"]
-    x = (log_prim_haloprop - params["logMmin"]) * inv_sigma
-    return 0.5 * erfc(-x)
+    centered = log_prim_haloprop - params["logMmin"]
+    if log_prim_res is not None:
+        centered = centered + log_prim_res
+    return 0.5 * erfc(-centered * inv_sigma)
 
 
-def zheng07_satellites(params, log_prim_haloprop, modulate_with_cenocc=False):
-    """<N_sat> as a pure function of a params dict and log10(M)."""
+def zheng07_satellites(params, log_prim_haloprop, modulate_with_cenocc=False,
+                       log_prim_res=None):
+    """<N_sat> as a pure function of a params dict and log10(M).
+
+    ``log_prim_res``: float64 node residual, absorbed analytically —
+    d(log10(M - M0))/d(log10 M) = 1/(1 - M0/M), so the exponent picks up
+    ``res / (1 - ratio)`` (exact to second order in the ~5e-7 residual);
+    see :func:`zheng07_centrals` for why this replaces a traced JVP.
+    """
     xp = get_namespace(log_prim_haloprop)
     log_m = log_prim_haloprop
     log_m0 = params["logM0"]
@@ -90,10 +109,13 @@ def zheng07_satellites(params, log_prim_haloprop, modulate_with_cenocc=False):
     # after exp(ln10 * alpha * .): the largest single float32 error in
     # the satellite path.
     log_pow = (log_m - params["logM1"]) + log1p(-ratio) / _LN10
+    if log_prim_res is not None:
+        log_pow = log_pow + log_prim_res / (1.0 - ratio)
     nsat = exp(_LN10 * params["alpha"] * log_pow)
     nsat = xp.where(log_m > log_m0, nsat, 0.0)
     if modulate_with_cenocc:
-        nsat = nsat * zheng07_centrals(params, log_prim_haloprop)
+        nsat = nsat * zheng07_centrals(params, log_prim_haloprop,
+                                       log_prim_res=log_prim_res)
     return nsat
 
 
@@ -135,3 +157,13 @@ class Zheng07Model(HodModel):
         return zheng07_satellites(
             params, log_prim_haloprop,
             modulate_with_cenocc=self.modulate_with_cenocc)
+
+    def occupation_residual(self, params, gal_type, log_prim_haloprop,
+                            log_prim_res, sec_haloprop_percentile):
+        if gal_type == CENTRALS:
+            return zheng07_centrals(params, log_prim_haloprop,
+                                    log_prim_res=log_prim_res)
+        return zheng07_satellites(
+            params, log_prim_haloprop,
+            modulate_with_cenocc=self.modulate_with_cenocc,
+            log_prim_res=log_prim_res)

@@ -31,7 +31,8 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from ..utils import backend
-from .predict import AUTO, TableData, mean_occupation
+from .predict import (AUTO, TableData, mean_occupation,
+                      occupation_with_residual)
 
 # Default batch tile: 256 is the fastest measured on v5e at production
 # table sizes for the bundle with the accurate-transcendental occupation
@@ -465,17 +466,16 @@ def make_fused_bundle_predictor(tables, occupation_cen, occupation_sat,
                 r[:] for r in crefs[at + nf:at + nf + 10])
             at += nf + 10
 
-            # First-order node-residual correction (the quadrature nodes
-            # are float32-rounded; the residual tangent restores float64
-            # node positions to second order — see TableData docstring).
-            occ_c, d_c = jax.jvp(
-                lambda l: occupation_cen(params, l, sec_c), (logm_c,),
-                (logmres_c,))
-            occ_s, d_s = jax.jvp(
-                lambda l: occupation_sat(params, l, sec_s), (logm_s,),
-                (logmres_s,))
-            ngal = (quad_segment_sum(occ_c + d_c, w_c, sel_c) +
-                    quad_segment_sum(occ_s + d_s, w_s, sel_s))
+            # Node-residual correction (the quadrature nodes are
+            # float32-rounded; occupation_with_residual restores the
+            # float64 node positions — exactly for analytic models,
+            # first-order JVP otherwise; see TableData docstring).
+            occ_c = occupation_with_residual(
+                occupation_cen, params, logm_c, logmres_c, sec_c)
+            occ_s = occupation_with_residual(
+                occupation_sat, params, logm_s, logmres_s, sec_s)
+            ngal = (quad_segment_sum(occ_c, w_c, sel_c) +
+                    quad_segment_sum(occ_s, w_s, sel_s))
             total = jnp.sum(ngal, axis=-1)
             nb, n_xi = cfg["nb"], cfg["n_xi"]
             # One contraction per pass-count group (rows pre-permuted so

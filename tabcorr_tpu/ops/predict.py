@@ -105,6 +105,22 @@ def quadrature_grid(log_prim_min, log_prim_max, dist_index, n_gauss):
     return log_quad, weight
 
 
+def occupation_with_residual(occ_fn, params, log_prim, log_prim_res, sec):
+    """Occupation at the double-float node ``log_prim + log_prim_res``.
+
+    Uses the callable's exact-absorption form (``occ_fn.with_residual``,
+    attached by ``predictor.occupation_functions`` for models that
+    override ``HodModel.occupation_residual``) when available; otherwise
+    falls back to the generic first-order JVP correction.
+    """
+    with_res = getattr(occ_fn, "with_residual", None)
+    if with_res is not None:
+        return with_res(params, log_prim, log_prim_res, sec)
+    occ, d = jax.jvp(lambda l: occ_fn(params, l, sec),
+                     (log_prim,), (log_prim_res,))
+    return occ + d
+
+
 def mean_occupation(table: TableData, occupation_cen, occupation_sat, params):
     """Per-bin mean occupation via precomputed quadrature.
 
@@ -120,18 +136,18 @@ def mean_occupation(table: TableData, occupation_cen, occupation_sat, params):
     """
     nc = table.n_centrals
     sec = table.sec_perc[:, None]
-
-    def occ_all(logm):
-        occ_c = occupation_cen(params, logm[:nc], sec[:nc])
-        occ_s = occupation_sat(params, logm[nc:], sec[nc:])
-        return jnp.concatenate([occ_c, occ_s], axis=-2)
+    logm = table.log_prim_quad
 
     if table.log_prim_quad_lo is None:
-        occ = occ_all(table.log_prim_quad)
+        occ_c = occupation_cen(params, logm[:nc], sec[:nc])
+        occ_s = occupation_sat(params, logm[nc:], sec[nc:])
     else:
-        occ, d_occ = jax.jvp(occ_all, (table.log_prim_quad,),
-                             (table.log_prim_quad_lo,))
-        occ = occ + d_occ
+        res = table.log_prim_quad_lo
+        occ_c = occupation_with_residual(
+            occupation_cen, params, logm[:nc], res[:nc], sec[:nc])
+        occ_s = occupation_with_residual(
+            occupation_sat, params, logm[nc:], res[nc:], sec[nc:])
+    occ = jnp.concatenate([occ_c, occ_s], axis=-2)
     return jnp.sum(table.quad_weight * occ, axis=-1)
 
 

@@ -20,7 +20,7 @@ import jax.numpy as jnp
 from jax.sharding import PartitionSpec as P
 from jax import shard_map
 
-from ..ops.predict import AUTO, TableData
+from ..ops.predict import AUTO, TableData, occupation_with_residual
 from .mesh import BATCH_AXIS, TABLE_AXIS
 
 
@@ -97,18 +97,17 @@ def make_sharded_predict(mesh, table: TableData, occupation_cen,
         # a mask rather than the global [cen..., sat...] prefix.
         sec = table_shard.sec_perc[:, None]
 
-        def occ_pair(logm):
-            return (occupation_cen(params, logm, sec),
-                    occupation_sat(params, logm, sec))
-
         if table_shard.log_prim_quad_lo is None:
-            occ_c, occ_s = occ_pair(table_shard.log_prim_quad)
+            occ_c = occupation_cen(params, table_shard.log_prim_quad, sec)
+            occ_s = occupation_sat(params, table_shard.log_prim_quad, sec)
         else:
             # Node-residual correction (see ops.predict.mean_occupation).
-            (occ_c, occ_s), (d_c, d_s) = jax.jvp(
-                occ_pair, (table_shard.log_prim_quad,),
-                (table_shard.log_prim_quad_lo,))
-            occ_c, occ_s = occ_c + d_c, occ_s + d_s
+            occ_c = occupation_with_residual(
+                occupation_cen, params, table_shard.log_prim_quad,
+                table_shard.log_prim_quad_lo, sec)
+            occ_s = occupation_with_residual(
+                occupation_sat, params, table_shard.log_prim_quad,
+                table_shard.log_prim_quad_lo, sec)
         n_local = table_shard.log_prim_quad.shape[0]
         shard_index = jax.lax.axis_index(TABLE_AXIS)
         global_bin = shard_index * n_local + jnp.arange(n_local)

@@ -30,13 +30,25 @@ from .table import TabCorr
 
 
 def occupation_functions(model):
-    """Extract the pure (params, logM, sec_percentile) occupation pair."""
+    """Extract the pure (params, logM, sec_percentile) occupation pair.
+
+    Each callable carries a ``with_residual`` attribute bound to the
+    model's ``occupation_residual`` (exact node-residual absorption for
+    analytic models, generic JVP fallback otherwise); the float32 hot
+    paths pick it up via ``ops.predict.occupation_with_residual``.
+    """
     def occ_cen(params, log_prim, sec):
         return model.occupation(params, CENTRALS, log_prim, sec)
 
     def occ_sat(params, log_prim, sec):
         return model.occupation(params, SATELLITES, log_prim, sec)
 
+    occ_cen.with_residual = (
+        lambda params, log_prim, res, sec:
+        model.occupation_residual(params, CENTRALS, log_prim, res, sec))
+    occ_sat.with_residual = (
+        lambda params, log_prim, res, sec:
+        model.occupation_residual(params, SATELLITES, log_prim, res, sec))
     return occ_cen, occ_sat
 
 

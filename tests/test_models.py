@@ -225,3 +225,34 @@ def test_zheng07_centrals_tail_is_relative_accurate():
     want = 0.5 * erfc(5 / np.sqrt(1))  # x = -5 sigma
     np.testing.assert_allclose(got, 0.5 * erfc(5.0), rtol=1e-10)
     assert got[0] > 0
+
+
+def test_occupation_residual_matches_jvp_fallback():
+    # The analytic residual absorption (zheng07 / assembias overrides)
+    # must agree with the generic first-order JVP fallback to second
+    # order in the ~ulp/2 node residual, for both galaxy types.
+    import jax
+    import jax.numpy as jnp
+
+    from tabcorr_tpu.models.assembias import AssembiasZheng07Model
+    from tabcorr_tpu.models.protocol import HodModel
+
+    model = AssembiasZheng07Model(threshold=-20)
+    model.param_dict["mean_occupation_centrals_assembias_param1"] = 0.4
+    model.param_dict["mean_occupation_satellites_assembias_param1"] = -0.3
+    params = {k: jnp.float64(v) for k, v in model.param_dict.items()}
+    logm = jnp.linspace(10.5, 15.2, 64, dtype=jnp.float64)
+    res = jnp.asarray(
+        np.random.default_rng(3).uniform(-5e-7, 5e-7, 64))
+    sec = jnp.full(64, 0.7, dtype=jnp.float64)
+
+    for gal_type in model.gal_types:
+        exact = model.occupation_residual(params, gal_type, logm, res, sec)
+        generic = HodModel.occupation_residual(
+            model, params, gal_type, logm, res, sec)
+        base = model.occupation(params, gal_type, logm, sec)
+        # Difference bounded by the second-order term ~ occ'' res^2.
+        np.testing.assert_allclose(np.asarray(exact), np.asarray(generic),
+                                   atol=1e-10, rtol=1e-6)
+        # And the residual actually moves the occupation (not a no-op).
+        assert np.max(np.abs(np.asarray(exact - base))) > 0
