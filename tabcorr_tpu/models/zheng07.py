@@ -18,7 +18,7 @@ TPU fast path stays accurate to ~1e-7 relative even for M ~ 1e15.
 
 from __future__ import annotations
 
-from ..utils.backend import erfc, exp, exp10, get_namespace, log1p
+from ..utils.backend import erfc, exp, exp10, get_namespace, log1p_abs
 from .protocol import CENTRALS, HodModel
 
 _LN10 = 2.302585092994046
@@ -108,7 +108,9 @@ def zheng07_satellites(params, log_prim_haloprop, modulate_with_cenocc=False,
     # at ulp(15)/2 ~ 4.8e-7 absolute, a ~1e-6 relative error on Nsat
     # after exp(ln10 * alpha * .): the largest single float32 error in
     # the satellite path.
-    log_pow = (log_m - params["logM1"]) + log1p(-ratio) / _LN10
+    # log1p_abs: the log1p term is added to the O(1) difference below,
+    # so only its ABSOLUTE error matters (~6e-8, single-branch form).
+    log_pow = (log_m - params["logM1"]) + log1p_abs(-ratio) / _LN10
     if log_prim_res is not None:
         log_pow = log_pow + log_prim_res / (1.0 - ratio)
     nsat = exp(_LN10 * params["alpha"] * log_pow)

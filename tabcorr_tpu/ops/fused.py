@@ -34,10 +34,11 @@ from ..utils import backend
 from .predict import (AUTO, TableData, mean_occupation,
                       occupation_with_residual)
 
-# Default batch tile: 256 is the fastest measured on v5e at production
-# table sizes for the bundle with the accurate-transcendental occupation
-# path (the tile sweep 128/256/384/512/1024/2048 peaks there).
-DEFAULT_TILE = 256
+# Default batch tile: 512 is the fastest measured on v5e at production
+# table sizes for the bundle with the exact-residual occupation path
+# (tile sweep 128/192/256/384/512/768; 768 overflows VMEM headroom and
+# craters).  256 was optimal under the older, more VPU-bound kernel.
+DEFAULT_TILE = 512
 
 
 def make_fused_contraction(table: TableData, batch_tile=DEFAULT_TILE,

