@@ -12,22 +12,66 @@ import numpy as np
 import pytest
 
 import tabcorr_tpu as tt
-from tabcorr_tpu.mock import populate_mock
+from tabcorr_tpu.mock import apply_redshift_space_distortions, populate_mock
 from tabcorr_tpu.ops import paircount
 
 from test_tabulate import synthetic_halocat
 
 
+def clustered_halocat(n_halos=12000, lbox=250.0, seed=5,
+                      log_mass_range=(12.0, 14.0)):
+    """Synthetic catalog WITH spatial clustering.
+
+    Halos scatter around cluster centers whose per-cluster extent spans
+    1-8 Mpc (log-uniform), so the two-point functions carry genuine
+    two-halo signal across the whole tested separation range — a
+    Poisson-position catalog has wp ~ 0 beyond the dummy-mock one-halo
+    term, which makes relative golden tolerances meaningless there (the
+    reference's golden test runs on a real, clustered snapshot).
+    """
+    rng = np.random.default_rng(seed)
+    mass = 10.0 ** rng.uniform(*log_mass_range, n_halos)
+    rvir = 0.3 * (mass / 1e13) ** (1.0 / 3.0)
+    n_clusters = n_halos // 8
+    centers = rng.uniform(0, lbox, (n_clusters, 3))
+    sigma = 10.0 ** rng.uniform(0.0, 0.9, n_clusters)
+    which = rng.integers(0, n_clusters, n_halos)
+    pos = (centers[which] +
+           sigma[which, None] * rng.normal(size=(n_halos, 3))) % lbox
+    table = {
+        "halo_x": pos[:, 0], "halo_y": pos[:, 1], "halo_z": pos[:, 2],
+        "halo_vx": 300 * rng.normal(size=n_halos),
+        "halo_vy": 300 * rng.normal(size=n_halos),
+        "halo_vz": 300 * rng.normal(size=n_halos),
+        "halo_mvir": mass, "halo_rvir": rvir,
+        "halo_nfw_conc": np.clip(
+            8 * (mass / 1e13) ** -0.1 *
+            np.exp(0.3 * rng.normal(size=n_halos)), 2.0, 25.0),
+        "halo_upid": np.full(n_halos, -1, dtype=np.int64),
+    }
+    return tt.HaloCatalog(table, Lbox=lbox, particle_mass=1e9,
+                          redshift=0.0,
+                          cosmology=tt.cosmology.FlatFLRW(
+                              H0=70, Om0=0.3, Tcmb0=0, Neff=0),
+                          simname="synthetic")
+
+
 @pytest.mark.slow
 def test_wp_prediction_matches_direct_mock():
-    halocat = synthetic_halocat(n_halos=6000, lbox=250.0, seed=5,
-                                log_mass_range=(12.0, 14.0))
-    rp_bins = np.logspace(-0.3, 1.1, 7)
+    # Golden standard at the reference's level (tests/test_database.py:88-91
+    # asserts rtol 1e-2 on 3 mock realizations of the real snapshot).
+    # Measured on this clustered catalog with 16 realizations: max
+    # prediction deviation 0.44% (0.61% with a different tabulation
+    # seed) against mock SEM 0.3-0.7% per bin and tabulation seed-to-seed
+    # spread <= 0.5% — so rtol 3e-2 carries ~5x headroom even at the
+    # 8-realization noise level used here.
+    halocat = clustered_halocat()
+    rp_bins = np.logspace(-0.5, 0.75, 7)   # 0.32 - 5.6 Mpc: signal-rich
     pi_max = 20.0
 
     halotab = tt.TabCorr.tabulate(
         halocat, tt.corrfunc.wp, rp_bins, pi_max, mode="auto",
-        prim_haloprop_bins=12, Num_ptcl_requirement=300,
+        prim_haloprop_bins=14, Num_ptcl_requirement=300,
         sats_per_prim_haloprop=1e-12, project_xyz=True, seed=42)
 
     model = tt.Zheng07Model(threshold=-20, redshift=0.0, logMmin=12.6,
@@ -38,14 +82,13 @@ def test_wp_prediction_matches_direct_mock():
     rng = np.random.default_rng(99)
     wp_direct = []
     n_direct = []
-    for _ in range(5):
+    for _ in range(8):
         mock = populate_mock(halocat, model, rng,
                              num_ptcl_requirement=300)
         n_direct.append(len(mock["pos"]) / halocat.Lbox.prod())
         for xyz in ["xyz", "yzx", "zxy"]:
             axes = ["xyz".index(c) for c in xyz]
             pos = mock["pos"][:, axes].copy()
-            from tabcorr_tpu.mock import apply_redshift_space_distortions
             pos[:, 2] = apply_redshift_space_distortions(
                 pos[:, 2], mock["vel"][:, axes[2]], halocat.redshift,
                 halocat.cosmology, halocat.Lbox[axes[2]])
@@ -55,8 +98,8 @@ def test_wp_prediction_matches_direct_mock():
     wp_mean = np.mean(wp_direct, axis=0)
     ngal_mean = np.mean(n_direct)
 
-    assert np.isclose(ngal_pred, ngal_mean, rtol=0.05)
-    np.testing.assert_allclose(wp_pred, wp_mean, rtol=0.1, atol=0.5)
+    assert np.isclose(ngal_pred, ngal_mean, rtol=0.01)
+    np.testing.assert_allclose(wp_pred, wp_mean, rtol=0.03)
 
 
 @pytest.mark.slow
@@ -119,17 +162,18 @@ def test_xi_multipole_prediction_matches_direct_mock():
     # Validates the redshift-space (s, mu) tabulation + multipole
     # conversion chain (BASELINE config #3): the tabulated xi_0 prediction
     # must match the monopole measured directly from model mocks.
-    from tabcorr_tpu.mock import apply_redshift_space_distortions
+    # Measured on the clustered catalog with 16 realizations: max
+    # deviation 1.2% (innermost bin; mock SEM 0.6%), all other bins
+    # <= 0.54% — rtol 3e-2 carries >= 2.5x headroom.
     from tabcorr_tpu.ops.multipole import tabcorr_s_mu_to_multipole, tpcf_multipole
 
-    halocat = synthetic_halocat(n_halos=6000, lbox=250.0, seed=12,
-                                log_mass_range=(12.0, 14.0))
-    s_bins = np.logspace(-0.2, 1.2, 6)
+    halocat = clustered_halocat()
+    s_bins = np.logspace(-0.4, 0.85, 7)    # 0.4 - 7.1 Mpc: signal-rich
     mu_bins = np.linspace(0, 1, 11)
 
     halotab_smu = tt.TabCorr.tabulate(
         halocat, tt.corrfunc.s_mu_tpcf, s_bins, mu_bins, mode="auto",
-        prim_haloprop_bins=12, Num_ptcl_requirement=300,
+        prim_haloprop_bins=14, Num_ptcl_requirement=300,
         sats_per_prim_haloprop=1e-12, project_xyz=True, seed=21)
     halotab_xi0 = tabcorr_s_mu_to_multipole(halotab_smu, mu_bins, 0)
 
@@ -140,7 +184,7 @@ def test_xi_multipole_prediction_matches_direct_mock():
 
     rng = np.random.default_rng(77)
     xi0_direct = []
-    for _ in range(4):
+    for _ in range(8):
         mock = populate_mock(halocat, model, rng,
                              num_ptcl_requirement=300)
         for xyz in ["xyz", "yzx", "zxy"]:
@@ -154,4 +198,4 @@ def test_xi_multipole_prediction_matches_direct_mock():
             xi0_direct.append(tpcf_multipole(xi_smu, mu_bins, 0))
 
     xi0_mean = np.mean(xi0_direct, axis=0)
-    np.testing.assert_allclose(xi0_pred, xi0_mean, rtol=0.1, atol=0.3)
+    np.testing.assert_allclose(xi0_pred, xi0_mean, rtol=0.03)

@@ -183,3 +183,44 @@ def test_delta_sigma_estimator_convention_vs_halotools():
     assert min(d_am, d_mid) < 1e-4, (
         f"neither estimator matches halotools: annulus_mean delta "
         f"{d_am:.3e}, midpoint delta {d_mid:.3e}")
+
+
+def test_assembias_decoration_matches_halotools():
+    # BASELINE config #3 (decorated HOD): the Heaviside assembly-bias
+    # decoration must reproduce halotools' AssembiasZheng07Cens/Sats
+    # mean occupation at the tabulation's percentile midpoints
+    # (reference consumes decorated models through mean_occupation_*,
+    # tabcorr/tabcorr.py:556-563).
+    from halotools.empirical_models import (AssembiasZheng07Cens,
+                                            AssembiasZheng07Sats)
+
+    redshift = 0.3
+    cens_ref = AssembiasZheng07Cens(threshold=-20, redshift=redshift,
+                                    sec_haloprop_key="halo_nfw_conc")
+    sats_ref = AssembiasZheng07Sats(threshold=-20, redshift=redshift,
+                                    sec_haloprop_key="halo_nfw_conc")
+    model = tt.AssembiasZheng07Model(threshold=-20, redshift=redshift)
+    for strength in (-0.7, 0.0, 0.5, 1.0):
+        cens_ref.param_dict[
+            "mean_occupation_centrals_assembias_param1"] = strength
+        sats_ref.param_dict[
+            "mean_occupation_satellites_assembias_param1"] = strength
+        model.param_dict[
+            "mean_occupation_centrals_assembias_param1"] = strength
+        model.param_dict[
+            "mean_occupation_satellites_assembias_param1"] = strength
+        prim = np.logspace(11, 15, 41)
+        for sec in (0.25, 0.75):
+            sec_arr = np.full_like(prim, sec)
+            want_c = cens_ref.mean_occupation(
+                prim_haloprop=prim, sec_haloprop_percentile=sec_arr)
+            want_s = sats_ref.mean_occupation(
+                prim_haloprop=prim, sec_haloprop_percentile=sec_arr)
+            got_c = model.mean_occupation_centrals(
+                prim_haloprop=prim, sec_haloprop_percentile=sec_arr)
+            got_s = model.mean_occupation_satellites(
+                prim_haloprop=prim, sec_haloprop_percentile=sec_arr)
+            np.testing.assert_allclose(got_c, want_c, rtol=1e-6,
+                                       atol=1e-12)
+            np.testing.assert_allclose(got_s, want_s, rtol=1e-6,
+                                       atol=1e-12)
