@@ -420,7 +420,16 @@ def make_fused_bundle_predictor(tables, occupation_cen, occupation_sat,
     """
     if interpret == "auto":
         # Mosaic compiles on TPU only; CPU (tests) uses interpret mode.
-        interpret = jax.default_backend() != "tpu"
+        # Resolve from the MESH's devices when sharded: a session can hold
+        # a real TPU as the default backend while dry-running multi-chip
+        # sharding on virtual CPU devices (the driver's
+        # xla_force_host_platform_device_count validation does exactly
+        # that), and the kernel runs where the mesh lives.
+        if mesh is not None:
+            platform = next(iter(mesh.devices.flat)).platform
+        else:
+            platform = jax.default_backend()
+        interpret = platform != "tpu"
     if accuracy is None:
         accuracy = ["elementwise"] * len(tables)
     if len(accuracy) != len(tables):

@@ -353,7 +353,8 @@ def make_predictor(obj, model, n_gauss=10, dtype=jnp.float32,
 
 def make_multi_predictor(objs, model, n_gauss=10, dtype=jnp.float32,
                          jit=True, engine="auto", accuracy=None,
-                         batch_tile=None, mesh=None, batch_axis="dp"):
+                         batch_tile=None, mesh=None, batch_axis="dp",
+                         interpret="auto"):
     """Joint predictor over several tabulations (e.g. wp + xi_0/2/4 + ds).
 
     Returns ``f(params dict of (B,)) -> list of (ngal, xi)`` evaluating all
@@ -367,10 +368,12 @@ def make_multi_predictor(objs, model, n_gauss=10, dtype=jnp.float32,
     path; 'xla' composes per-table predictors.  ``accuracy`` optionally
     gives one error contract per table ('elementwise' or 'scaled', see
     the bundle docstring); it applies to the bundle engine only.
-    ``batch_tile`` sets the bundle kernel's batch tile (default 256,
-    fastest measured on v5e for >=10^5-element batches with the
-    accurate-transcendental occupation path; pass the half-ensemble
-    size for small MCMC ensembles — batches pad up to a tile multiple).
+    ``batch_tile`` sets the bundle kernel's batch tile (default
+    ``ops.fused.DEFAULT_TILE``, fastest measured on v5e for >=10^5-
+    element batches; pass the half-ensemble size for small MCMC
+    ensembles — batches pad up to a tile multiple).  ``interpret``
+    forwards to the bundle kernel ('auto' resolves from the mesh's
+    device platform, or the default backend when unsharded).
 
     ``mesh`` batch-shards the predictor over a device mesh along
     ``batch_axis`` (tables replicated, zero hot-loop communication; see
@@ -391,11 +394,13 @@ def make_multi_predictor(objs, model, n_gauss=10, dtype=jnp.float32,
         from .ops.fused import make_fused_bundle_predictor
         tables = [obj.table_data(n_gauss=n_gauss, dtype=dtype)
                   for obj in objs]
+        from .ops.fused import DEFAULT_TILE
         return make_fused_bundle_predictor(
             tables, *occupation_functions(model),
             tuple(model.param_dict.keys()),
-            batch_tile=256 if batch_tile is None else batch_tile,
-            accuracy=accuracy, mesh=mesh, batch_axis=batch_axis)
+            batch_tile=DEFAULT_TILE if batch_tile is None else batch_tile,
+            accuracy=accuracy, mesh=mesh, batch_axis=batch_axis,
+            interpret=interpret)
 
     fns = [make_predictor(obj, model, n_gauss=n_gauss, dtype=dtype,
                           jit=False) for obj in objs]
