@@ -104,8 +104,7 @@ def make_bundle_predict_all(wp_table, xi_table, occ_c, occ_s, param_names,
     from tabcorr_tpu.ops.fused import make_fused_bundle_predictor
 
     f = make_fused_bundle_predictor([wp_table, xi_table], occ_c, occ_s,
-                                    param_names, batch_tile=256,
-                                    accuracy=accuracy)
+                                    param_names, accuracy=accuracy)
 
     @jax.jit
     def predict_all(params):
@@ -189,6 +188,47 @@ def main():
         jax.block_until_ready(out_e)
         elementwise_rate = BATCH * N_ITER / (time.perf_counter() - t0)
 
+    # Full MCMC inner loop (BASELINE config #5, "MCMC chain steps/sec"):
+    # stretch-move ensemble with the batched Gaussian wp+xi_ell posterior
+    # through the same predictor; one walker-step = one full posterior
+    # evaluation + move, so this prices the end-to-end chain, not just
+    # predict.
+    ensemble_rate = None
+    if kernel_path == "pallas_bundle":
+        from tabcorr_tpu.mcmc import (ensemble_step,
+                                      make_gaussian_logpost_batched)
+        from tabcorr_tpu.predictor import make_multi_predictor
+        n_walkers = 65536
+        names = tuple(model.param_dict.keys())
+        f_bundle = make_multi_predictor(
+            [wp_tab, xi_tab], model, engine="bundle",
+            accuracy=("elementwise", "scaled"))
+        data_wp = np.asarray(out[1][0], np.float64).ravel()
+        data_xi = np.asarray(out[2][0], np.float64).ravel()
+        log_prob = make_gaussian_logpost_batched(
+            f_bundle, names, model.param_dict,
+            [data_wp, data_xi],
+            [np.diag(1.0 / (0.05 * np.abs(data_wp) + 1e-3) ** 2),
+             np.diag(1.0 / (0.05 * np.abs(data_xi) + 1e-3) ** 2)])
+        walkers = jnp.asarray(
+            np.array([model.param_dict[k] for k in names])[None, :] +
+            0.02 * rng.normal(size=(n_walkers, len(names))),
+            dtype=jnp.float32)
+
+        @jax.jit
+        def step(key, w, lp):
+            return ensemble_step(key, w, lp, log_prob, vectorized=True)
+
+        lp = log_prob(walkers)
+        w, lp, _ = step(jax.random.key(0), walkers, lp)
+        jax.block_until_ready((w, lp))
+        n_steps = 50
+        t0 = time.perf_counter()
+        for i in range(n_steps):
+            w, lp, _ = step(jax.random.key(i + 1), w, lp)
+        jax.block_until_ready((w, lp))
+        ensemble_rate = n_walkers * n_steps / (time.perf_counter() - t0)
+
     # Accuracy vs the float64 host parity path, max over N_PROBE random
     # parameter points.  Two contracts per statistic (see module
     # docstring): kernel error at the float32 parameter values actually
@@ -227,6 +267,8 @@ def main():
         **({"fallback_reason": fallback_reason} if fallback_reason else {}),
         **({"elementwise_contract_rate": float(elementwise_rate)}
            if elementwise_rate else {}),
+        **({"ensemble_walker_steps_per_sec": float(ensemble_rate)}
+           if ensemble_rate else {}),
         "n_accuracy_probes": N_PROBE,
         "wp_f32_max_rel_err_vs_f64": err["wp_kernel"],
         "xi_ell_f32_scaled_err_vs_f64": err["xi_kernel"],
