@@ -148,6 +148,12 @@ def test_full_ds_pipeline_and_density_crosscheck(tmp_path, monkeypatch):
     made_path = (tt.database.directory("AemulusAlpha", 0.25, i_cosmo=0) /
                  "ds_efficient.hdf5")
 
+    # Provenance attrs this package deliberately ADDS beyond the
+    # reference schema (readable by the reference runtime, which ignores
+    # unknown attrs): the delta-sigma estimator choice recorded at
+    # tabulation time (VERDICT r2 #3).
+    PROVENANCE_ATTRS = {"delta_sigma_estimator"}
+
     def structure(path):
         items = {}
         with h5py.File(path, "r") as fstream:
@@ -155,7 +161,8 @@ def test_full_ds_pipeline_and_density_crosscheck(tmp_path, monkeypatch):
                 if name.split("/")[-1].startswith("arg_"):
                     return  # presence depends on max_args_size vs data
                 items[name] = (type(obj).__name__,
-                               tuple(sorted(obj.attrs)))
+                               tuple(sorted(set(obj.attrs) -
+                                            PROVENANCE_ATTRS)))
             fstream.visititems(visit)
             gal_cols = fstream["tabcorr_0/gal_type"].dtype.names
             params = fstream["param_dict_table"].dtype.names
