@@ -199,7 +199,7 @@ def _interpolator_fused_predict_fn(interp, model, n_gauss, dtype,
     whole grid evaluates in ONE Pallas contraction per batch; the grid
     spline then reduces the per-node outputs.
     """
-    from .ops.fused import make_fused_contraction
+    from .ops.fused import DEFAULT_TILE, make_fused_contraction
     from .ops.predict import TableData
 
     if len(interp.unique_gal_type_index) != 1:
@@ -227,7 +227,6 @@ def _interpolator_fused_predict_fn(interp, model, n_gauss, dtype,
     # One tile value shared by the kernel build and the batch padding
     # below — a mismatch makes the pallas grid empty (batch // tile = 0)
     # and returns uninitialized output.
-    from .ops.fused import DEFAULT_TILE
     batch_tile = DEFAULT_TILE
     contract = make_fused_contraction(stacked, error_model=accuracy,
                                       scale_block_rows=n_xi,
@@ -391,10 +390,9 @@ def make_multi_predictor(objs, model, n_gauss=10, dtype=jnp.float32,
         if not bundle_eligible:
             raise ValueError("engine='bundle' requires float32 and "
                              "TabCorr objects.")
-        from .ops.fused import make_fused_bundle_predictor
+        from .ops.fused import DEFAULT_TILE, make_fused_bundle_predictor
         tables = [obj.table_data(n_gauss=n_gauss, dtype=dtype)
                   for obj in objs]
-        from .ops.fused import DEFAULT_TILE
         return make_fused_bundle_predictor(
             tables, *occupation_functions(model),
             tuple(model.param_dict.keys()),

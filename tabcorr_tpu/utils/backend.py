@@ -176,11 +176,15 @@ def _log1p_f32(y):
 
 
 def _log1p_abs_f32(y):
-    """log1p(y) for float32 device arrays, y in (-1, 0.25]; ~6e-8 ABSOLUTE.
+    """log1p(y) for float32 device arrays, y in (-1, 0.25]; ABSOLUTE-error
+    contract: ~6e-8 for |y| <= 0.5, growing to ~5e-7 as y -> -1 (the
+    result's own f32 ulp scales with |ln w|, ~87 at the clamp edge).
 
     Single-branch variant of :func:`_log1p_f32` for callers that need
     absolute (not relative) accuracy — e.g. the satellite exponent
-    ``(logM - logM1) + log1p(-ratio)/ln10``, whose other term is O(1).
+    ``(logM - logM1) + log1p(-ratio)/ln10``, whose other term is O(1)
+    and which feeds exp (absolute exponent error = relative occupation
+    error, so even the y -> -1 bound stays ~1e-6-level after /ln10).
     For y in (-1, -0.5] the sum w = 1 + y is EXACT (Sterbenz); for
     |y| < 0.5 the w rounding contributes <= 2^-25 / w <= 6e-8 absolute
     to ln w.  Skipping the small-|y| atanh branch saves a divide, a
@@ -190,7 +194,9 @@ def _log1p_abs_f32(y):
     import jax.numpy as jnp
     xp = get_namespace(y)
 
-    w = 1.0 + y
+    # Guard w > 0 (y == -1 would bitcast a zero): same floor as
+    # _log1p_f32; callers clamp well above it.
+    w = xp.maximum(1.0 + y, 1e-30)
     bits = jax.lax.bitcast_convert_type(jax.lax.stop_gradient(w), jnp.int32)
     e = ((bits >> 23) & 0xff) - 127
     m0 = jax.lax.bitcast_convert_type(

@@ -18,42 +18,33 @@ from tabcorr_tpu.ops import paircount
 from test_tabulate import synthetic_halocat
 
 
-def clustered_halocat(n_halos=12000, lbox=250.0, seed=5,
-                      log_mass_range=(12.0, 14.0)):
-    """Synthetic catalog WITH spatial clustering.
-
-    Halos scatter around cluster centers whose per-cluster extent spans
-    1-8 Mpc (log-uniform), so the two-point functions carry genuine
-    two-halo signal across the whole tested separation range — a
-    Poisson-position catalog has wp ~ 0 beyond the dummy-mock one-halo
-    term, which makes relative golden tolerances meaningless there (the
-    reference's golden test runs on a real, clustered snapshot).
-    """
-    rng = np.random.default_rng(seed)
-    mass = 10.0 ** rng.uniform(*log_mass_range, n_halos)
-    rvir = 0.3 * (mass / 1e13) ** (1.0 / 3.0)
+def _clustered_positions(rng, n_halos, lbox):
+    """Halos scattered around cluster centers with 1-8 Mpc extents
+    (log-uniform), so the two-point functions carry genuine two-halo
+    signal across the whole tested separation range — a Poisson-position
+    catalog has wp ~ 0 beyond the dummy-mock one-halo term, which makes
+    relative golden tolerances meaningless there (the reference's golden
+    test runs on a real, clustered snapshot)."""
     n_clusters = n_halos // 8
     centers = rng.uniform(0, lbox, (n_clusters, 3))
     sigma = 10.0 ** rng.uniform(0.0, 0.9, n_clusters)
     which = rng.integers(0, n_clusters, n_halos)
-    pos = (centers[which] +
-           sigma[which, None] * rng.normal(size=(n_halos, 3))) % lbox
-    table = {
-        "halo_x": pos[:, 0], "halo_y": pos[:, 1], "halo_z": pos[:, 2],
-        "halo_vx": 300 * rng.normal(size=n_halos),
-        "halo_vy": 300 * rng.normal(size=n_halos),
-        "halo_vz": 300 * rng.normal(size=n_halos),
-        "halo_mvir": mass, "halo_rvir": rvir,
-        "halo_nfw_conc": np.clip(
-            8 * (mass / 1e13) ** -0.1 *
-            np.exp(0.3 * rng.normal(size=n_halos)), 2.0, 25.0),
-        "halo_upid": np.full(n_halos, -1, dtype=np.int64),
-    }
-    return tt.HaloCatalog(table, Lbox=lbox, particle_mass=1e9,
-                          redshift=0.0,
-                          cosmology=tt.cosmology.FlatFLRW(
-                              H0=70, Om0=0.3, Tcmb0=0, Neff=0),
-                          simname="synthetic")
+    return (centers[which] +
+            sigma[which, None] * rng.normal(size=(n_halos, 3))) % lbox
+
+
+def clustered_halocat(n_halos=12000, lbox=250.0, seed=5,
+                      log_mass_range=(12.0, 14.0)):
+    """Synthetic catalog WITH spatial clustering (see _clustered_positions).
+
+    NOTE: the mass/velocity/conc columns draw from the same rng AFTER the
+    position draw, so changing _clustered_positions changes the whole
+    catalog — the golden tolerances were measured against this exact
+    construction.
+    """
+    return synthetic_halocat(n_halos=n_halos, lbox=lbox, seed=seed,
+                             log_mass_range=log_mass_range,
+                             position_fn=_clustered_positions)
 
 
 @pytest.mark.slow

@@ -234,7 +234,6 @@ def test_occupation_residual_matches_jvp_fallback():
     # The analytic residual absorption (zheng07 / assembias overrides)
     # must agree with the generic first-order JVP fallback to second
     # order in the ~ulp/2 node residual, for both galaxy types.
-    import jax
     import jax.numpy as jnp
 
     from tabcorr_tpu.models.assembias import AssembiasZheng07Model

@@ -11,15 +11,28 @@ from tabcorr_tpu.tabulate import (bin_labels, compute_conditional_percentiles,
 
 
 def synthetic_halocat(n_halos=800, lbox=150.0, seed=1, cosmology=None,
-                      log_mass_range=(12.0, 13.5)):
+                      log_mass_range=(12.0, 13.5), position_fn=None):
+    """Synthetic halo catalog.
+
+    ``position_fn(rng, n_halos, lbox) -> (n_halos, 3)`` optionally
+    replaces the default uniform (unclustered) positions — used by the
+    golden tests' clustered catalog (tests/test_golden.py).
+    """
     rng = np.random.default_rng(seed)
     mass = 10.0 ** rng.uniform(*log_mass_range, n_halos)
     # r_vir for Delta=200 rho_crit-ish, just a plausible scaling [Mpc/h].
     rvir = 0.3 * (mass / 1e13) ** (1.0 / 3.0)
+    if position_fn is None:
+        # Three 1-D draws, NOT one (n, 3) draw: the regression fixtures
+        # lock this exact rng sequence.
+        pos = np.stack([rng.uniform(0, lbox, n_halos) for _ in range(3)],
+                       axis=1)
+    else:
+        pos = position_fn(rng, n_halos, lbox)
     table = {
-        "halo_x": rng.uniform(0, lbox, n_halos),
-        "halo_y": rng.uniform(0, lbox, n_halos),
-        "halo_z": rng.uniform(0, lbox, n_halos),
+        "halo_x": pos[:, 0],
+        "halo_y": pos[:, 1],
+        "halo_z": pos[:, 2],
         "halo_vx": 300 * rng.normal(size=n_halos),
         "halo_vy": 300 * rng.normal(size=n_halos),
         "halo_vz": 300 * rng.normal(size=n_halos),
