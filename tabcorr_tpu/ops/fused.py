@@ -285,7 +285,7 @@ def _grouped_dots(ngal, f_arrays, groups, precision, dtype=jnp.float32):
 
 
 def _bundle_table_constants(table: TableData, error_model="elementwise",
-                            tol=1e-6, margin=30.0):
+                            tol=1e-6, margin=30.0, scale_block_rows=None):
     """Per-table device constants for the bundle kernel.
 
     * ``f2``: the dense matrices stacked for the one-matmul contraction,
@@ -322,7 +322,8 @@ def _bundle_table_constants(table: TableData, error_model="elementwise",
     nc = table.n_centrals
 
     groups, row_perm, row_inv_perm = _pass_groups(
-        table.tpcf_dense, auto, error_model, tol=tol, margin=margin)
+        table.tpcf_dense, auto, error_model, tol=tol, margin=margin,
+        scale_block_rows=scale_block_rows)
 
     if auto:
         dense = jnp.zeros((n_xi, nb, nb), jnp.float32)
@@ -378,7 +379,8 @@ def _bundle_table_constants(table: TableData, error_model="elementwise",
 def make_fused_bundle_predictor(tables, occupation_cen, occupation_sat,
                                 param_names, batch_tile=DEFAULT_TILE,
                                 interpret="auto", precision="highest",
-                                accuracy=None, mesh=None, batch_axis="dp"):
+                                accuracy=None, mesh=None, batch_axis="dp",
+                                scale_block_rows=None):
     """One-kernel multi-statistic predictor (the flagship hot path).
 
     Parameters
@@ -437,8 +439,14 @@ def make_fused_bundle_predictor(tables, occupation_cen, occupation_sat,
     for a in accuracy:
         if a not in ("elementwise", "scaled"):
             raise ValueError(f"Unknown accuracy contract: {a!r}")
-    configs = [_bundle_table_constants(t, error_model=a)
-               for t, a in zip(tables, accuracy)]
+    # scale_block_rows: one value per table (or None), forwarded to the
+    # pass-class budget — stacked-node Interpolator matrices normalize
+    # the 'scaled' budget within each node's row block.
+    if scale_block_rows is None:
+        scale_block_rows = [None] * len(tables)
+    configs = [_bundle_table_constants(t, error_model=a,
+                                       scale_block_rows=s)
+               for t, a, s in zip(tables, accuracy, scale_block_rows)]
     const_arrays = [a for c in configs for a in c["arrays"]]
     names = tuple(param_names)
     n_names = len(names)

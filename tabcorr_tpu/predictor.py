@@ -224,6 +224,44 @@ def _interpolator_fused_predict_fn(interp, model, n_gauss, dtype,
     # low-amplitude grid node the interpolated output is that node's
     # statistic, so its rows must honor the budget relative to its OWN
     # peak, not the loudest node's.
+    occ_cen, occ_sat = occupation_functions(model)
+    keys = tuple(interp.keys)
+    xp_dev = [jnp.asarray(xp, dtype=dtype) for xp in interp.xp]
+    a_dev = [jnp.asarray(a, dtype=dtype) for a in interp.a]
+    grid_shape = tuple(len(xp) for xp in interp.xp)
+
+    if jnp.dtype(dtype) == jnp.dtype(jnp.float32):
+        # Flagship route: the whole stacked grid — in-kernel occupation
+        # quadrature AND every node's contraction — runs as ONE bundle
+        # kernel per batch tile (no HBM occupation intermediate), then
+        # the grid spline reduces the per-node outputs.
+        from .ops.fused import make_fused_bundle_predictor
+        node_fn = make_fused_bundle_predictor(
+            [stacked], occ_cen, occ_sat,
+            tuple(model.param_dict.keys()),
+            accuracy=[accuracy], scale_block_rows=[n_xi])
+
+        @jax.jit
+        def predict_batch(params):
+            params = {k: jnp.asarray(v, dtype=dtype)
+                      for k, v in params.items()}
+            batch = next(iter(params.values())).shape[0]
+            [(total, xi_nodes)] = node_fn(params)
+            xi_nodes = xi_nodes.reshape(batch, n_nodes, n_xi)
+
+            def spline_one(p, xi_n):
+                return _spline_over_grid(p, keys, xp_dev, a_dev,
+                                         grid_shape, xi_n, extrapolate)
+
+            xi = jax.vmap(spline_one)(params, xi_nodes)
+            xi = xi.reshape((batch,) + tuple(base.tpcf_shape))
+            # ngal is node-independent for a shared binning; the
+            # reference's grid spline of equal values returns the same.
+            return total, xi
+
+        return predict_batch
+
+    # bfloat16 path: XLA occupation + fused stacked contraction.
     # One tile value shared by the kernel build and the batch padding
     # below — a mismatch makes the pallas grid empty (batch // tile = 0)
     # and returns uninitialized output.
@@ -231,11 +269,6 @@ def _interpolator_fused_predict_fn(interp, model, n_gauss, dtype,
     contract = make_fused_contraction(stacked, error_model=accuracy,
                                       scale_block_rows=n_xi,
                                       batch_tile=batch_tile)
-    occ_cen, occ_sat = occupation_functions(model)
-    keys = tuple(interp.keys)
-    xp_dev = [jnp.asarray(xp, dtype=dtype) for xp in interp.xp]
-    a_dev = [jnp.asarray(a, dtype=dtype) for a in interp.a]
-    grid_shape = tuple(len(xp) for xp in interp.xp)
 
     @jax.jit
     def predict_batch(params):
