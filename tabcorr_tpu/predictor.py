@@ -192,7 +192,8 @@ def _spline_over_grid(params, keys, xp_dev, a_dev, grid_shape, values,
 
 
 def _interpolator_fused_predict_fn(interp, model, n_gauss, dtype,
-                                   extrapolate, accuracy="elementwise"):
+                                   extrapolate, accuracy="elementwise",
+                                   mesh=None, batch_axis="dp"):
     """Fused-engine Interpolator path (single shared halo binning).
 
     All grid nodes' dense matrices stack along the statistic axis, so the
@@ -239,7 +240,8 @@ def _interpolator_fused_predict_fn(interp, model, n_gauss, dtype,
         node_fn = make_fused_bundle_predictor(
             [stacked], occ_cen, occ_sat,
             tuple(model.param_dict.keys()),
-            accuracy=[accuracy], scale_block_rows=[n_xi])
+            accuracy=[accuracy], scale_block_rows=[n_xi],
+            mesh=mesh, batch_axis=batch_axis)
 
         @jax.jit
         def predict_batch(params):
@@ -260,6 +262,10 @@ def _interpolator_fused_predict_fn(interp, model, n_gauss, dtype,
             return total, xi
 
         return predict_batch
+
+    if mesh is not None:
+        raise ValueError("mesh requires the float32 fused Interpolator "
+                         "path (the bundle constants are float32).")
 
     # bfloat16 path: XLA occupation + fused stacked contraction.
     # One tile value shared by the kernel build and the batch padding
@@ -300,7 +306,7 @@ def _interpolator_fused_predict_fn(interp, model, n_gauss, dtype,
 def make_predictor(obj, model, n_gauss=10, dtype=jnp.float32,
                    separate_gal_type=False, vectorized=True, jit=True,
                    engine="auto", extrapolate=False,
-                   accuracy="elementwise"):
+                   accuracy="elementwise", mesh=None, batch_axis="dp"):
     """Build a batched prediction function for a tabulation or interpolator.
 
     Parameters
@@ -337,6 +343,12 @@ def make_predictor(obj, model, n_gauss=10, dtype=jnp.float32,
         'scaled' (error budget relative to the statistic's largest
         element; low-amplitude rows contract at fewer MXU passes — the
         natural contract for stacked multi-scale statistics).
+    mesh : jax.sharding.Mesh, optional
+        Fused-engine Interpolator path only: batch-shard the stacked-grid
+        bundle kernel over the mesh along ``batch_axis`` (grid tables
+        replicated, zero hot-loop communication).  For plain TabCorr
+        objects use :func:`make_multi_predictor` (mesh-aware bundle) or
+        ``parallel.make_sharded_predict`` (dp x tp).
 
     Returns
     -------
@@ -364,7 +376,12 @@ def make_predictor(obj, model, n_gauss=10, dtype=jnp.float32,
         if isinstance(obj, Interpolator):
             return _interpolator_fused_predict_fn(obj, model, n_gauss,
                                                   dtype, extrapolate,
-                                                  accuracy)
+                                                  accuracy, mesh=mesh,
+                                                  batch_axis=batch_axis)
+        if mesh is not None:
+            raise ValueError(
+                "mesh is supported on the fused Interpolator path; for a "
+                "plain TabCorr use make_multi_predictor(..., mesh=...).")
         from .ops.fused import make_fused_predictor
         table = obj.table_data(n_gauss=n_gauss, dtype=dtype)
         return make_fused_predictor(table, *occupation_functions(model),

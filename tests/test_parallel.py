@@ -401,3 +401,31 @@ def test_jitted_heterogeneous_binning_matches_host(ds_interpolator, model):
     ngal, xi = f(params)
     assert np.isclose(float(ngal[0]), want[0], rtol=1e-10)
     np.testing.assert_allclose(np.asarray(xi[0]), want[1], rtol=1e-10)
+
+
+def test_interpolator_fused_sharded_matches_plain(ds_interpolator, model):
+    # The dp-sharded stacked-grid Interpolator bundle must match the
+    # unsharded fused engine (grid tables replicated, batch split).
+    if len(jax.devices()) < 8:
+        pytest.skip("needs 8 virtual devices")
+    from tabcorr_tpu.predictor import make_predictor
+
+    mesh = make_mesh(8, table_parallel=1)
+    model.param_dict["log_eta"] = 0.05
+    rng = np.random.default_rng(17)
+    B = 48
+    params = params_batch(
+        model, {"log_eta": rng.uniform(-0.3, 0.3, B),
+                "logM1": 13.9 + 0.05 * rng.normal(size=B)}, (B,),
+        dtype=jnp.float32)
+    f_plain = make_predictor(ds_interpolator, model, engine="fused",
+                             accuracy="scaled")
+    f_shard = make_predictor(ds_interpolator, model, engine="fused",
+                             accuracy="scaled", mesh=mesh)
+    ng_p, xi_p = f_plain(params)
+    ng_s, xi_s = f_shard(params)
+    np.testing.assert_allclose(np.asarray(ng_s), np.asarray(ng_p),
+                               rtol=1e-6)
+    np.testing.assert_allclose(np.asarray(xi_s), np.asarray(xi_p),
+                               rtol=1e-5, atol=1e-6 * float(
+                                   np.nanmax(np.abs(np.asarray(xi_p)))))
