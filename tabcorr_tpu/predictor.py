@@ -21,6 +21,7 @@ from __future__ import annotations
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from .interpolator import Interpolator, spline_eval
 from .models.protocol import CENTRALS, SATELLITES
@@ -303,6 +304,31 @@ def _interpolator_fused_predict_fn(interp, model, n_gauss, dtype,
     return predict_batch
 
 
+def _fused_constants_fit_vmem(obj, n_gauss, budget_bytes=64 * 2 ** 20):
+    """Conservative VMEM estimate for the fused engine's kernel constants.
+
+    The Pallas kernels keep every dense matrix (plus bf16 pass splits,
+    ~1.5x) resident in VMEM; a large Interpolator grid (e.g. the
+    'default' config's 4x4x4 = 64 phase-space nodes) stacks n_nodes *
+    n_xi rows and can exceed the chip's ~128 MB.  engine='auto' falls
+    back to XLA beyond ``budget_bytes``; an explicit engine='fused' is
+    honored (and fails loudly in the Mosaic compiler if oversized).
+    """
+    if isinstance(obj, Interpolator):
+        tables = [obj.tabcorr_list[int(i)]
+                  for i in obj.param_dict_table["tabcorr_index"]]
+    else:
+        tables = [obj]
+    total = 0
+    for tab in tables:
+        n_xi, n_bins = int(np.prod(tab.tpcf_shape)), len(tab.gal_type)
+        nb_pad = -(-n_bins // 128) * 128
+        auto = tab.attrs.get("mode", "auto") == "auto"
+        width = n_xi * nb_pad if auto else n_xi
+        total += nb_pad * width * 4
+    return total * 1.5 <= budget_bytes
+
+
 def make_predictor(obj, model, n_gauss=10, dtype=jnp.float32,
                    separate_gal_type=False, vectorized=True, jit=True,
                    engine="auto", extrapolate=False,
@@ -365,7 +391,8 @@ def make_predictor(obj, model, n_gauss=10, dtype=jnp.float32,
                         len(obj.unique_gal_type_index) == 1)))
     if engine == "auto":
         engine = ("fused" if fused_eligible and
-                  jax.default_backend() == "tpu" else "xla")
+                  jax.default_backend() == "tpu" and
+                  _fused_constants_fit_vmem(obj, n_gauss) else "xla")
     if engine == "fused":
         if not fused_eligible:
             raise ValueError(
