@@ -461,7 +461,13 @@ def make_multi_predictor(objs, model, n_gauss=10, dtype=jnp.float32,
         jnp.dtype(dtype) == jnp.dtype(jnp.float32) and
         all(isinstance(obj, TabCorr) for obj in objs))
     if engine == "auto":
-        engine = ("bundle" if bundle_eligible and
+        # Every table's constants share ONE kernel's VMEM: give each
+        # object an equal slice of the budget (each <= budget/n implies
+        # the sum fits).
+        fits = all(_fused_constants_fit_vmem(
+            obj, n_gauss, budget_bytes=64 * 2 ** 20 // len(objs))
+            for obj in objs)
+        engine = ("bundle" if bundle_eligible and fits and
                   jax.default_backend() == "tpu" else "xla")
     if engine == "bundle":
         if not bundle_eligible:
