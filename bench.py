@@ -114,6 +114,23 @@ def make_bundle_predict_all(wp_table, xi_table, occ_c, occ_s, param_names,
     return predict_all
 
 
+def _timed_rate(fn, params, n_windows=5):
+    """Median rate over several timing windows.
+
+    The TPU sits behind a network tunnel with ~5-10% run-to-run jitter;
+    a single window is not representative.  Median (not best-of) keeps
+    the number honest.
+    """
+    rates = []
+    for _ in range(n_windows):
+        t0 = time.perf_counter()
+        for _ in range(N_ITER):
+            out = fn(params)
+        jax.block_until_ready(out)
+        rates.append(BATCH * N_ITER / (time.perf_counter() - t0))
+    return float(np.median(rates))
+
+
 def main():
     from pathlib import Path
     fixtures = Path(__file__).absolute().parent / "tests" / "data" / "examples"
@@ -164,12 +181,7 @@ def main():
         out = predict_all(params)
         jax.block_until_ready(out)
 
-    t0 = time.perf_counter()
-    for _ in range(N_ITER):
-        out = predict_all(params)
-    jax.block_until_ready(out)
-    elapsed = time.perf_counter() - t0
-    rate = BATCH * N_ITER / elapsed
+    rate = _timed_rate(predict_all, params)
 
     # All-elementwise-contract variant (every element of every statistic
     # <1e-6 relative): timed separately so the headline can't be read as
@@ -182,11 +194,7 @@ def main():
             accuracy=("elementwise", "elementwise"))
         out_e = predict_elem(params)
         jax.block_until_ready(out_e)
-        t0 = time.perf_counter()
-        for _ in range(N_ITER):
-            out_e = predict_elem(params)
-        jax.block_until_ready(out_e)
-        elementwise_rate = BATCH * N_ITER / (time.perf_counter() - t0)
+        elementwise_rate = _timed_rate(predict_elem, params)
 
     # Full MCMC inner loop (BASELINE config #5, "MCMC chain steps/sec"):
     # stretch-move ensemble with the batched Gaussian wp+xi_ell posterior
