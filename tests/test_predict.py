@@ -199,3 +199,24 @@ def test_matrix_reassignment_invalidates_caches(wp_tabcorr, bol_model):
     np.testing.assert_allclose(
         np.asarray(data.tpcf_dense),
         np.asarray(tab.dense_matrix()).astype(np.float32), rtol=1e-6)
+
+
+def test_fused_vmem_guard():
+    # engine='auto' must fall back to XLA when the kernel-resident
+    # constants would overflow VMEM (e.g. a 64-node stacked grid).
+    import tabcorr_tpu as tt
+    from tabcorr_tpu.interpolator import Interpolator
+    from tabcorr_tpu.predictor import _fused_constants_fit_vmem
+
+    tab = tt.TabCorr.read("tests/data/examples/bolplanck_wp.hdf5")
+    assert _fused_constants_fit_vmem(tab, 10)
+
+    interp = tt.Interpolator.read(
+        "tests/data/examples/synthetic_xi_ell_interp.hdf5")
+    assert _fused_constants_fit_vmem(interp, 10)
+
+    big = object.__new__(Interpolator)
+    big.param_dict_table = {
+        "tabcorr_index": list(range(len(interp.tabcorr_list))) * 16}
+    big.tabcorr_list = interp.tabcorr_list
+    assert not _fused_constants_fit_vmem(big, 10)
