@@ -229,18 +229,23 @@ def _pass_groups(dense, auto, error_model, precision="highest",
     return groups, row_perm, np.argsort(row_perm)
 
 
-def _split_f_blocks(f2, groups, auto, nb, dtype=jnp.float32):
+def _split_f_blocks(f2, groups, auto, nb, dtype=jnp.float32, widths=None):
     """Per-pass-group matrix blocks of the (row-permuted) stacked matrix.
 
     Mosaic supports only DEFAULT and HIGHEST dot precisions in-kernel, so
     the 3-pass tier is hand-rolled from precomputed bf16 hi/lo halves of
     the static block (the split is free) and a 2-way in-kernel split of
     ngal; the 1-pass tier stores the block directly in bf16.
+
+    ``widths`` overrides the per-group column widths (slab-packed bundle
+    layouts — see :func:`_bundle_table_constants`); the default is the
+    dense layout ``count * nb`` (auto) / ``count`` (cross).
     """
     blocks = []
     col = 0
-    for p, count in groups:
-        width = count * nb if auto else count
+    for gi, (p, count) in enumerate(groups):
+        width = (widths[gi] if widths is not None
+                 else count * nb if auto else count)
         block = f2[:, col:col + width]
         col += width
         if p == 6:
@@ -285,11 +290,20 @@ def _grouped_dots(ngal, f_arrays, groups, precision, dtype=jnp.float32):
 
 
 def _bundle_table_constants(table: TableData, error_model="elementwise",
-                            tol=1e-6, margin=30.0, scale_block_rows=None):
+                            tol=1e-6, margin=30.0, scale_block_rows=None,
+                            pack_slabs=True):
     """Per-table device constants for the bundle kernel.
 
     * ``f2``: the dense matrices stacked for the one-matmul contraction,
-      (nb_pad, n_xi * nb_pad).
+      (nb_pad, n_xi * nb_pad).  When ``pack_slabs`` and the 8-aligned bin
+      count fits at least twice into the 128-lane MXU output group
+      (``nb_sub = ceil8(n_bins) <= 64``), several statistics' slabs share
+      one 128-lane group (``pack = 128 // nb_sub`` of them), eliminating
+      the lane-padding waste of small auto-mode tables: a 60-bin wp table
+      would otherwise run every one of its 19 slabs at 60/128 lane
+      occupancy.  Packing never mixes MXU pass classes (rows are already
+      permuted class-contiguous), so each pass group keeps its own packed
+      column block.
     * Flattened quadrature grids per galaxy-type segment: node masses
       ``logm`` (+ their float64 residual row for the in-kernel node
       correction) and secondary percentiles ``sec`` as (1, L) rows, a
@@ -325,16 +339,31 @@ def _bundle_table_constants(table: TableData, error_model="elementwise",
         table.tpcf_dense, auto, error_model, tol=tol, margin=margin,
         scale_block_rows=scale_block_rows)
 
+    pack, nb_sub, slab_w = 1, nb, nb
+    widths = None
     if auto:
-        dense = jnp.zeros((n_xi, nb, nb), jnp.float32)
-        dense = dense.at[:, :nb_real, :nb_real].set(
-            table.tpcf_dense.astype(jnp.float32)[np.asarray(row_perm)])
-        f2 = jnp.transpose(dense, (2, 0, 1)).reshape(nb, n_xi * nb)
+        if pack_slabs:
+            nb_sub_c = -(-nb_real // 8) * 8
+            if 128 // nb_sub_c >= 2:
+                pack, nb_sub, slab_w = 128 // nb_sub_c, nb_sub_c, 128
+        dense_np = np.asarray(table.tpcf_dense,
+                              np.float32)[np.asarray(row_perm)]
+        widths = [-(-count // pack) * slab_w for _, count in groups]
+        f2 = np.zeros((nb, sum(widths)), np.float32)
+        col = row_ptr = 0
+        for (p, count), w in zip(groups, widths):
+            for idx in range(count):
+                g, s = divmod(idx, pack)
+                c0 = col + g * slab_w + s * nb_sub
+                f2[:nb_real, c0:c0 + nb_real] = dense_np[row_ptr + idx].T
+            row_ptr += count
+            col += w
+        f2 = jnp.asarray(f2)
     else:
-        f2 = jnp.zeros((nb, n_xi), jnp.float32)
-        f2 = f2.at[:nb_real].set(jnp.transpose(
-            table.tpcf_dense[np.asarray(row_perm)],
-            (1, 0)).astype(jnp.float32))
+        f2 = np.zeros((nb, n_xi), np.float32)
+        f2[:nb_real] = np.asarray(table.tpcf_dense,
+                                  np.float32)[np.asarray(row_perm)].T
+        f2 = jnp.asarray(f2)
 
     def segment(seg_lo, seg_hi):
         length = (seg_hi - seg_lo) * n_gauss
@@ -367,10 +396,11 @@ def _bundle_table_constants(table: TableData, error_model="elementwise",
 
     seg_c = segment(0, nc)
     seg_s = segment(nc, nb_real)
-    flat_blocks = _split_f_blocks(f2, groups, auto, nb)
+    flat_blocks = _split_f_blocks(f2, groups, auto, nb, widths=widths)
     return dict(nb=nb, n_xi=n_xi, auto=auto,
                 tpcf_shape=tuple(table.tpcf_shape),
                 groups=tuple(groups),
+                pack=pack, nb_sub=nb_sub, slab_w=slab_w,
                 row_inv_perm=row_inv_perm,
                 n_f_arrays=len(flat_blocks),
                 arrays=flat_blocks + seg_c + seg_s)
@@ -380,7 +410,7 @@ def make_fused_bundle_predictor(tables, occupation_cen, occupation_sat,
                                 param_names, batch_tile=DEFAULT_TILE,
                                 interpret="auto", precision="highest",
                                 accuracy=None, mesh=None, batch_axis="dp",
-                                scale_block_rows=None):
+                                scale_block_rows=None, pack_slabs=True):
     """One-kernel multi-statistic predictor (the flagship hot path).
 
     Parameters
@@ -445,7 +475,8 @@ def make_fused_bundle_predictor(tables, occupation_cen, occupation_sat,
     if scale_block_rows is None:
         scale_block_rows = [None] * len(tables)
     configs = [_bundle_table_constants(t, error_model=a,
-                                       scale_block_rows=s)
+                                       scale_block_rows=s,
+                                       pack_slabs=pack_slabs)
                for t, a, s in zip(tables, accuracy, scale_block_rows)]
     const_arrays = [a for c in configs for a in c["arrays"]]
     names = tuple(param_names)
@@ -495,15 +526,38 @@ def make_fused_bundle_predictor(tables, occupation_cen, occupation_sat,
             ngal = (quad_segment_sum(occ_c, w_c, sel_c) +
                     quad_segment_sum(occ_s, w_s, sel_s))
             total = jnp.sum(ngal, axis=-1)
-            nb, n_xi = cfg["nb"], cfg["n_xi"]
             # One contraction per pass-count group (rows pre-permuted so
             # equal-precision groups are lane-contiguous); see
             # _split_f_blocks/_grouped_dots.
             t = _grouped_dots(ngal, f_arrays, cfg["groups"], precision)
             outs[2 * j][:] = total[:, None]
             if cfg["auto"]:
-                cols = [jnp.sum(t[:, k * nb:(k + 1) * nb] * ngal, axis=-1)
-                        for k in range(n_xi)]
+                pack, nb_sub = cfg["pack"], cfg["nb_sub"]
+                slab_w = cfg["slab_w"]
+                if pack > 1:
+                    # Lane-replicated ngal so each packed 128-lane group
+                    # multiplies in one aligned VPU op; per-statistic
+                    # sub-slab sums then read lane ranges of the product.
+                    rep = [ngal[:, :nb_sub]] * pack
+                    pad_w = slab_w - pack * nb_sub
+                    if pad_w:
+                        rep.append(jnp.zeros(
+                            (ngal.shape[0], pad_w), ngal.dtype))
+                    n_rep = jnp.concatenate(rep, axis=-1)
+                else:
+                    n_rep = ngal
+                cols = []
+                off = 0
+                for _, count in cfg["groups"]:
+                    n_grp = -(-count // pack)
+                    for g in range(n_grp):
+                        u = (t[:, off + g * slab_w:off + (g + 1) * slab_w]
+                             * n_rep)
+                        for s in range(min(pack, count - g * pack)):
+                            cols.append(jnp.sum(
+                                u[:, s * nb_sub:(s + 1) * nb_sub],
+                                axis=-1))
+                    off += n_grp * slab_w
                 outs[2 * j + 1][:] = (jnp.stack(cols, axis=-1) /
                                       (total * total)[:, None])
             else:

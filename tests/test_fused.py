@@ -107,6 +107,50 @@ def test_bundle_predictor_matches_host(wp_tabcorr, bol_model):
                                    atol=2e-6 * scale)
 
 
+def test_bundle_slab_packing_matches_unpacked(wp_tabcorr, bol_model):
+    # Slab packing (pack = 128 // ceil8(n_bins) statistics per 128-lane
+    # MXU output group) must be a pure layout change: identical ngal and
+    # xi up to f32 reduction order in the 64- vs 128-lane epilogue sums.
+    # Covers pack=2 with an odd slab count (19 slabs of 60 bins) and
+    # pack=3 with lane-group padding (40 bins: 3*40 = 120 < 128).
+    import dataclasses
+
+    from tabcorr_tpu.ops.fused import make_fused_bundle_predictor
+
+    table = wp_tabcorr.table_data(dtype=jnp.float32)
+    keep = np.r_[0:20, 30:50]
+    small = dataclasses.replace(
+        table,
+        tpcf_dense=table.tpcf_dense[:, keep][:, :, keep],
+        n_h=table.n_h[keep],
+        log_prim_quad=table.log_prim_quad[keep],
+        quad_weight=table.quad_weight[keep],
+        sec_perc=table.sec_perc[keep],
+        n_centrals=20,
+        log_prim_quad_lo=(None if table.log_prim_quad_lo is None
+                          else table.log_prim_quad_lo[keep]))
+
+    occ_c, occ_s = occupation_functions(bol_model)
+    names = tuple(bol_model.param_dict)
+    rng = np.random.default_rng(3)
+    B = 48
+    params = params_batch(
+        bol_model, {"logM1": bol_model.param_dict["logM1"] +
+                    0.2 * rng.normal(size=B)}, (B,))
+    for tabs, acc in [([table], ["elementwise"]), ([small], ["scaled"])]:
+        kw = dict(batch_tile=16, interpret=True, accuracy=acc)
+        f_pack = make_fused_bundle_predictor(tabs, occ_c, occ_s, names,
+                                             pack_slabs=True, **kw)
+        f_ref = make_fused_bundle_predictor(tabs, occ_c, occ_s, names,
+                                            pack_slabs=False, **kw)
+        [(ng_p, xi_p)] = f_pack(params)
+        [(ng_r, xi_r)] = f_ref(params)
+        np.testing.assert_array_equal(np.asarray(ng_p), np.asarray(ng_r))
+        np.testing.assert_allclose(
+            np.asarray(xi_p), np.asarray(xi_r), rtol=5e-7,
+            atol=5e-7 * float(np.max(np.abs(np.asarray(xi_r)))))
+
+
 def test_multi_predictor_bundle_engine_matches_xla(wp_tabcorr, bol_model):
     from tabcorr_tpu.predictor import make_multi_predictor
 
