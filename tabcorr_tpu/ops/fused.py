@@ -41,10 +41,56 @@ from .predict import (AUTO, TableData, mean_occupation,
 DEFAULT_TILE = 512
 
 
+def _pack_geometry(n_bins, nb_pad, pack_slabs):
+    """(pack, nb_sub, slab_w) for the auto-mode slab layout.
+
+    ``pack`` statistics share one 128-lane MXU output group when the
+    8-aligned bin count fits at least twice (``nb_sub <= 64``); otherwise
+    the dense one-slab-per-statistic layout (pack=1, slab width nb_pad).
+    """
+    if pack_slabs:
+        nb_sub = -(-n_bins // 8) * 8
+        if 128 // nb_sub >= 2:
+            return 128 // nb_sub, nb_sub, 128
+    return 1, nb_pad, nb_pad
+
+
+def _auto_quadratic_cols(t, ngal, groups, pack, nb_sub, slab_w):
+    """Per-statistic quadratic-form columns from the grouped contraction.
+
+    ``t`` holds the pass-group blocks of ``ngal @ F2`` laid out by
+    :func:`_pack_geometry`; multiplies each (possibly packed) slab by a
+    lane-replicated ngal and reduces each statistic's sub-slab lanes.
+    Returns the (TB, n_xi) stack in row-permuted order.
+    """
+    if pack > 1:
+        # Lane-replicated ngal so each packed 128-lane group multiplies
+        # in one aligned VPU op; per-statistic sub-slab sums then read
+        # lane ranges of the product.
+        rep = [ngal[:, :nb_sub]] * pack
+        pad_w = slab_w - pack * nb_sub
+        if pad_w:
+            rep.append(jnp.zeros((ngal.shape[0], pad_w), ngal.dtype))
+        n_rep = jnp.concatenate(rep, axis=-1)
+    else:
+        n_rep = ngal
+    cols = []
+    off = 0
+    for _, count in groups:
+        n_grp = -(-count // pack)
+        for g in range(n_grp):
+            u = t[:, off + g * slab_w:off + (g + 1) * slab_w] * n_rep
+            for s in range(min(pack, count - g * pack)):
+                cols.append(jnp.sum(u[:, s * nb_sub:(s + 1) * nb_sub],
+                                    axis=-1))
+        off += n_grp * slab_w
+    return jnp.stack(cols, axis=-1)
+
+
 def make_fused_contraction(table: TableData, batch_tile=DEFAULT_TILE,
                            interpret=False, precision="highest",
                            error_model="elementwise",
-                           scale_block_rows=None):
+                           scale_block_rows=None, pack_slabs=True):
     """Fused contraction: ``ngal (B, n_bins) -> (total (B,), xi (B, n_xi))``.
 
     B must be a multiple of ``batch_tile`` (callers pad).
@@ -72,19 +118,31 @@ def make_fused_contraction(table: TableData, batch_tile=DEFAULT_TILE,
         scale_block_rows=scale_block_rows)
 
     # (nb_pad, n_xi * nb_pad) in auto mode so T = N @ F2 is one MXU
-    # matmul; (nb_pad, n_xi) in cross mode.
+    # matmul (several statistics share a 128-lane group when the bin
+    # count allows — see _pack_geometry); (nb_pad, n_xi) in cross mode.
+    pack, nb_sub, slab_w = _pack_geometry(n_bins, nb_pad,
+                                          pack_slabs and auto)
+    widths = None
     if auto:
-        dense = jnp.zeros((n_xi, nb_pad, nb_pad), dtype=dtype)
-        dense = dense.at[:, :n_bins, :n_bins].set(
-            table.tpcf_dense[np.asarray(row_perm)])
-        f2 = jnp.transpose(dense, (2, 0, 1)).reshape(
-            nb_pad, n_xi * nb_pad)
+        perm_dense = table.tpcf_dense[np.asarray(row_perm)]
+        widths = [-(-count // pack) * slab_w for _, count in groups]
+        f2 = jnp.zeros((nb_pad, sum(widths)), dtype=dtype)
+        row_ptr = col = 0
+        for (_, count), w in zip(groups, widths):
+            for idx in range(count):
+                g, s = divmod(idx, pack)
+                c0 = col + g * slab_w + s * nb_sub
+                f2 = f2.at[:n_bins, c0:c0 + n_bins].set(
+                    jnp.transpose(perm_dense[row_ptr + idx]))
+            row_ptr += count
+            col += w
     else:
         f2 = jnp.zeros((nb_pad, n_xi), dtype=dtype)
         f2 = f2.at[:n_bins].set(jnp.transpose(
             table.tpcf_dense[np.asarray(row_perm)], (1, 0)))
 
-    flat_blocks = _split_f_blocks(f2, groups, auto, nb_pad, dtype)
+    flat_blocks = _split_f_blocks(f2, groups, auto, nb_pad, dtype,
+                                  widths=widths)
 
     def kernel(ngal_ref, *rest):
         f_arrays = [r[:] for r in rest[:len(flat_blocks)]]
@@ -94,8 +152,8 @@ def make_fused_contraction(table: TableData, batch_tile=DEFAULT_TILE,
         total_out[:] = total[:, None]
         t = _grouped_dots(ngal, f_arrays, groups, precision, dtype)
         if auto:
-            t = t.reshape(ngal.shape[0], n_xi, nb_pad)
-            xi = jnp.sum(t * ngal[:, None, :], axis=-1)
+            xi = _auto_quadratic_cols(t, ngal, groups, pack, nb_sub,
+                                      slab_w)
             xi_out[:] = xi / (total * total)[:, None]
         else:
             xi_out[:] = t / total[:, None]
@@ -339,19 +397,15 @@ def _bundle_table_constants(table: TableData, error_model="elementwise",
         table.tpcf_dense, auto, error_model, tol=tol, margin=margin,
         scale_block_rows=scale_block_rows)
 
-    pack, nb_sub, slab_w = 1, nb, nb
+    pack, nb_sub, slab_w = _pack_geometry(nb_real, nb, pack_slabs and auto)
     widths = None
     if auto:
-        if pack_slabs:
-            nb_sub_c = -(-nb_real // 8) * 8
-            if 128 // nb_sub_c >= 2:
-                pack, nb_sub, slab_w = 128 // nb_sub_c, nb_sub_c, 128
         dense_np = np.asarray(table.tpcf_dense,
                               np.float32)[np.asarray(row_perm)]
         widths = [-(-count // pack) * slab_w for _, count in groups]
         f2 = np.zeros((nb, sum(widths)), np.float32)
         col = row_ptr = 0
-        for (p, count), w in zip(groups, widths):
+        for (_, count), w in zip(groups, widths):
             for idx in range(count):
                 g, s = divmod(idx, pack)
                 c0 = col + g * slab_w + s * nb_sub
@@ -532,34 +586,10 @@ def make_fused_bundle_predictor(tables, occupation_cen, occupation_sat,
             t = _grouped_dots(ngal, f_arrays, cfg["groups"], precision)
             outs[2 * j][:] = total[:, None]
             if cfg["auto"]:
-                pack, nb_sub = cfg["pack"], cfg["nb_sub"]
-                slab_w = cfg["slab_w"]
-                if pack > 1:
-                    # Lane-replicated ngal so each packed 128-lane group
-                    # multiplies in one aligned VPU op; per-statistic
-                    # sub-slab sums then read lane ranges of the product.
-                    rep = [ngal[:, :nb_sub]] * pack
-                    pad_w = slab_w - pack * nb_sub
-                    if pad_w:
-                        rep.append(jnp.zeros(
-                            (ngal.shape[0], pad_w), ngal.dtype))
-                    n_rep = jnp.concatenate(rep, axis=-1)
-                else:
-                    n_rep = ngal
-                cols = []
-                off = 0
-                for _, count in cfg["groups"]:
-                    n_grp = -(-count // pack)
-                    for g in range(n_grp):
-                        u = (t[:, off + g * slab_w:off + (g + 1) * slab_w]
-                             * n_rep)
-                        for s in range(min(pack, count - g * pack)):
-                            cols.append(jnp.sum(
-                                u[:, s * nb_sub:(s + 1) * nb_sub],
-                                axis=-1))
-                    off += n_grp * slab_w
-                outs[2 * j + 1][:] = (jnp.stack(cols, axis=-1) /
-                                      (total * total)[:, None])
+                xi = _auto_quadratic_cols(t, ngal, cfg["groups"],
+                                          cfg["pack"], cfg["nb_sub"],
+                                          cfg["slab_w"])
+                outs[2 * j + 1][:] = xi / (total * total)[:, None]
             else:
                 outs[2 * j + 1][:] = t / total[:, None]
 

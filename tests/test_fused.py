@@ -151,6 +151,25 @@ def test_bundle_slab_packing_matches_unpacked(wp_tabcorr, bol_model):
             atol=5e-7 * float(np.max(np.abs(np.asarray(xi_r)))))
 
 
+def test_fused_contraction_slab_packing(wp_tabcorr):
+    # The standalone fused-contraction engine shares the packed slab
+    # layout; packed vs unpacked must agree to f32 reduction order on a
+    # pack=2 table (60 bins).
+    from tabcorr_tpu.ops.fused import make_fused_contraction
+
+    table = wp_tabcorr.table_data(dtype=jnp.float32)
+    rng = np.random.default_rng(11)
+    ngal = jnp.asarray(rng.uniform(0, 1e-4, (32, table.n_bins)),
+                       jnp.float32)
+    kw = dict(batch_tile=16, interpret=True)
+    tot_p, xi_p = make_fused_contraction(table, pack_slabs=True, **kw)(ngal)
+    tot_r, xi_r = make_fused_contraction(table, pack_slabs=False, **kw)(ngal)
+    np.testing.assert_array_equal(np.asarray(tot_p), np.asarray(tot_r))
+    np.testing.assert_allclose(np.asarray(xi_p), np.asarray(xi_r),
+                               rtol=5e-7, atol=5e-7 * float(
+                                   np.max(np.abs(np.asarray(xi_r)))))
+
+
 def test_multi_predictor_bundle_engine_matches_xla(wp_tabcorr, bol_model):
     from tabcorr_tpu.predictor import make_multi_predictor
 
