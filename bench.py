@@ -50,12 +50,31 @@ vs_baseline is measured rate / 1e3 (the reference's ~1 ms predict).
 """
 
 import json
+import sys
+import threading
 import time
 
 import numpy as np
 
 import jax
 import jax.numpy as jnp
+
+# Backend-init watchdog: a broken accelerator tunnel makes the first
+# jax.devices() block forever inside the PJRT client constructor.  Probe
+# it on a daemon thread with a deadline so a dead tunnel produces an
+# explicit diagnostic JSON line instead of a silent hang.
+_devices_probe = []
+_probe_thread = threading.Thread(
+    target=lambda: _devices_probe.append(jax.devices()), daemon=True)
+_probe_thread.start()
+_probe_thread.join(300.0)
+if not _devices_probe:
+    print(json.dumps({
+        "metric": "zheng07_wp_xi_ell_predictions_per_sec", "value": 0.0,
+        "unit": "predictions/s", "vs_baseline": 0.0,
+        "error": "jax backend init exceeded 300 s "
+                 "(accelerator tunnel unreachable?)"}))
+    sys.exit(1)
 
 jax.config.update("jax_compilation_cache_dir", "/tmp/tabcorr_jax_cache")
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
