@@ -560,10 +560,19 @@ def make_fused_bundle_predictor(tables, occupation_cen, occupation_sat,
         outs = rest[n_const:]
         p = params_ref[:]
         params = {name: p[:, i:i + 1] for i, name in enumerate(names)}
+
+        # Phase 1 — every table's occupation quadrature (VPU-heavy, plus
+        # the short segment-sum matmuls), BEFORE any dense contraction.
+        # The VPU and MXU execute from independent hardware queues in
+        # issue order, so emitting table j+1's occupation ahead of table
+        # j's dense dots lets the vector work overlap the matrix work;
+        # the table-at-a-time order serializes them (each epilogue's VPU
+        # ops sit in the queue behind the next table's occupation but
+        # depend on the dots, stalling the VPU).
+        ngals = []
         at = 0
-        for j, cfg in enumerate(configs):
+        for cfg in configs:
             nf = cfg["n_f_arrays"]
-            f_arrays = [r[:] for r in crefs[at:at + nf]]
             (logm_c, logmres_c, sec_c, w_c, sel_c,
              logm_s, logmres_s, sec_s, w_s, sel_s) = (
                 r[:] for r in crefs[at + nf:at + nf + 10])
@@ -579,7 +588,16 @@ def make_fused_bundle_predictor(tables, occupation_cen, occupation_sat,
                 occupation_sat, params, logm_s, logmres_s, sec_s)
             ngal = (quad_segment_sum(occ_c, w_c, sel_c) +
                     quad_segment_sum(occ_s, w_s, sel_s))
-            total = jnp.sum(ngal, axis=-1)
+            ngals.append((ngal, jnp.sum(ngal, axis=-1)))
+
+        # Phase 2 — dense contractions (MXU) and epilogues; table j's
+        # epilogue (VPU) overlaps table j+1's dots.
+        at = 0
+        for j, cfg in enumerate(configs):
+            nf = cfg["n_f_arrays"]
+            f_arrays = [r[:] for r in crefs[at:at + nf]]
+            at += nf + 10
+            ngal, total = ngals[j]
             # One contraction per pass-count group (rows pre-permuted so
             # equal-precision groups are lane-contiguous); see
             # _split_f_blocks/_grouped_dots.
