@@ -464,7 +464,8 @@ def make_fused_bundle_predictor(tables, occupation_cen, occupation_sat,
                                 param_names, batch_tile=DEFAULT_TILE,
                                 interpret="auto", precision="highest",
                                 accuracy=None, mesh=None, batch_axis="dp",
-                                scale_block_rows=None, pack_slabs=True):
+                                scale_block_rows=None, pack_slabs=True,
+                                sub_tiles=1):
     """One-kernel multi-statistic predictor (the flagship hot path).
 
     Parameters
@@ -498,6 +499,12 @@ def make_fused_bundle_predictor(tables, occupation_cen, occupation_sat,
         Batches pad up to ``batch_tile * axis_size`` internally.
     batch_axis : str, optional
         Mesh axis name carrying the batch. Default ``"dp"``.
+    sub_tiles : int, optional
+        Process each batch tile in this many row blocks, staggering one
+        block's occupation (VPU) against the previous block's dense
+        contractions (MXU) so the two hardware queues overlap (see the
+        kernel comment).  Must divide ``batch_tile`` (silently falls
+        back to 1 otherwise).  Default 1.
 
     Returns
     -------
@@ -559,57 +566,83 @@ def make_fused_bundle_predictor(tables, occupation_cen, occupation_sat,
         crefs = rest[:n_const]
         outs = rest[n_const:]
         p = params_ref[:]
-        params = {name: p[:, i:i + 1] for i, name in enumerate(names)}
 
-        # Phase 1 — every table's occupation quadrature (VPU-heavy, plus
-        # the short segment-sum matmuls), BEFORE any dense contraction.
         # The VPU and MXU execute from independent hardware queues in
-        # issue order, so emitting table j+1's occupation ahead of table
-        # j's dense dots lets the vector work overlap the matrix work;
-        # the table-at-a-time order serializes them (each epilogue's VPU
-        # ops sit in the queue behind the next table's occupation but
-        # depend on the dots, stalling the VPU).
-        ngals = []
-        at = 0
-        for cfg in configs:
-            nf = cfg["n_f_arrays"]
-            (logm_c, logmres_c, sec_c, w_c, sel_c,
-             logm_s, logmres_s, sec_s, w_s, sel_s) = (
-                r[:] for r in crefs[at + nf:at + nf + 10])
-            at += nf + 10
+        # issue order, so the emission order controls their overlap.
+        # The batch tile is processed in ``sub_tiles`` row blocks; each
+        # block's occupation quadrature (VPU-heavy) is emitted right
+        # AFTER the previous block's dense contractions (MXU-heavy), so
+        # in steady state the vector and matrix units run concurrently
+        # and the step time approaches max(VPU, MXU) instead of their
+        # sum.  With sub_tiles=1 this degenerates to "every table's
+        # occupation, then every table's dots" — which already overlaps
+        # table j+1's occupation with table j's dots, unlike the naive
+        # table-at-a-time order whose epilogue (VPU, dependent on the
+        # dots) stalls the vector queue ahead of the next occupation.
+        def occ_phase(rows):
+            params = {name: p[rows, i:i + 1]
+                      for i, name in enumerate(names)}
+            ngals = []
+            at = 0
+            for cfg in configs:
+                nf = cfg["n_f_arrays"]
+                (logm_c, logmres_c, sec_c, w_c, sel_c,
+                 logm_s, logmres_s, sec_s, w_s, sel_s) = (
+                    r[:] for r in crefs[at + nf:at + nf + 10])
+                at += nf + 10
 
-            # Node-residual correction (the quadrature nodes are
-            # float32-rounded; occupation_with_residual restores the
-            # float64 node positions — exactly for analytic models,
-            # first-order JVP otherwise; see TableData docstring).
-            occ_c = occupation_with_residual(
-                occupation_cen, params, logm_c, logmres_c, sec_c)
-            occ_s = occupation_with_residual(
-                occupation_sat, params, logm_s, logmres_s, sec_s)
-            ngal = (quad_segment_sum(occ_c, w_c, sel_c) +
-                    quad_segment_sum(occ_s, w_s, sel_s))
-            ngals.append((ngal, jnp.sum(ngal, axis=-1)))
+                # Node-residual correction (the quadrature nodes are
+                # float32-rounded; occupation_with_residual restores the
+                # float64 node positions — exactly for analytic models,
+                # first-order JVP otherwise; see TableData docstring).
+                occ_c = occupation_with_residual(
+                    occupation_cen, params, logm_c, logmres_c, sec_c)
+                occ_s = occupation_with_residual(
+                    occupation_sat, params, logm_s, logmres_s, sec_s)
+                ngal = (quad_segment_sum(occ_c, w_c, sel_c) +
+                        quad_segment_sum(occ_s, w_s, sel_s))
+                ngals.append((ngal, jnp.sum(ngal, axis=-1)))
+            return ngals
 
-        # Phase 2 — dense contractions (MXU) and epilogues; table j's
-        # epilogue (VPU) overlaps table j+1's dots.
-        at = 0
-        for j, cfg in enumerate(configs):
-            nf = cfg["n_f_arrays"]
-            f_arrays = [r[:] for r in crefs[at:at + nf]]
-            at += nf + 10
-            ngal, total = ngals[j]
-            # One contraction per pass-count group (rows pre-permuted so
-            # equal-precision groups are lane-contiguous); see
-            # _split_f_blocks/_grouped_dots.
-            t = _grouped_dots(ngal, f_arrays, cfg["groups"], precision)
-            outs[2 * j][:] = total[:, None]
-            if cfg["auto"]:
-                xi = _auto_quadratic_cols(t, ngal, cfg["groups"],
-                                          cfg["pack"], cfg["nb_sub"],
-                                          cfg["slab_w"])
-                outs[2 * j + 1][:] = xi / (total * total)[:, None]
-            else:
-                outs[2 * j + 1][:] = t / total[:, None]
+        def dots_phase(ngals):
+            ts = []
+            at = 0
+            for j, cfg in enumerate(configs):
+                nf = cfg["n_f_arrays"]
+                f_arrays = [r[:] for r in crefs[at:at + nf]]
+                at += nf + 10
+                # One contraction per pass-count group (rows pre-permuted
+                # so equal-precision groups are lane-contiguous); see
+                # _split_f_blocks/_grouped_dots.
+                ts.append(_grouped_dots(ngals[j][0], f_arrays,
+                                        cfg["groups"], precision))
+            return ts
+
+        tb = p.shape[0]
+        n_sub = sub_tiles if tb % sub_tiles == 0 else 1
+        step = tb // n_sub
+        blocks = [slice(k * step, (k + 1) * step) for k in range(n_sub)]
+        ngals_k, ts_k = [], []
+        for k, rows in enumerate(blocks):
+            if k > 0:
+                ts_k.append(dots_phase(ngals_k[k - 1]))
+            ngals_k.append(occ_phase(rows))
+        ts_k.append(dots_phase(ngals_k[-1]))
+
+        # Epilogues (VPU) last: each waits only on its own dots, which
+        # have drained by the time the vector queue reaches them.
+        for k, rows in enumerate(blocks):
+            for j, cfg in enumerate(configs):
+                ngal, total = ngals_k[k][j]
+                t = ts_k[k][j]
+                outs[2 * j][rows] = total[:, None]
+                if cfg["auto"]:
+                    xi = _auto_quadratic_cols(t, ngal, cfg["groups"],
+                                              cfg["pack"], cfg["nb_sub"],
+                                              cfg["slab_w"])
+                    outs[2 * j + 1][rows] = xi / (total * total)[:, None]
+                else:
+                    outs[2 * j + 1][rows] = t / total[:, None]
 
     def run_kernel(pmat, *consts):
         # One pallas_call over the (local) batch; the grid follows the

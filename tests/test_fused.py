@@ -151,6 +151,28 @@ def test_bundle_slab_packing_matches_unpacked(wp_tabcorr, bol_model):
             atol=5e-7 * float(np.max(np.abs(np.asarray(xi_r)))))
 
 
+def test_bundle_sub_tile_staggering_bit_identical(wp_tabcorr, bol_model):
+    # sub_tiles staggers VPU/MXU issue order only; every row's math is
+    # unchanged, so outputs must be bit-identical (3 does not divide the
+    # tile and must silently fall back to 1).
+    from tabcorr_tpu.ops.fused import make_fused_bundle_predictor
+
+    table = wp_tabcorr.table_data(dtype=jnp.float32)
+    occ_c, occ_s = occupation_functions(bol_model)
+    names = tuple(bol_model.param_dict)
+    params = params_batch(
+        bol_model, {"logM1": bol_model.param_dict["logM1"] +
+                    np.linspace(-0.2, 0.2, 32)}, (32,))
+    kw = dict(batch_tile=16, interpret=True)
+    [(ng1, xi1)] = make_fused_bundle_predictor(
+        [table], occ_c, occ_s, names, sub_tiles=1, **kw)(params)
+    for s in (2, 4, 3):
+        [(ng, xi)] = make_fused_bundle_predictor(
+            [table], occ_c, occ_s, names, sub_tiles=s, **kw)(params)
+        np.testing.assert_array_equal(np.asarray(ng), np.asarray(ng1))
+        np.testing.assert_array_equal(np.asarray(xi), np.asarray(xi1))
+
+
 def test_fused_contraction_slab_packing(wp_tabcorr):
     # The standalone fused-contraction engine shares the packed slab
     # layout; packed vs unpacked must agree to f32 reduction order on a
