@@ -50,8 +50,8 @@ vs_baseline is measured rate / 1e3 (the reference's ~1 ms predict).
 """
 
 import json
+import subprocess
 import sys
-import threading
 import time
 
 import numpy as np
@@ -61,20 +61,23 @@ import jax.numpy as jnp
 
 # Backend-init watchdog: a broken accelerator tunnel makes the first
 # jax.devices() block forever inside the PJRT client constructor.  Probe
-# it on a daemon thread with a deadline so a dead tunnel produces an
-# explicit diagnostic JSON line instead of a silent hang.
-_devices_probe = []
-_probe_thread = threading.Thread(
-    target=lambda: _devices_probe.append(jax.devices()), daemon=True)
-_probe_thread.start()
-_probe_thread.join(300.0)
-if not _devices_probe:
-    print(json.dumps({
-        "metric": "zheng07_wp_xi_ell_predictions_per_sec", "value": 0.0,
-        "unit": "predictions/s", "vs_baseline": 0.0,
-        "error": "jax backend init exceeded 300 s "
-                 "(accelerator tunnel unreachable?)"}))
-    sys.exit(1)
+# it in a SUBPROCESS with a deadline (an in-process probe thread would
+# block holding jax's backend-init lock, poisoning even a CPU fallback);
+# if the tunnel is unreachable after two attempts, pin this process to
+# the CPU backend and measure the XLA path there — a slower but honest
+# number, clearly labeled, instead of a zero.
+TUNNEL_DEAD = True
+for _attempt in range(2):
+    try:
+        subprocess.run(
+            [sys.executable, "-c", "import jax; assert jax.devices()"],
+            timeout=240.0, check=True, capture_output=True)
+        TUNNEL_DEAD = False
+        break
+    except (subprocess.TimeoutExpired, subprocess.CalledProcessError):
+        pass
+if TUNNEL_DEAD:
+    jax.config.update("jax_platforms", "cpu")
 
 jax.config.update("jax_compilation_cache_dir", "/tmp/tabcorr_jax_cache")
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
@@ -87,7 +90,13 @@ BASELINE_PREDICTIONS_PER_SEC = 1.0e3  # reference predict ~1 ms / eval
 BATCH = 262144
 CHUNK = 4096
 N_ITER = 10
+N_WINDOWS = 5
 N_PROBE = 16  # accuracy probe points (batch elements 0..N_PROBE-1)
+if TUNNEL_DEAD:
+    # CPU fallback sizes: the XLA path on host is ~100x slower per
+    # prediction; keep the wall clock bounded while the rate estimate
+    # stays stable to a few percent.
+    BATCH, N_ITER, N_WINDOWS = 16384, 2, 3
 
 
 def make_xla_predict_all(wp_table, xi_table, occ_c, occ_s):
@@ -133,7 +142,7 @@ def make_bundle_predict_all(wp_table, xi_table, occ_c, occ_s, param_names,
     return predict_all
 
 
-def _timed_rate(fn, params, n_windows=5):
+def _timed_rate(fn, params, n_windows=N_WINDOWS):
     """Median rate over several timing windows.
 
     The TPU sits behind a network tunnel with ~5-10% run-to-run jitter;
@@ -291,6 +300,8 @@ def main():
         "batch": BATCH,
         "device": str(jax.devices()[0]),
         "kernel_path": kernel_path,
+        **({"error": "accelerator tunnel unreachable after 2x240s; "
+                     "measured on CPU fallback"} if TUNNEL_DEAD else {}),
         **({"fallback_reason": fallback_reason} if fallback_reason else {}),
         **({"elementwise_contract_rate": float(elementwise_rate)}
            if elementwise_rate else {}),

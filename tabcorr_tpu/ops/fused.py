@@ -457,6 +457,7 @@ def _bundle_table_constants(table: TableData, error_model="elementwise",
                 pack=pack, nb_sub=nb_sub, slab_w=slab_w,
                 row_inv_perm=row_inv_perm,
                 n_f_arrays=len(flat_blocks),
+                f_arrays=flat_blocks, seg_c=seg_c, seg_s=seg_s,
                 arrays=flat_blocks + seg_c + seg_s)
 
 
@@ -465,7 +466,7 @@ def make_fused_bundle_predictor(tables, occupation_cen, occupation_sat,
                                 interpret="auto", precision="highest",
                                 accuracy=None, mesh=None, batch_axis="dp",
                                 scale_block_rows=None, pack_slabs=True,
-                                sub_tiles=1):
+                                sub_tiles=1, fuse_occupation=False):
     """One-kernel multi-statistic predictor (the flagship hot path).
 
     Parameters
@@ -505,6 +506,16 @@ def make_fused_bundle_predictor(tables, occupation_cen, occupation_sat,
         contractions (MXU) so the two hardware queues overlap (see the
         kernel comment).  Must divide ``batch_tile`` (silently falls
         back to 1 otherwise).  Default 1.
+    fuse_occupation : bool, optional
+        Evaluate every table's occupation quadrature in ONE VPU pass per
+        galaxy type: the tables' (already 128-lane-aligned) node rows are
+        concatenated, so the transcendental-heavy occupation polynomials
+        and the exact 3-term bfloat16 expansion each run once over the
+        combined row instead of once per table, halving (for two tables)
+        the vector-unit instruction count.  The per-table segment-sum
+        matmuls then read lane-aligned slices of the shared expansion.
+        Bit-identical results to the unfused path (the same node values
+        flow through the same arithmetic).  Default False.
 
     Returns
     -------
@@ -539,7 +550,25 @@ def make_fused_bundle_predictor(tables, occupation_cen, occupation_sat,
                                        scale_block_rows=s,
                                        pack_slabs=pack_slabs)
                for t, a, s in zip(tables, accuracy, scale_block_rows)]
-    const_arrays = [a for c in configs for a in c["arrays"]]
+    fuse_occ = bool(fuse_occupation) and len(configs) > 1
+    if fuse_occ:
+        # Concatenated node rows per galaxy type (each table's segment is
+        # already padded to a 128-lane multiple, so the per-table slices
+        # below are lane-aligned); selectors stay per-table.
+        def _fuse(segs):
+            rows = tuple(jnp.concatenate([s[i] for s in segs], axis=1)
+                         for i in range(4))         # logm, res, sec, w
+            offs = np.cumsum([0] + [s[0].shape[1] for s in segs])
+            return rows, tuple(int(o) for o in offs)
+        fused_c, offs_c = _fuse([c["seg_c"] for c in configs])
+        fused_s, offs_s = _fuse([c["seg_s"] for c in configs])
+        const_arrays = [a for c in configs
+                        for a in c["f_arrays"] + (c["seg_c"][4],
+                                                  c["seg_s"][4])]
+        const_arrays += list(fused_c) + list(fused_s)
+        n_table_consts = sum(c["n_f_arrays"] + 2 for c in configs)
+    else:
+        const_arrays = [a for c in configs for a in c["arrays"]]
     names = tuple(param_names)
     n_names = len(names)
     if n_names > 128:
@@ -583,6 +612,29 @@ def make_fused_bundle_predictor(tables, occupation_cen, occupation_sat,
             params = {name: p[rows, i:i + 1]
                       for i, name in enumerate(names)}
             ngals = []
+            if fuse_occ:
+                # One occupation quadrature + exact 3-term expansion per
+                # galaxy type over the concatenated node rows of ALL
+                # tables (see the fuse_occupation docstring); each
+                # table's segment sum reads its lane-aligned slice.
+                exp_c = _fused_expansion(occupation_cen, params,
+                                         crefs[n_table_consts:
+                                               n_table_consts + 4])
+                exp_s = _fused_expansion(occupation_sat, params,
+                                         crefs[n_table_consts + 4:
+                                               n_table_consts + 8])
+                at = 0
+                for j, cfg in enumerate(configs):
+                    nf = cfg["n_f_arrays"]
+                    sel_c = crefs[at + nf][:]
+                    sel_s = crefs[at + nf + 1][:]
+                    at += nf + 2
+                    ngal = (_sliced_segment_sum(exp_c, offs_c[j],
+                                                offs_c[j + 1], sel_c) +
+                            _sliced_segment_sum(exp_s, offs_s[j],
+                                                offs_s[j + 1], sel_s))
+                    ngals.append((ngal, jnp.sum(ngal, axis=-1)))
+                return ngals
             at = 0
             for cfg in configs:
                 nf = cfg["n_f_arrays"]
@@ -604,13 +656,30 @@ def make_fused_bundle_predictor(tables, occupation_cen, occupation_sat,
                 ngals.append((ngal, jnp.sum(ngal, axis=-1)))
             return ngals
 
+        def _fused_expansion(occ_fn, params, refs):
+            logm, res, sec, w = (r[:] for r in refs)
+            occ = occupation_with_residual(occ_fn, params, logm, res, sec)
+            t = occ * w
+            t_hi = t.astype(jnp.bfloat16)
+            r1 = t - t_hi.astype(jnp.float32)
+            t_mid = r1.astype(jnp.bfloat16)
+            t_lo = (r1 - t_mid.astype(jnp.float32)).astype(jnp.bfloat16)
+            return t_hi, t_mid, t_lo
+
+        def _sliced_segment_sum(exp3, o0, o1, sel):
+            # The slice bounds are multiples of 128 by construction.
+            return sum(jnp.dot(e[:, o0:o1], sel,
+                               preferred_element_type=jnp.float32)
+                       for e in exp3)
+
         def dots_phase(ngals):
             ts = []
             at = 0
+            stride_extra = 2 if fuse_occ else 10
             for j, cfg in enumerate(configs):
                 nf = cfg["n_f_arrays"]
                 f_arrays = [r[:] for r in crefs[at:at + nf]]
-                at += nf + 10
+                at += nf + stride_extra
                 # One contraction per pass-count group (rows pre-permuted
                 # so equal-precision groups are lane-contiguous); see
                 # _split_f_blocks/_grouped_dots.

@@ -430,7 +430,7 @@ def make_predictor(obj, model, n_gauss=10, dtype=jnp.float32,
 def make_multi_predictor(objs, model, n_gauss=10, dtype=jnp.float32,
                          jit=True, engine="auto", accuracy=None,
                          batch_tile=None, mesh=None, batch_axis="dp",
-                         interpret="auto"):
+                         interpret="auto", fuse_occupation=False):
     """Joint predictor over several tabulations (e.g. wp + xi_0/2/4 + ds).
 
     Returns ``f(params dict of (B,)) -> list of (ngal, xi)`` evaluating all
@@ -455,7 +455,9 @@ def make_multi_predictor(objs, model, n_gauss=10, dtype=jnp.float32,
     ``batch_axis`` (tables replicated, zero hot-loop communication; see
     the bundle docstring).  Supported by both engines: the bundle wraps
     its kernel in ``shard_map``; the XLA engine relies on jit sharding
-    propagation from batch-sharded inputs.
+    propagation from batch-sharded inputs.  ``fuse_occupation`` forwards
+    to the bundle kernel (one VPU occupation pass shared by all tables;
+    see :func:`~.ops.fused.make_fused_bundle_predictor`).
     """
     bundle_eligible = (
         jnp.dtype(dtype) == jnp.dtype(jnp.float32) and
@@ -481,7 +483,7 @@ def make_multi_predictor(objs, model, n_gauss=10, dtype=jnp.float32,
             tuple(model.param_dict.keys()),
             batch_tile=DEFAULT_TILE if batch_tile is None else batch_tile,
             accuracy=accuracy, mesh=mesh, batch_axis=batch_axis,
-            interpret=interpret)
+            interpret=interpret, fuse_occupation=fuse_occupation)
 
     fns = [make_predictor(obj, model, n_gauss=n_gauss, dtype=dtype,
                           jit=False) for obj in objs]

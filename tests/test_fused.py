@@ -173,6 +173,37 @@ def test_bundle_sub_tile_staggering_bit_identical(wp_tabcorr, bol_model):
         np.testing.assert_array_equal(np.asarray(xi), np.asarray(xi1))
 
 
+def test_bundle_fused_occupation_bit_identical(wp_tabcorr, ds_tabcorr,
+                                               bol_model):
+    # fuse_occupation concatenates the tables' (128-aligned) node rows so
+    # one VPU pass per galaxy type serves every table; the same node
+    # values flow through the same arithmetic, so outputs must be
+    # bit-identical to the unfused kernel.  Covers a mixed auto + cross
+    # bundle and the interplay with sub-tile staggering.
+    from tabcorr_tpu.ops.fused import make_fused_bundle_predictor
+
+    tables = [wp_tabcorr.table_data(dtype=jnp.float32),
+              ds_tabcorr.table_data(dtype=jnp.float32)]
+    occ_c, occ_s = occupation_functions(bol_model)
+    names = tuple(bol_model.param_dict)
+    params = params_batch(
+        bol_model, {"logM1": bol_model.param_dict["logM1"] +
+                    np.linspace(-0.2, 0.2, 32)}, (32,))
+    kw = dict(batch_tile=16, interpret=True,
+              accuracy=["elementwise", "scaled"])
+    ref = make_fused_bundle_predictor(
+        [*tables], occ_c, occ_s, names, fuse_occupation=False, **kw)(params)
+    for sub in (1, 2):
+        got = make_fused_bundle_predictor(
+            [*tables], occ_c, occ_s, names, fuse_occupation=True,
+            sub_tiles=sub, **kw)(params)
+        for (ng_r, xi_r), (ng_g, xi_g) in zip(ref, got):
+            np.testing.assert_array_equal(np.asarray(ng_g),
+                                          np.asarray(ng_r))
+            np.testing.assert_array_equal(np.asarray(xi_g),
+                                          np.asarray(xi_r))
+
+
 def test_fused_contraction_slab_packing(wp_tabcorr):
     # The standalone fused-contraction engine shares the packed slab
     # layout; packed vs unpacked must agree to f32 reduction order on a
