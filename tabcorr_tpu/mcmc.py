@@ -655,3 +655,110 @@ def make_gaussian_logpost(predict_fn, param_names, base_params, data,
         return logp
 
     return log_prob
+
+
+# ---------------------------------------------------------------------------
+# Chain diagnostics (host-side, float64 numpy).
+#
+# The reference delegates sampling to emcee and its ecosystem; the
+# corresponding convergence tooling there is emcee's
+# ``get_autocorr_time`` (Goodman & Weare 2010 sec. 3; Sokal 1997
+# windowing) and the split-Rhat of Gelman et al.  These run on finished
+# chains, not in the jitted hot loop, so plain numpy is the right tool.
+# ---------------------------------------------------------------------------
+
+def integrated_autocorr_time(chain, c=5.0):
+    """Integrated autocorrelation time per parameter, emcee-style.
+
+    Parameters
+    ----------
+    chain : (n_steps, n_walkers, n_dim) array
+        Ensemble chain as returned by :func:`run_ensemble` (a 2-D
+        (n_steps, n_dim) single chain is also accepted).
+    c : float, optional
+        Sokal window constant: the sum is truncated at the smallest lag
+        M with M >= c * tau(M).  Default 5.0 (emcee's default).
+
+    Returns
+    -------
+    tau : (n_dim,) float64
+        Estimated integrated autocorrelation time of each parameter
+        (in steps; 1 = independent samples).
+    """
+    import numpy as np
+
+    x = np.asarray(chain, dtype=np.float64)
+    if x.ndim == 2:
+        x = x[:, None, :]
+    if x.ndim != 3:
+        raise ValueError("chain must be (n_steps[, n_walkers], n_dim).")
+    n, _, n_dim = x.shape
+    # Per-walker autocovariance via FFT, averaged over walkers
+    # (Goodman & Weare: the walkers are identically distributed but not
+    # independent early on; averaging their ACFs is emcee's estimator).
+    x = x - x.mean(axis=0, keepdims=True)
+    n_fft = 1 << (2 * n - 1).bit_length()
+    f = np.fft.rfft(x, n=n_fft, axis=0)
+    acf = np.fft.irfft(f * np.conjugate(f), n=n_fft, axis=0)[:n]
+    acf = acf.mean(axis=1)                     # (n, n_dim)
+    with np.errstate(invalid="ignore", divide="ignore"):
+        rho = acf / acf[0]
+    taus = 2.0 * np.cumsum(rho, axis=0) - 1.0  # tau(M) per lag M
+    out = np.empty(n_dim)
+    for d in range(n_dim):
+        m = np.arange(len(taus))
+        window = np.argmax(m >= c * taus[:, d])
+        if window == 0:                        # never crossed: use all lags
+            window = len(taus) - 1
+        out[d] = max(taus[window, d], 1.0)
+    return out
+
+
+def effective_sample_size(chain, c=5.0):
+    """Effective number of independent samples per parameter.
+
+    ``n_steps * n_walkers / tau`` with tau from
+    :func:`integrated_autocorr_time`.
+    """
+    import numpy as np
+
+    x = np.asarray(chain, dtype=np.float64)
+    if x.ndim == 2:
+        x = x[:, None, :]
+    total = x.shape[0] * x.shape[1]
+    return total / integrated_autocorr_time(x, c=c)
+
+
+def gelman_rubin(chain):
+    """Split-Rhat potential-scale-reduction per parameter.
+
+    Each walker's chain is split in half (2 * n_walkers sub-chains of
+    length n_steps // 2), then the classic Gelman-Rubin statistic
+    compares between- and within-chain variances.  Values close to 1
+    (conventionally < 1.01) indicate convergence.
+
+    Returns
+    -------
+    rhat : (n_dim,) float64
+    """
+    import numpy as np
+
+    x = np.asarray(chain, dtype=np.float64)
+    if x.ndim == 2:
+        x = x[:, None, :]
+    if x.ndim != 3:
+        raise ValueError("chain must be (n_steps[, n_walkers], n_dim).")
+    n = (x.shape[0] // 2) * 2
+    half = n // 2
+    if half < 2:
+        raise ValueError("need at least 4 steps for split-Rhat.")
+    # (half, 2 * n_walkers, n_dim) split sub-chains.
+    x = np.concatenate([x[:half], x[half:n]], axis=1)
+    mean_c = x.mean(axis=0)                    # (m, n_dim)
+    var_c = x.var(axis=0, ddof=1)              # (m, n_dim)
+    w = var_c.mean(axis=0)
+    b = half * mean_c.var(axis=0, ddof=1)
+    var_plus = (half - 1) / half * w + b / half
+    with np.errstate(invalid="ignore", divide="ignore"):
+        rhat = np.sqrt(var_plus / w)
+    return rhat

@@ -283,3 +283,81 @@ def test_batched_logpost_matches_sum_of_unbatched(wp_tabcorr, bol_model):
     chi2 = np.asarray(jax.vmap(chi2_only)(thetas))
     ngal_term = chi2_term - chi2
     np.testing.assert_allclose(got, 2 * chi2 + ngal_term, rtol=1e-10)
+
+
+def test_autocorr_time_ar1():
+    # AR(1) with coefficient rho has integrated autocorrelation time
+    # tau = (1 + rho) / (1 - rho); the emcee-style estimator must land
+    # within ~15% on a long multi-walker chain.
+    from tabcorr_tpu.mcmc import integrated_autocorr_time
+
+    rho = 0.9
+    tau_true = (1 + rho) / (1 - rho)  # 19.0
+    rng = np.random.default_rng(0)
+    n, w = 40000, 8
+    eps = rng.normal(size=(n, w, 2))
+    x = np.empty((n, w, 2))
+    x[0] = eps[0]
+    for t in range(1, n):
+        x[t] = rho * x[t - 1] + np.sqrt(1 - rho ** 2) * eps[t]
+    tau = integrated_autocorr_time(x)
+    assert tau.shape == (2,)
+    np.testing.assert_allclose(tau, tau_true, rtol=0.15)
+
+    # iid samples: tau ~ 1.
+    tau_iid = integrated_autocorr_time(rng.normal(size=(4000, 8, 3)))
+    np.testing.assert_allclose(tau_iid, 1.0, atol=0.25)
+
+
+def test_effective_sample_size():
+    from tabcorr_tpu.mcmc import effective_sample_size
+
+    rng = np.random.default_rng(1)
+    chain = rng.normal(size=(2000, 16, 2))
+    ess = effective_sample_size(chain)
+    # iid: ESS ~ total sample count (within the estimator's noise).
+    assert np.all(ess > 0.7 * 2000 * 16)
+    assert np.all(ess < 1.4 * 2000 * 16)
+
+
+def test_gelman_rubin_split_rhat():
+    from tabcorr_tpu.mcmc import gelman_rubin
+
+    rng = np.random.default_rng(2)
+    # Converged: all sub-chains sample the same distribution.
+    good = rng.normal(size=(4000, 8, 3))
+    rhat = gelman_rubin(good)
+    assert rhat.shape == (3,)
+    assert np.all(rhat < 1.01)
+
+    # Unconverged: walkers stuck at different means.
+    bad = rng.normal(size=(4000, 8, 1)) + np.arange(8)[None, :, None]
+    assert gelman_rubin(bad)[0] > 1.5
+
+    # Within-chain drift (first half != second half) is what SPLIT-Rhat
+    # exists to catch.
+    drift = rng.normal(size=(4000, 8, 1))
+    drift[2000:] += 3.0
+    assert gelman_rubin(drift)[0] > 1.5
+
+
+def test_diagnostics_on_ensemble_chain():
+    # End-to-end: diagnostics consume run_ensemble's output directly and
+    # report convergence on a well-mixed Gaussian target.
+    from tabcorr_tpu.mcmc import (effective_sample_size, gelman_rubin,
+                                  integrated_autocorr_time, run_ensemble)
+
+    def log_prob(x):
+        return -0.5 * jnp.sum(x ** 2)
+
+    rng = np.random.default_rng(3)
+    walkers0 = jnp.asarray(rng.normal(size=(32, 2)))
+    chain, _, acc = run_ensemble(jax.random.key(0), log_prob, walkers0,
+                                 2000)
+    chain = np.asarray(chain)
+    # Stretch-move tau on an isotropic 2-D Gaussian is ~20 steps; the
+    # chain must be long enough (n >> tau) for split-Rhat to settle.
+    tau = integrated_autocorr_time(chain)
+    assert np.all(tau < 40)
+    assert np.all(effective_sample_size(chain) > 1000)
+    assert np.all(gelman_rubin(chain[200:]) < 1.05)
