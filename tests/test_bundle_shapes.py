@@ -87,7 +87,7 @@ def test_bundle_random_shapes_match_host(seed):
     f = make_fused_bundle_predictor(
         tables, *occupation_functions(model),
         tuple(model.param_dict.keys()), batch_tile=8, interpret=True,
-        accuracy=accuracy)
+        accuracy=accuracy, fuse_occupation=bool(seed % 2))
     params = params_batch(model, {
         "logM1": model.param_dict["logM1"] +
         0.1 * np.random.default_rng(seed + 7).normal(size=8)},
