@@ -1,0 +1,122 @@
+"""Autotune the one-kernel bundle predictor on the current device.
+
+Sweeps the bundle kernel's performance knobs — ``batch_tile``,
+``sub_tiles`` (VPU/MXU issue staggering) and ``fuse_occupation``
+(cross-table occupation fusion) — on the tables you actually predict
+from, and prints one JSON line per configuration plus the winner.  All
+configurations produce identical results (the knobs only change layout
+and issue order; see ops/fused.py), so the fastest one is safe to adopt.
+
+Usage:
+    python scripts/tune_bundle.py [--batch 262144] [--iters 10]
+        [--tables wp.hdf5 xi.hdf5 ...] [--accuracy elementwise scaled]
+        [--tiles 256 512] [--quick]
+
+``--quick`` runs a tiny CPU smoke sweep in Pallas interpret mode (for CI
+and environments without an accelerator); timings there are meaningless
+but exercise every configuration end-to-end.
+"""
+
+import argparse
+import itertools
+import json
+import sys
+import time
+from pathlib import Path
+
+import numpy as np
+
+REPO = Path(__file__).absolute().parent.parent
+sys.path.insert(0, str(REPO))
+
+
+def main(argv=None):
+    parser = argparse.ArgumentParser(
+        description=__doc__.split("\n")[0],
+        formatter_class=argparse.ArgumentDefaultsHelpFormatter)
+    parser.add_argument("--tables", nargs="+", default=[
+        str(REPO / "tests" / "data" / "examples" / "bolplanck_wp.hdf5"),
+        str(REPO / "tests" / "data" / "examples" / "synthetic_xi_ell.hdf5"),
+    ], help="TabCorr HDF5 files forming the bundle.")
+    parser.add_argument("--accuracy", nargs="+", default=None,
+                        help="Per-table contract (elementwise/scaled); "
+                        "default: elementwise for every table.")
+    parser.add_argument("--batch", type=int, default=262144)
+    parser.add_argument("--iters", type=int, default=10)
+    parser.add_argument("--windows", type=int, default=5)
+    parser.add_argument("--tiles", type=int, nargs="+", default=[512])
+    parser.add_argument("--sub-tiles", type=int, nargs="+",
+                        default=[1, 2, 4])
+    parser.add_argument("--quick", action="store_true",
+                        help="tiny CPU interpret-mode smoke sweep")
+    args = parser.parse_args(argv)
+
+    import jax
+    if args.quick:
+        jax.config.update("jax_platforms", "cpu")
+    jax.config.update("jax_compilation_cache_dir", "/tmp/tabcorr_jax_cache")
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    import jax.numpy as jnp
+
+    import tabcorr_tpu as tt
+    from tabcorr_tpu.ops.fused import make_fused_bundle_predictor
+    from tabcorr_tpu.predictor import occupation_functions, params_batch
+
+    if args.quick:
+        args.batch, args.iters, args.windows = 64, 1, 1
+        args.tiles, args.sub_tiles = [16], [1, 2]
+
+    tabs = [tt.TabCorr.read(f) for f in args.tables]
+    accuracy = args.accuracy or ["elementwise"] * len(tabs)
+    model = tt.Zheng07Model(threshold=-18,
+                            redshift=tabs[0].attrs["redshift"])
+    occ_c, occ_s = occupation_functions(model)
+    tables = [t.table_data(n_gauss=10, dtype=jnp.float32) for t in tabs]
+    names = tuple(model.param_dict.keys())
+
+    rng = np.random.default_rng(7)
+    params = params_batch(
+        model, {"logM1": model.param_dict["logM1"] +
+                0.1 * rng.normal(size=args.batch)},
+        (args.batch,), dtype=jnp.float32)
+
+    print(json.dumps({"device": str(jax.devices()[0]),
+                      "batch": args.batch, "tables": args.tables,
+                      "accuracy": list(accuracy)}), flush=True)
+    results = []
+    ref = None
+    for fuse, sub, tile in itertools.product(
+            (False, True), args.sub_tiles, args.tiles):
+        f = make_fused_bundle_predictor(
+            tables, occ_c, occ_s, names, accuracy=accuracy,
+            batch_tile=tile, fuse_occupation=fuse, sub_tiles=sub,
+            interpret="auto")
+        out = f(params)
+        jax.block_until_ready(out)
+        # The knobs must not change results: guard against regressions.
+        if ref is None:
+            ref = [(np.asarray(ng), np.asarray(xi)) for ng, xi in out]
+        else:
+            for (ng_r, xi_r), (ng, xi) in zip(ref, out):
+                np.testing.assert_array_equal(np.asarray(ng), ng_r)
+                np.testing.assert_array_equal(np.asarray(xi), xi_r)
+        rates = []
+        for _ in range(args.windows):
+            t0 = time.perf_counter()
+            for _ in range(args.iters):
+                out = f(params)
+            jax.block_until_ready(out)
+            rates.append(args.batch * args.iters /
+                         (time.perf_counter() - t0))
+        rate = float(np.median(rates))
+        results.append(((fuse, sub, tile), rate))
+        print(json.dumps({"fuse_occupation": fuse, "sub_tiles": sub,
+                          "batch_tile": tile, "rate": rate}), flush=True)
+
+    (fuse, sub, tile), rate = max(results, key=lambda x: x[1])
+    print(json.dumps({"best": {"fuse_occupation": fuse, "sub_tiles": sub,
+                               "batch_tile": tile, "rate": rate}}))
+
+
+if __name__ == "__main__":
+    main()
