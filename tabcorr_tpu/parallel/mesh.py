@@ -23,6 +23,40 @@ BATCH_AXIS = "dp"
 TABLE_AXIS = "tp"
 
 
+def initialize_multihost(coordinator_address=None, num_processes=None,
+                         process_id=None):
+    """Initialize JAX's distributed runtime for a multi-host pod slice.
+
+    On Cloud TPU pods every argument is auto-detected from the
+    environment, so ``initialize_multihost()`` with no arguments is the
+    normal call; elsewhere pass the coordinator's ``host:port``, the
+    process count and this process's id.  After this,
+    ``jax.devices()`` lists the GLOBAL device set and every mesh built
+    by :func:`make_mesh` spans hosts — dp stays communication-free
+    (batch shards are host-local) while tp contractions ride ICI within
+    a host and DCN across, exactly the layering the sharded predictor's
+    psum expects.  Safe to call more than once (subsequent calls with
+    the same arguments are no-ops).
+
+    Returns the number of processes in the cluster.
+    """
+    try:
+        from jax._src import distributed as _dist
+        already = getattr(_dist.global_state, "client", None) is not None
+    except Exception:
+        already = False
+    if not already:
+        kwargs = {}
+        if coordinator_address is not None:
+            kwargs["coordinator_address"] = coordinator_address
+        if num_processes is not None:
+            kwargs["num_processes"] = num_processes
+        if process_id is not None:
+            kwargs["process_id"] = process_id
+        jax.distributed.initialize(**kwargs)
+    return jax.process_count()
+
+
 def make_mesh(n_devices=None, table_parallel=1, devices=None):
     """Build a (dp, tp) mesh over the available devices.
 

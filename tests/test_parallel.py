@@ -429,3 +429,30 @@ def test_interpolator_fused_sharded_matches_plain(ds_interpolator, model):
     np.testing.assert_allclose(np.asarray(xi_s), np.asarray(xi_p),
                                rtol=1e-5, atol=1e-6 * float(
                                    np.nanmax(np.abs(np.asarray(xi_p)))))
+
+
+def test_initialize_multihost_single_process():
+    # Single-process distributed init (the degenerate pod): after it,
+    # global device discovery and mesh construction work, and repeated
+    # initialization is a no-op.  Run in a subprocess so the session's
+    # jax runtime is untouched.
+    import subprocess
+    import sys
+    from pathlib import Path
+
+    code = """
+import jax
+jax.config.update("jax_platforms", "cpu")
+from tabcorr_tpu.parallel import initialize_multihost, make_mesh
+n = initialize_multihost("localhost:12951", 1, 0)
+assert n == 1, n
+assert initialize_multihost("localhost:12951", 1, 0) == 1  # idempotent
+assert jax.process_index() == 0
+mesh = make_mesh()
+print("MULTIHOST-OK", dict(mesh.shape))
+"""
+    out = subprocess.run([sys.executable, "-c", code],
+                         cwd=Path(__file__).parents[1], timeout=300,
+                         capture_output=True, text=True)
+    assert out.returncode == 0, out.stderr[-2000:]
+    assert "MULTIHOST-OK" in out.stdout
