@@ -15,6 +15,7 @@
 #include <cmath>
 #include <cstdint>
 #include <cstring>
+#include <limits>
 #include <vector>
 
 #ifdef _OPENMP
@@ -85,31 +86,26 @@ struct CellList {
                                     cell_start.end() - 1);
         for (int64_t i = 0; i < n; i++) {
             int64_t at = cursor[cell_of[i]]++;
-            px[at] = pos[3 * i + 0];
-            py[at] = pos[3 * i + 1];
-            pz[at] = pos[3 * i + 2];
+            // Store positions WRAPPED into [0, period): both endpoints
+            // wrapped makes every raw difference fall in (-P, P), so the
+            // minimum image needs a single branchless half-period
+            // correction in the vectorized filter loop (bit-identical to
+            // the nearbyint form for in-box inputs).
+            px[at] = wrap(pos[3 * i + 0], period[0]);
+            py[at] = wrap(pos[3 * i + 1], period[1]);
+            pz[at] = wrap(pos[3 * i + 2], period[2]);
             label[at] = labels ? labels[i] : 0;
             orig[at] = i;
             weight[at] = weights ? weights[i] : 1.0;
         }
     }
-};
 
-inline double min_image(double d, double period) {
-    return d - period * std::nearbyint(d / period);
-}
-
-inline int bin_of(double value_sq, const double* edges_sq, int n_bins) {
-    // Binary search: largest i with edges_sq[i] <= value_sq; -1 if below.
-    if (value_sq < edges_sq[0] || value_sq >= edges_sq[n_bins]) return -1;
-    int lo = 0, hi = n_bins;
-    while (hi - lo > 1) {
-        int mid = (lo + hi) / 2;
-        if (value_sq >= edges_sq[mid]) lo = mid;
-        else hi = mid;
+    static double wrap(double x, double p) {
+        double w = std::fmod(x, p);
+        if (w < 0) w += p;
+        return w;
     }
-    return lo;
-}
+};
 
 // kind: 0 = rppi (rp bins, |dz| < pi_max), 1 = proj (rp bins, any dz),
 //       2 = smu ((s, mu) bins).
@@ -178,45 +174,121 @@ void count_pairs(const double* pos1, const int32_t* labels1, int64_t n1,
         int cy = grid.cell_coord(yw, 1);
         int cz = grid.cell_coord(zw, 2);
 
+        // Two-phase inner loop (the Corrfunc design, arXiv 1911.08275):
+        // phase A is a branch-free SIMD sweep computing separations and a
+        // cheap in-range predicate for a whole chunk of cell-contiguous
+        // candidates; phase B is a scalar skim that bins and accumulates
+        // only the survivors (a few-cycle mask test per rejected
+        // candidate).  The single half-period correction relies on the
+        // cell list storing wrapped coordinates (see CellList::build).
+        constexpr int CHUNK = 256;
+        double buf_rp[CHUNK], buf_dz[CHUNK];
+        double buf_v[CHUNK], buf_rp2[CHUNK], buf_dz2[CHUNK];
+        uint8_t buf_ok[CHUNK];
+        int16_t buf_idx[CHUNK];
+        int32_t buf_bin[CHUNK];
+        const double p0 = period[0], p1 = period[1], p2 = period[2];
+        const double h0 = 0.5 * p0, h1 = 0.5 * p1, h2 = 0.5 * p2;
+        const double e_lo = r_edges_sq[0], e_hi = r_edges_sq[n_r];
+        // Loop-invariant knobs folded into arithmetic so the filter loop
+        // body is branch-free (short-circuit && / invariant ifs block
+        // auto-vectorization): kind 2 ranges on s^2 = rp^2 + dz^2, kind 0
+        // adds the finite pi cut, kind 1 spans any dz.
+        const double smu_w = (kind == 2) ? 1.0 : 0.0;
+        const double z_cut = (kind == 0) ? pi_max
+            : std::numeric_limits<double>::infinity();
+        const double* __restrict pxp = grid.px.data();
+        const double* __restrict pyp = grid.py.data();
+        const double* __restrict pzp = grid.pz.data();
+
         auto visit = [&](int gx, int gy, int gz) {
             int64_t c = grid.cell_index(gx, gy, gz);
-            for (int64_t j = grid.cell_start[c];
-                 j < grid.cell_start[c + 1]; j++) {
-                if (autocorr && grid.orig[j] == i) continue;
-                int l2 = grid.label[j];
-                if (l2 < 0) continue;
-                double dx = min_image(x1 - grid.px[j], period[0]);
-                double dy = min_image(y1 - grid.py[j], period[1]);
-                double dz = std::fabs(
-                    min_image(z1 - grid.pz[j], period[2]));
-                double rp_sq = dx * dx + dy * dy;
-                int sub;
-                if (kind == 2) {
-                    double s_sq = rp_sq + dz * dz;
-                    int sb = bin_of(s_sq, r_edges_sq, n_r);
-                    if (sb < 0 || s_sq <= 0) continue;
-                    double mu = dz / std::sqrt(s_sq);
-                    int mb = std::min(int(mu * n_mu), n_mu - 1);
-                    sub = sb * n_mu + mb;
-                } else {
-                    if (kind == 0 && dz >= pi_max) continue;
-                    sub = bin_of(rp_sq, r_edges_sq, n_r);
-                    if (sub < 0) continue;
+            int64_t c_end = grid.cell_start[c + 1];
+            for (int64_t j0 = grid.cell_start[c]; j0 < c_end;
+                 j0 += CHUNK) {
+                int m = int(std::min<int64_t>(CHUNK, c_end - j0));
+#ifdef _OPENMP
+#pragma omp simd
+#endif
+                for (int k = 0; k < m; k++) {
+                    double dx = xw - pxp[j0 + k];
+                    double dy = yw - pyp[j0 + k];
+                    double dz = zw - pzp[j0 + k];
+                    dx += p0 * (double((dx < -h0)) - double((dx > h0)));
+                    dy += p1 * (double((dy < -h1)) - double((dy > h1)));
+                    dz += p2 * (double((dz < -h2)) - double((dz > h2)));
+                    double rp_sq = dx * dx + dy * dy;
+                    dz = std::fabs(dz);
+                    buf_rp[k] = rp_sq;
+                    buf_dz[k] = dz;
+                    double range_sq = rp_sq + smu_w * (dz * dz);
+                    buf_ok[k] = uint8_t(int(range_sq >= e_lo) &
+                                        int(range_sq < e_hi) &
+                                        int(dz < z_cut));
                 }
-                double w = grid.weight[j];
-                int64_t idx = (base1 + l2) * n_sub + sub;
-                // pair_weight 1: accumulate w * ln(rp) for the exact
-                // annulus-averaged delta-sigma estimator (rp floored so a
-                // coincident pair stays finite); 2: both channels in one
-                // pass.
-                if (pair_weight == 2) {
-                    hist[idx] += w;
-                    hist[n_hist + idx] +=
-                        w * 0.5 * std::log(std::max(rp_sq, 1e-20));
-                } else {
-                    if (pair_weight == 1)
-                        w *= 0.5 * std::log(std::max(rp_sq, 1e-20));
-                    hist[idx] += w;
+                // Branchless survivor compaction (an if-skim on a ~20%
+                // hit rate mispredicts constantly; unconditional stores
+                // with a conditional advance do not), gathering the
+                // binning operands contiguously for the SIMD passes.
+                int n_surv = 0;
+                for (int k = 0; k < m; k++) {
+                    buf_idx[n_surv] = int16_t(k);
+                    buf_v[n_surv] = buf_rp[k] +
+                        smu_w * (buf_dz[k] * buf_dz[k]);
+                    buf_rp2[n_surv] = buf_rp[k];
+                    buf_dz2[n_surv] = buf_dz[k];
+                    n_surv += int(buf_ok[k]);
+                }
+                // SIMD binning: phase A guarantees e_lo <= v < e_hi, so
+                // the radial bin is exactly the count of interior edges
+                // <= v.  Edge-outer / survivor-inner keeps the inner
+                // body a single vectorizable compare-accumulate.
+                std::memset(buf_bin, 0, n_surv * sizeof(int32_t));
+                for (int kk = 1; kk < n_r; kk++) {
+                    const double ek = r_edges_sq[kk];
+#ifdef _OPENMP
+#pragma omp simd
+#endif
+                    for (int s = 0; s < n_surv; s++)
+                        buf_bin[s] += int32_t(buf_v[s] >= ek);
+                }
+                if (kind == 2) {
+#ifdef _OPENMP
+#pragma omp simd
+#endif
+                    for (int s = 0; s < n_surv; s++) {
+                        // A zero-separation pair (possible only when the
+                        // s bins start at 0) is dropped like the scalar
+                        // code did: bin -1, skipped in accumulation.
+                        int nz_ok = int(buf_v[s] > 0.0);
+                        double mu = buf_dz2[s] /
+                            std::sqrt(buf_v[s] + double(1 - nz_ok));
+                        int mb = int(mu * n_mu);
+                        mb = mb < n_mu - 1 ? mb : n_mu - 1;
+                        buf_bin[s] = nz_ok ?
+                            buf_bin[s] * n_mu + mb : -1;
+                    }
+                }
+                for (int s = 0; s < n_surv; s++) {
+                    int64_t j = j0 + buf_idx[s];
+                    if (autocorr && grid.orig[j] == i) continue;
+                    int l2 = grid.label[j];
+                    if (l2 < 0 || buf_bin[s] < 0) continue;
+                    double w = grid.weight[j];
+                    int64_t idx = (base1 + l2) * n_sub + buf_bin[s];
+                    // pair_weight 1: accumulate w * ln(rp) for the exact
+                    // annulus-averaged delta-sigma estimator (rp floored
+                    // so a coincident pair stays finite); 2: both
+                    // channels in one pass.
+                    if (pair_weight == 2) {
+                        hist[idx] += w;
+                        hist[n_hist + idx] +=
+                            w * 0.5 * std::log(std::max(buf_rp2[s], 1e-20));
+                    } else {
+                        if (pair_weight == 1)
+                            w *= 0.5 * std::log(std::max(buf_rp2[s], 1e-20));
+                        hist[idx] += w;
+                    }
                 }
             }
         };
