@@ -28,6 +28,7 @@ struct CellList {
     // Cell-list over one tracer set: cells of size >= the search radius in
     // each periodic dimension, point data stored contiguously per cell.
     int nc[3];
+    int reach[3];
     double cell_size[3];
     double period[3];
     std::vector<int64_t> cell_start;  // size ncells+1
@@ -56,11 +57,20 @@ struct CellList {
                const double* rmax) {
         for (int d = 0; d < 3; d++) {
             period[d] = box[d];
-            // At least one cell; cells no smaller than the search radius
-            // so +-1 neighbor cells cover every candidate pair.
-            int c = rmax[d] > 0 ? int(std::floor(box[d] / rmax[d])) : 1;
+            // Refinement factor 2 (the Corrfunc bin_refine default):
+            // cells of ~rmax/2 with a +-2-cell neighbor walk enclose the
+            // search ball much tighter than rmax-sized cells with +-1 —
+            // the per-point cell-gap pruning in count_pairs drops the
+            // far corners of the walk entirely.
+            int c = rmax[d] > 0
+                ? int(std::floor(2.0 * box[d] / rmax[d])) : 1;
             nc[d] = std::max(1, std::min(c, 256));
             cell_size[d] = box[d] / nc[d];
+            // Cells each side needed to cover rmax from anywhere inside
+            // the home cell.
+            reach[d] = rmax[d] > 0
+                ? int(std::ceil(rmax[d] / cell_size[d] - 1e-12)) : 0;
+            reach[d] = std::min(reach[d], nc[d]);
         }
         int64_t m = ncells();
         std::vector<int64_t> count(m, 0);
@@ -140,14 +150,6 @@ void count_pairs(const double* pos1, const int32_t* labels1, int64_t n1,
 #endif
     std::vector<std::vector<double>> partial(
         n_threads, std::vector<double>(n_hist_total, 0.0));
-
-    // Neighbor cell offsets per dimension: all cells if fewer than 3.
-    std::vector<int> offs[3];
-    for (int d = 0; d < 3; d++) {
-        if (grid.nc[d] <= 2) {
-            for (int c = 0; c < grid.nc[d]; c++) offs[d].push_back(c);
-        }
-    }
 
 #ifdef _OPENMP
 #pragma omp parallel for schedule(dynamic, 64)
@@ -293,30 +295,57 @@ void count_pairs(const double* pos1, const int32_t* labels1, int64_t n1,
             }
         };
 
-        // Distinct wrapped neighbor cells in each dimension.
-        int seenx[3], seeny[3], seenz[3];
+        // Distinct wrapped neighbor cells per dimension, each with the
+        // minimum periodic distance ("gap") from THIS point to that
+        // cell's interval — the triple loop below prunes whole cells
+        // whose combined gap already exceeds the search range.
+        struct Nb { int cell; double gap; };
+        Nb nbx[8], nby[8], nbz[8];
         int nx = 0, ny = 0, nz = 0;
-        auto collect = [&](int c, int d, int* seen, int& n_seen) {
-            for (int o = -1; o <= 1; o++) {
-                int g = c + o;
-                if (g < 0) g += grid.nc[d];
-                if (g >= grid.nc[d]) g -= grid.nc[d];
+        auto collect = [&](double xq, int cq, int d, Nb* out,
+                           int& n_out) {
+            double cs = grid.cell_size[d], p = grid.period[d];
+            for (int o = -grid.reach[d]; o <= grid.reach[d]; o++) {
+                int g = cq + o;
+                while (g < 0) g += grid.nc[d];
+                while (g >= grid.nc[d]) g -= grid.nc[d];
                 bool dup = false;
-                for (int k = 0; k < n_seen; k++)
-                    if (seen[k] == g) dup = true;
-                if (!dup) seen[n_seen++] = g;
+                for (int k = 0; k < n_out; k++)
+                    if (out[k].cell == g) dup = true;
+                if (dup) continue;
+                double lo = g * cs, hi = lo + cs;
+                // Distance from xq to [lo, hi], minimized over periodic
+                // images of the point.
+                auto gap_at = [&](double x) {
+                    return std::max({0.0, lo - x, x - hi});
+                };
+                double gap = std::min({gap_at(xq), gap_at(xq + p),
+                                       gap_at(xq - p)});
+                out[n_out++] = {g, gap};
             }
         };
-        collect(cx, 0, seenx, nx);
-        collect(cy, 1, seeny, ny);
+        collect(xw, cx, 0, nbx, nx);
+        collect(yw, cy, 1, nby, ny);
         // kind 'proj' builds a single full-height z cell (rmax_z = 0), so
-        // the same neighbor walk covers the whole column.
-        collect(cz, 2, seenz, nz);
+        // the same neighbor walk covers the whole column (gap unused).
+        collect(zw, cz, 2, nbz, nz);
 
+        const double r_hi = r_edges_sq[n_r];
         for (int a = 0; a < nx; a++)
-            for (int b = 0; b < ny; b++)
-                for (int g = 0; g < nz; g++)
-                    visit(seenx[a], seeny[b], seenz[g]);
+            for (int b = 0; b < ny; b++) {
+                double rp_gap_sq = nbx[a].gap * nbx[a].gap +
+                                   nby[b].gap * nby[b].gap;
+                if (rp_gap_sq >= r_hi && kind != 2) continue;
+                for (int g = 0; g < nz; g++) {
+                    double gz = nbz[g].gap;
+                    if (kind == 2) {
+                        if (rp_gap_sq + gz * gz >= r_hi) continue;
+                    } else if (kind == 0 && gz >= pi_max) {
+                        continue;
+                    }
+                    visit(nbx[a].cell, nby[b].cell, nbz[g].cell);
+                }
+            }
     }
 
     std::memset(out, 0, sizeof(double) * n_hist_total);
