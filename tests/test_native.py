@@ -1,5 +1,6 @@
 """Native (C++ cell-list) pair counter vs the device kernels."""
 
+import jax
 import numpy as np
 import pytest
 
@@ -153,3 +154,42 @@ def test_native_backend_delta_sigma_matches_device():
     # delta-sigma scale rather than per-element (near-zero entries).
     np.testing.assert_allclose(m_nat, m_dev, rtol=2e-3,
                                atol=2e-4 * np.max(np.abs(m_dev)))
+
+
+def test_auto_strategy_routes_to_native_on_cpu():
+    # On a CPU-only host, labeled_pair_count(strategy='auto') must route
+    # to the (much faster) C++ counter when it can serve the call
+    # exactly, and the result must equal an explicit strategy='native'
+    # call bit-for-bit.  smu with non-uniform mu bins must fall back.
+    from tabcorr_tpu.ops.paircount import labeled_pair_count
+
+    if jax.default_backend() == "tpu":
+        pytest.skip("CPU routing test")
+
+    rng = np.random.default_rng(5)
+    N = 1200
+    pos = rng.uniform(0, 60.0, (N, 3))
+    labels = rng.integers(0, 3, N).astype(np.int32)
+    r_edges = np.logspace(-0.5, 1.0, 5)
+
+    got_auto = labeled_pair_count(pos, labels, 3, period=60.0,
+                                  kind="rppi", r_edges=r_edges,
+                                  pi_max=8.0)
+    got_nat = labeled_pair_count(pos, labels, 3, period=60.0,
+                                 kind="rppi", r_edges=r_edges,
+                                 pi_max=8.0, strategy="native")
+    assert isinstance(got_auto, np.ndarray)
+    np.testing.assert_array_equal(got_auto, got_nat)
+
+    # Non-uniform mu bins cannot run natively: auto must still succeed
+    # (scatter fallback), matching the explicit scatter result.
+    mu_nonuniform = np.array([0.0, 0.3, 1.0])
+    got_auto2 = labeled_pair_count(pos, labels, 3, period=60.0,
+                                   kind="smu", r_edges=r_edges,
+                                   mu_edges=mu_nonuniform)
+    got_scatter = labeled_pair_count(pos, labels, 3, period=60.0,
+                                     kind="smu", r_edges=r_edges,
+                                     mu_edges=mu_nonuniform,
+                                     strategy="scatter")
+    np.testing.assert_array_equal(np.asarray(got_auto2),
+                                  np.asarray(got_scatter))

@@ -197,8 +197,13 @@ def test_sharded_pair_counting_matches_plain():
     rp_bins = np.logspace(-0.5, 1.2, 6)
     mesh = Mesh(np.array(jax.devices()), ("shard",))
 
+    # strategy pinned: this test asserts the MESH path equals the plain
+    # path of the same (device-sweep) engine; 'auto' on CPU would route
+    # the plain side to the native f64 counter, whose more accurate pair
+    # classification legitimately differs on f32-edge pairs.
     plain = labeled_pair_count(pos, labels, 4, period=L, kind="rppi",
-                               r_edges=rp_bins, pi_max=10.0)
+                               r_edges=rp_bins, pi_max=10.0,
+                               strategy="scatter")
     sharded = labeled_pair_count(pos, labels, 4, period=L, kind="rppi",
                                  r_edges=rp_bins, pi_max=10.0, mesh=mesh)
     np.testing.assert_array_equal(sharded, plain)
@@ -207,7 +212,7 @@ def test_sharded_pair_counting_matches_plain():
     weights = rng.uniform(0.5, 2.0, 4000)
     plain_w = labeled_pair_count(pos, labels, 4, pos2=ptcl,
                                  weights2=weights, period=L, kind="proj",
-                                 r_edges=rp_bins)
+                                 r_edges=rp_bins, strategy="scatter")
     sharded_w = labeled_pair_count(pos, labels, 4, pos2=ptcl,
                                    weights2=weights, period=L, kind="proj",
                                    r_edges=rp_bins, mesh=mesh)
@@ -218,7 +223,7 @@ def test_sharded_pair_counting_matches_plain():
     # doubled histogram must shard identically to the single channels.
     plain_b = labeled_pair_count(pos, labels, 4, pos2=ptcl,
                                  weights2=weights, period=L, kind="proj",
-                                 r_edges=rp_bins,
+                                 r_edges=rp_bins, strategy="scatter",
                                  pair_weight="unit+log_rp")
     sharded_b = labeled_pair_count(pos, labels, 4, pos2=ptcl,
                                    weights2=weights, period=L,
@@ -255,7 +260,8 @@ def test_sharded_sweep_dispatch_structure(monkeypatch):
     n_blocks = -(-32 // pc.SWEEP_BLOCK)
     assert len(calls) == n_blocks
     plain = pc.labeled_pair_count(pos, labels, 1, period=L, kind="rppi",
-                                  r_edges=rp_bins, pi_max=4.0)
+                                  r_edges=rp_bins, pi_max=4.0,
+                                  strategy="scatter")
     np.testing.assert_array_equal(counts, plain)
 
     # Windows really engage: with pi_max << L each device's hull must be

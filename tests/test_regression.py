@@ -38,9 +38,18 @@ def test_regression_predict_locked():
                                expected["wp_cen_sat"], rtol=1e-5)
 
 
-def test_regression_tabulation_reproducible():
+def test_regression_tabulation_reproducible(monkeypatch):
     # Re-tabulating with the same seeds must reproduce the stored matrix
-    # (float32 storage precision).
+    # (float32 storage precision).  The fixture was produced by the
+    # DEVICE sweep (f32 pair classification); pin that engine so this
+    # lock tests pipeline drift, not CPU backend routing — the native
+    # f64 counter legitimately classifies a handful of f32-edge pairs
+    # differently (it has its own oracle-exact lock in test_native).
+    import tabcorr_tpu.ops.paircount as pc
+    orig = pc.labeled_pair_count
+    monkeypatch.setattr(
+        pc, "labeled_pair_count",
+        lambda *a, **kw: orig(*a, **{**kw, "strategy": "scatter"}))
     from test_tabulate import synthetic_halocat
 
     halocat = synthetic_halocat(n_halos=800, seed=1)
