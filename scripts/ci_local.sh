@@ -24,4 +24,7 @@ fi
 
 echo "== fast test suite =="
 python -m pytest tests/ -m "not slow" -q
+
+echo "== slow suite (goldens + pipeline; fast on CPU via the native counter) =="
+python -m pytest tests/ -m slow -q
 echo "LOCAL CI GREEN"
