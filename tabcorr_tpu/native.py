@@ -2,28 +2,45 @@
 
 The device kernels in :mod:`tabcorr_tpu.ops.paircount` are the primary
 compute path; this module provides the same labeled-histogram interface
-backed by ``native/paircount.cpp`` for hosts without an accelerator (the
-role Corrfunc plays for the reference).  The shared library is compiled on
-first use with the system g++ and cached next to the source.
+backed by ``tabcorr_tpu/native_src/paircount.cpp`` for hosts without an
+accelerator (the role Corrfunc plays for the reference).  The source
+ships as package data so pip installs get the backend too; the shared
+library is compiled on first use with the system g++ and cached next to
+the source when that directory is writable (a development checkout),
+else under ``$XDG_CACHE_HOME/tabcorr_tpu`` (a read-only site-packages).
 """
 
 from __future__ import annotations
 
 import ctypes
+import os
 import subprocess
 from pathlib import Path
 
 import numpy as np
 
-_NATIVE_DIR = Path(__file__).absolute().parent.parent / "native"
+_NATIVE_DIR = Path(__file__).absolute().parent / "native_src"
 _SOURCE = _NATIVE_DIR / "paircount.cpp"
-# Must match tabcorr_native_version() in native/paircount.cpp; bumped on
-# every C ABI change.  The version is part of the artifact NAME: a stale
-# .so called through a newer ctypes signature would misread its argument
-# stack, and rebuilding under one filename cannot help in-process
-# (glibc's dlopen caches by pathname and returns the old mapping).
+# Must match tabcorr_native_version() in native_src/paircount.cpp; bumped
+# on every C ABI change.  The version is part of the artifact NAME: a
+# stale .so called through a newer ctypes signature would misread its
+# argument stack, and rebuilding under one filename cannot help
+# in-process (glibc's dlopen caches by pathname and returns the old
+# mapping).
 NATIVE_ABI_VERSION = 3
-_LIB_PATH = _NATIVE_DIR / f"libtabcorr_paircount_v{NATIVE_ABI_VERSION}.so"
+
+
+def _artifact_dir() -> Path:
+    if os.access(_NATIVE_DIR, os.W_OK):
+        return _NATIVE_DIR
+    cache = Path(os.environ.get("XDG_CACHE_HOME",
+                                Path.home() / ".cache")) / "tabcorr_tpu"
+    cache.mkdir(parents=True, exist_ok=True)
+    return cache
+
+
+_LIB_PATH = (_artifact_dir() /
+             f"libtabcorr_paircount_v{NATIVE_ABI_VERSION}.so")
 _LIB = None
 
 
@@ -66,7 +83,7 @@ def load_library():
         # return glibc's cached stale mapping anyway).
         raise NativeUnavailable(
             f"{_LIB_PATH.name} reports ABI version {found}, expected "
-            f"{NATIVE_ABI_VERSION}; native/paircount.cpp and "
+            f"{NATIVE_ABI_VERSION}; native_src/paircount.cpp and "
             f"tabcorr_tpu/native.py are out of sync.")
     lib.tabcorr_count_pairs.restype = None
     lib.tabcorr_count_pairs.argtypes = [

@@ -193,3 +193,15 @@ def test_auto_strategy_routes_to_native_on_cpu():
                                      strategy="scatter")
     np.testing.assert_array_equal(np.asarray(got_auto2),
                                   np.asarray(got_scatter))
+
+
+def test_artifact_dir_falls_back_to_cache(monkeypatch, tmp_path):
+    # A read-only site-packages install must build into the user cache.
+    monkeypatch.setattr(native.os, "access", lambda p, m: False)
+    monkeypatch.setenv("XDG_CACHE_HOME", str(tmp_path))
+    d = native._artifact_dir()
+    assert d == tmp_path / "tabcorr_tpu"
+    assert d.is_dir()
+    # Writable source dir (a development checkout) builds next to it.
+    monkeypatch.setattr(native.os, "access", lambda p, m: True)
+    assert native._artifact_dir() == native._NATIVE_DIR
