@@ -119,3 +119,39 @@ def test_interpolator_grid_validation(ds_interpolator):
         tt.Interpolator(tabs, bad)
     with pytest.raises(ValueError):
         tt.Interpolator(tabs[:2], bad)
+
+
+def test_interpolator_gradient_through_spline(ds_interpolator, model):
+    # The spline interpolation over the parameter grid is differentiable:
+    # d(prediction)/d(log_eta) through the jitted predictor must match a
+    # central finite difference of the host float64 path.  This is the
+    # property that lets HMC/NUTS sample phase-space parameters (the
+    # reference's numpy pipeline has no derivatives at all).
+    import copy
+
+    import jax
+    from tabcorr_tpu.predictor import make_predictor, params_batch
+
+    f = make_predictor(ds_interpolator, model, dtype=jnp.float64,
+                       vectorized=False, jit=False)
+    base = {k: jnp.float64(v) for k, v in model.param_dict.items()}
+
+    def scalar(log_eta):
+        p = dict(base)
+        p["log_eta"] = log_eta
+        ngal, ds = f(p)
+        return jnp.sum(ds)
+
+    x0 = jnp.float64(model.param_dict["log_eta"] + 0.013)
+    g = jax.grad(scalar)(x0)
+
+    eps = 1e-4
+    m_hi, m_lo = copy.deepcopy(model), copy.deepcopy(model)
+    m_hi.param_dict["log_eta"] = float(x0) + eps
+    m_lo.param_dict["log_eta"] = float(x0) - eps
+    _, ds_hi = ds_interpolator.predict(m_hi, check_consistency=False)
+    _, ds_lo = ds_interpolator.predict(m_lo, check_consistency=False)
+    fd = (np.sum(ds_hi) - np.sum(ds_lo)) / (2 * eps)
+
+    assert np.isfinite(float(g))
+    np.testing.assert_allclose(float(g), fd, rtol=1e-5)
