@@ -515,6 +515,10 @@ def labeled_pair_count(pos1, labels1, n_labels_1, pos2=None, labels2=None,
         else:
             strategy = "scatter"
     if strategy == "native":
+        if mesh is not None:
+            raise ValueError(
+                "strategy='native' runs on the host and cannot shard "
+                "over a mesh; use 'matmul' or 'scatter' with mesh=.")
         from .. import native as _native
         return np.asarray(_native.labeled_pair_count(
             np.asarray(pos1), np.asarray(labels1), n_labels_1,
