@@ -205,3 +205,92 @@ def test_artifact_dir_falls_back_to_cache(monkeypatch, tmp_path):
     # Writable source dir (a development checkout) builds next to it.
     monkeypatch.setattr(native.os, "access", lambda p, m: True)
     assert native._artifact_dir() == native._NATIVE_DIR
+
+
+@pytest.mark.parametrize("seed", [6, 17, 23, 31])
+def test_native_fuzz_vs_bruteforce_oracle(seed):
+    # Randomized geometries (anisotropic boxes, out-of-box positions,
+    # dropped labels, r-bins possibly starting at 0, every kind and
+    # weight channel, auto and cross) against an O(N^2) minimum-image
+    # oracle.  Unit counts must match exactly when unweighted; weighted
+    # channels to 1e-10 (summation order).
+    rng = np.random.default_rng(seed)
+    n1 = int(rng.integers(50, 300))
+    box = np.array([rng.uniform(5, 60) for _ in range(3)])
+    kind = str(rng.choice(["rppi", "proj", "smu"]))
+    auto = bool(rng.integers(0, 2))
+    n_lab1 = int(rng.integers(1, 6))
+    pos1 = rng.uniform(-10, 70, (n1, 3))
+    l1 = rng.integers(-1, n_lab1, n1).astype(np.int32)
+    if auto:
+        pos2, l2, n_lab2, weights2 = pos1, l1, n_lab1, None
+        w2 = np.ones(n1)
+    else:
+        n2 = int(rng.integers(50, 300))
+        n_lab2 = int(rng.integers(1, 6))
+        pos2 = rng.uniform(-10, 70, (n2, 3))
+        l2 = rng.integers(-1, n_lab2, n2).astype(np.int32)
+        w2 = rng.uniform(0.1, 3.0, n2)
+        weights2 = w2
+    n_r = int(rng.integers(1, 8))
+    lo = rng.choice([0.0, rng.uniform(0.05, 0.5)])
+    r_edges = np.unique(np.concatenate(
+        [[lo], np.sort(rng.uniform(max(lo, 0.1), min(box) * 0.45, n_r))]))
+    pi_max = float(rng.uniform(0.5, min(box[2] * 0.45, 20.0)))
+    n_mu = int(rng.integers(1, 6))
+    pair_weight = str(rng.choice(["unit", "log_rp", "unit+log_rp"]))
+    kw = {}
+    if kind == "smu":
+        kw["mu_edges"] = np.linspace(0, 1, n_mu + 1)
+    if kind == "rppi":
+        kw["pi_max"] = pi_max
+
+    got = np.asarray(native.labeled_pair_count(
+        pos1, l1, n_lab1,
+        pos2=None if auto else pos2, labels2=None if auto else l2,
+        n_labels_2=None if auto else n_lab2, weights2=weights2,
+        period=box, kind=kind, r_edges=r_edges,
+        pair_weight=pair_weight, **kw)).ravel()
+
+    # O(N^2) minimum-image oracle.
+    d = pos1[:, None, :] - pos2[None, :, :]
+    d -= box * np.round(d / box)
+    rp2 = d[..., 0] ** 2 + d[..., 1] ** 2
+    dz = np.abs(d[..., 2])
+    e2 = r_edges ** 2
+    nsub = (len(r_edges) - 1) * (n_mu if kind == "smu" else 1)
+    nch = 2 if pair_weight == "unit+log_rp" else 1
+    want = np.zeros((nch, n_lab1, n_lab2, nsub))
+    for i in range(len(pos1)):
+        if l1[i] < 0:
+            continue
+        for j in range(len(pos2)):
+            if (auto and i == j) or l2[j] < 0:
+                continue
+            if kind == "smu":
+                v = rp2[i, j] + dz[i, j] ** 2
+                if v <= 0 or v < e2[0] or v >= e2[-1]:
+                    continue
+                sb = np.searchsorted(e2, v, side="right") - 1
+                mb = min(int(dz[i, j] / np.sqrt(v) * n_mu), n_mu - 1)
+                sub = sb * n_mu + mb
+            else:
+                if kind == "rppi" and dz[i, j] >= pi_max:
+                    continue
+                v = rp2[i, j]
+                if v < e2[0] or v >= e2[-1]:
+                    continue
+                sub = np.searchsorted(e2, v, side="right") - 1
+            w = w2[j]
+            lw = w * 0.5 * np.log(max(rp2[i, j], 1e-20))
+            if pair_weight in ("unit", "unit+log_rp"):
+                want[0, l1[i], l2[j], sub] += w
+            if pair_weight == "log_rp":
+                want[0, l1[i], l2[j], sub] += lw
+            elif pair_weight == "unit+log_rp":
+                want[1, l1[i], l2[j], sub] += lw
+    want = want.ravel()
+    if pair_weight == "unit" and weights2 is None:
+        np.testing.assert_array_equal(got, want)
+    else:
+        np.testing.assert_allclose(got, want, rtol=1e-10, atol=1e-9)
