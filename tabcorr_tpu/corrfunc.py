@@ -7,6 +7,6 @@ device-accelerated labeled pair counters in
 :mod:`tabcorr_tpu.ops.paircount` — no Corrfunc installation required.
 """
 
-from .ops.paircount import mean_delta_sigma, s_mu_tpcf, wp
+from .ops.paircount import mean_delta_sigma, s_mu_tpcf, tpcf, wp
 
-__all__ = ["wp", "s_mu_tpcf", "mean_delta_sigma"]
+__all__ = ["wp", "s_mu_tpcf", "tpcf", "mean_delta_sigma"]

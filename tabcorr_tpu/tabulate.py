@@ -10,8 +10,9 @@ the per-bin-pair estimators are then closed-form array operations against
 the analytic random counts.
 
 Statistics with a fast path: 'wp' (projected), 's_mu_tpcf' (redshift-space
-(s, mu)), 'mean_delta_sigma' (galaxy-particle lensing).  Any other
-halotools-signature callable falls back to a generic per-bin-pair loop.
+(s, mu)), 'tpcf' (real-space xi(r)), 'mean_delta_sigma' (galaxy-particle
+lensing).  Any other halotools-signature callable falls back to a generic
+per-bin-pair loop.
 """
 
 from __future__ import annotations
@@ -216,6 +217,9 @@ class _FastPath:
             self.s_bins = np.asarray(tpcf_args[0], dtype=np.float64)
             self.mu_bins = np.asarray(tpcf_args[1], dtype=np.float64)
             self.shape = (len(self.s_bins) - 1, len(self.mu_bins) - 1)
+        elif tpcf_name == "tpcf":
+            self.r_bins = np.asarray(tpcf_args[0], dtype=np.float64)
+            self.shape = (len(self.r_bins) - 1,)
         elif tpcf_name == "mean_delta_sigma":
             self.ptcl_pos = np.asarray(tpcf_args[0], dtype=np.float64)
             self.ptcl_mass = tpcf_args[1]
@@ -256,6 +260,19 @@ class _FastPath:
                 xi = counts / n_exp - 1
             xi[outer == 0] = 0.0
             return np.moveaxis(xi.reshape(n_bins, n_bins, -1), -1, 0)
+
+        if self.name == "tpcf":
+            # xi(r): an (s, mu) sweep with a single mu bin.
+            counts = self._count(
+                pos, labels, n_bins, period=period, kind="smu",
+                r_edges=self.r_bins, mu_edges=np.array([0.0, 1.0]),
+                **extra)[..., 0]
+            n_exp = (outer[:, :, None] / volume * 4 * np.pi / 3 *
+                     np.diff(self.r_bins**3))
+            with np.errstate(invalid="ignore", divide="ignore"):
+                xi = counts / n_exp - 1
+            xi[outer == 0] = 0.0
+            return np.moveaxis(xi, -1, 0)
 
         raise ValueError(f"{self.name} is a cross statistic.")
 
@@ -322,12 +339,14 @@ class _FastPath:
             return (self.rp_bins,), {"pi_max": self.pi_max}
         if self.name == "s_mu_tpcf":
             return (self.s_bins, self.mu_bins), {}
+        if self.name == "tpcf":
+            return (self.r_bins,), {}
         kwargs = ({} if self.estimator == "annulus_mean"
                   else {"estimator": self.estimator})
         return (self.ptcl_pos, self.ptcl_mass, self.rp_bins), kwargs
 
 
-_FAST_TPCFS = {"wp", "s_mu_tpcf", "mean_delta_sigma"}
+_FAST_TPCFS = {"wp", "s_mu_tpcf", "tpcf", "mean_delta_sigma"}
 
 
 def tabulate(cls, halocat, tpcf, *tpcf_args, mode="auto",
@@ -343,7 +362,8 @@ def tabulate(cls, halocat, tpcf, *tpcf_args, mode="auto",
 
     Signature-compatible with the reference (tabcorr/tabcorr.py:24-34);
     ``tpcf`` may be one of this package's statistics (``wp``,
-    ``s_mu_tpcf``, ``mean_delta_sigma`` from :mod:`tabcorr_tpu.ops.paircount`
+    ``s_mu_tpcf``, ``tpcf`` (real-space xi(r)), ``mean_delta_sigma``
+    from :mod:`tabcorr_tpu.ops.paircount`
     or their names as strings) for the on-device fast path, or any
     halotools-signature callable for the generic path.  ``seed`` fixes the
     mock-population randomness.  ``num_threads`` parallelizes the

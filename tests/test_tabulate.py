@@ -164,6 +164,81 @@ def test_tabulate_s_mu_and_multipoles(halocat):
     assert xi0.shape == (3,)
 
 
+def test_tpcf_wrapper_matches_bruteforce_oracle():
+    # xi(r) wrapper vs a direct O(N^2) minimum-image shell count.
+    rng = np.random.default_rng(5)
+    lbox = 60.0
+    pos1 = rng.uniform(0, lbox, (220, 3))
+    pos2 = rng.uniform(0, lbox, (150, 3))
+    r_bins = np.array([1.0, 3.0, 7.0, 14.0])
+
+    def brute_counts(a, b, exclude_self):
+        d = a[:, None, :] - b[None, :, :]
+        d -= lbox * np.round(d / lbox)
+        r = np.sqrt((d**2).sum(axis=-1))
+        if exclude_self:
+            np.fill_diagonal(r, -1.0)
+        return np.histogram(r, bins=r_bins)[0].astype(float)
+
+    for sample2, do_auto in [(None, True), (pos2, False)]:
+        b = pos1 if sample2 is None else sample2
+        dd = brute_counts(pos1, b, sample2 is None)
+        n_exp = (len(pos1) * len(b) / lbox**3 * 4 * np.pi / 3 *
+                 np.diff(r_bins**3))
+        want = dd / n_exp - 1
+        got = paircount.tpcf(pos1, r_bins, sample2=sample2, period=lbox,
+                             do_auto=do_auto, do_cross=not do_auto)
+        np.testing.assert_allclose(got, want, rtol=1e-6, atol=1e-9)
+
+    with pytest.raises(ValueError):
+        paircount.tpcf(pos1, r_bins, period=lbox, do_auto=True,
+                       do_cross=True)
+
+
+def test_tabulate_tpcf_native_backend_matches_device(halocat):
+    from tabcorr_tpu import native
+    if not native.native_available():
+        pytest.skip("native counter unavailable")
+    r_bins = np.logspace(-0.3, 1.0, 4)
+    kwargs = dict(mode="auto", prim_haloprop_bins=4,
+                  Num_ptcl_requirement=300, sats_per_prim_haloprop=1e-12,
+                  seed=7)
+    tab_native = tt.TabCorr.tabulate(halocat, "tpcf", r_bins,
+                                     backend="native", **kwargs)
+    tab_device = tt.TabCorr.tabulate(halocat, tt.corrfunc.tpcf, r_bins,
+                                     **kwargs)
+    np.testing.assert_allclose(tab_native.tpcf_matrix,
+                               tab_device.tpcf_matrix, rtol=1e-9,
+                               atol=1e-9)
+
+
+def test_tabulate_tpcf_fast_matches_generic(halocat):
+    # The xi(r) labeled fast path against the generic per-bin-pair
+    # fallback (same pattern as test_generic_path_matches_fast_path).
+    r_bins = np.logspace(-0.3, 1.0, 4)
+
+    def custom_tpcf(*args, **kwargs):
+        return paircount.tpcf(*args, **kwargs)
+
+    kwargs = dict(mode="auto", prim_haloprop_bins=4,
+                  Num_ptcl_requirement=300, sats_per_prim_haloprop=1e-12,
+                  seed=7)
+    tab_fast = tt.TabCorr.tabulate(halocat, tt.corrfunc.tpcf, r_bins,
+                                   **kwargs)
+    tab_generic = tt.TabCorr.tabulate(halocat, custom_tpcf, r_bins,
+                                      **kwargs)
+    assert tab_fast.attrs["tpcf"] == "tpcf"
+    assert tab_fast.tpcf_shape == (3,)
+    np.testing.assert_allclose(tab_generic.tpcf_matrix,
+                               tab_fast.tpcf_matrix, rtol=1e-10,
+                               atol=1e-10)
+
+    model = tt.Zheng07Model(threshold=-20, redshift=0.0, logMmin=12.6,
+                            logM1=13.6)
+    ngal, xi = tab_fast.predict(model, check_consistency=False)
+    assert np.all(np.isfinite(xi))
+
+
 def test_sec_percentile_split(halocat):
     rp_bins = np.logspace(-0.3, 1.0, 4)
     tab = tt.TabCorr.tabulate(
