@@ -12,7 +12,8 @@ prediction kernels, device-mesh sharding, and on-device MCMC.
 from . import corrfunc, cosmology, database
 from .halocat import HaloCatalog, ParticleCatalog
 from .interpolator import Interpolator
-from .models import AssembiasZheng07Model, HodModel, Zheng07Model
+from .models import (AssembiasZheng07Model, HodModel,
+                     Leauthaud11Model, Zheng07Model)
 from .table import TabCorr
 from .tabulate import (compute_tpcf_matrix, distribution_index,
                        sort_into_bins)
@@ -20,7 +21,8 @@ from .utils.packing import symmetric_matrix_to_array
 
 __version__ = "0.1.0"
 __all__ = ["TabCorr", "Interpolator", "HodModel", "Zheng07Model",
-           "AssembiasZheng07Model", "HaloCatalog", "ParticleCatalog",
+           "AssembiasZheng07Model", "Leauthaud11Model",
+           "HaloCatalog", "ParticleCatalog",
            "cosmology", "database", "corrfunc", "sort_into_bins",
            "distribution_index", "symmetric_matrix_to_array",
            "compute_tpcf_matrix"]

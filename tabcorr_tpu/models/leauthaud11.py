@@ -1,0 +1,196 @@
+"""Leauthaud et al. (2011) HOD occupation model in JAX.
+
+The second model family the reference's users commonly tabulate with
+(via halotools' ``Leauthaud11Cens``/``Leauthaud11Sats``, consumed through
+the same ``mean_occupation_*`` hooks as zheng07, reference:
+tabcorr/tabcorr.py:556-563).  Occupations derive from the Behroozi et
+al. (2010) stellar-to-halo-mass relation (SHMR) instead of free mass
+scales:
+
+    <N_cen>(Mh) = 1/2 erfc( (log10 M*_t - log10 f_SHMR(Mh))
+                            / (sqrt(2) sigma_logM*) )
+    <N_sat>(Mh) = <N_cen>(Mh) (Mh / M_sat)^alpha_sat exp(-M_cut / Mh)
+
+with M_sat = 1e12 B_sat (Mh_t / 1e12)^beta_sat and
+M_cut = 1e12 B_cut (Mh_t / 1e12)^beta_cut, where Mh_t = f_SHMR^-1(M*_t)
+is the halo mass whose mean stellar mass equals the threshold
+(Leauthaud et al. 2011, eqs. 8 and 12-14).
+
+f_SHMR^-1 (stellar -> halo mass) is the closed-form Behroozi relation;
+the forward direction f_SHMR (halo -> stellar mass), needed for
+centrals, has no closed form and is computed by monotone inversion: a
+static log-M* grid seeds a piecewise-linear estimate which three
+unrolled Newton steps (analytic derivative) refine to float-precision
+roots.  Everything is a pure, jax-traceable function of the parameter
+dict, so gradients flow through the inversion into MCMC/Fisher code.
+"""
+
+from __future__ import annotations
+
+from ..utils.backend import erfc, exp, exp10, get_namespace
+from .protocol import CENTRALS, HodModel
+
+_LN10 = 2.302585092994046
+_SQRT2 = 1.4142135623730951
+
+# Behroozi et al. (2010) SMHM scaling parameters and the Leauthaud et
+# al. (2012) satellite scaling relations ("SIG_MOD1" z1 fit) — the
+# defaults halotools ships for its leauthaud11 prebuilt model.
+LEAUTHAUD11_PARAMS = dict(
+    smhm_m0_0=10.72, smhm_m0_a=0.59,
+    smhm_m1_0=12.35, smhm_m1_a=0.3,
+    smhm_beta_0=0.43, smhm_beta_a=0.18,
+    smhm_delta_0=0.56, smhm_delta_a=0.18,
+    smhm_gamma_0=1.54, smhm_gamma_a=2.52,
+    scatter_model_param1=0.2,
+    alphasat=1.0, betasat=0.859, bsat=10.62,
+    betacut=-0.13, bcut=1.47,
+)
+
+# Static log10(M*) grid for the SHMR inversion seed.  The forward
+# relation is strictly monotone in this range for all plausible
+# (beta, delta, gamma) > 0, and three Newton refinements converge the
+# ~0.03-dex linear seed to machine precision.
+_GRID_LO, _GRID_HI, _GRID_N = 5.0, 13.0, 257
+
+
+def _smhm_coeffs(params, a):
+    """Redshift-scaled Behroozi10 coefficients (scale factor a)."""
+    am1 = a - 1.0
+    return (params["smhm_m1_0"] + params["smhm_m1_a"] * am1,
+            params["smhm_m0_0"] + params["smhm_m0_a"] * am1,
+            params["smhm_beta_0"] + params["smhm_beta_a"] * am1,
+            params["smhm_delta_0"] + params["smhm_delta_a"] * am1,
+            params["smhm_gamma_0"] + params["smhm_gamma_a"] * am1)
+
+
+def behroozi10_log_halo_mass(log_mstar, params, a):
+    """log10 Mh(M*): Behroozi et al. (2010), eq. 21.
+
+    log10 Mh = log10 M1 + beta x + 10^(delta x) / (1 + 10^(-gamma x))
+               - 1/2,   with x = log10(M* / M*_0).
+    """
+    xp = get_namespace(log_mstar)
+    log_m1, log_m0, beta, delta, gamma = _smhm_coeffs(params, a)
+    x = xp.asarray(log_mstar) - log_m0
+    s_delta = exp10(delta * x)
+    s_neg_gamma = exp10(-gamma * x)
+    return log_m1 + beta * x + s_delta / (1.0 + s_neg_gamma) - 0.5
+
+
+def _d_log_mh_d_log_mstar(log_mstar, params, a):
+    """Analytic d(log10 Mh)/d(log10 M*) for the Newton refinement."""
+    xp = get_namespace(log_mstar)
+    _, log_m0, beta, delta, gamma = _smhm_coeffs(params, a)
+    x = xp.asarray(log_mstar) - log_m0
+    s_delta = exp10(delta * x)
+    s_neg_gamma = exp10(-gamma * x)
+    denom = 1.0 + s_neg_gamma
+    return beta + _LN10 * s_delta * (
+        delta + (delta + gamma) * s_neg_gamma) / (denom * denom)
+
+
+def fshmr_log_mstar(log_mh, params, a):
+    """log10 f_SHMR(Mh): mean stellar mass at halo mass Mh.
+
+    Monotone inversion of :func:`behroozi10_log_halo_mass`: linear
+    interpolation on a static log-M* grid seeds three unrolled Newton
+    steps (fixed trip count — forward- and reverse-differentiable,
+    unlike a ``while_loop``).  Queries outside the tabulated halo-mass
+    range clamp to the grid ends; the centrals occupation there is
+    0 or 1 to double precision for any sane threshold.
+    """
+    xp = get_namespace(log_mh)
+    log_mh = xp.asarray(log_mh)
+    # Grid in the query's dtype: mixing a float64 grid into a float32
+    # fast path would silently promote every downstream array.
+    grid_mstar = xp.linspace(_GRID_LO, _GRID_HI, _GRID_N,
+                             dtype=log_mh.dtype)
+    grid_mh = behroozi10_log_halo_mass(grid_mstar, params, a)
+    log_mstar = xp.interp(log_mh, grid_mh, grid_mstar)
+    for _ in range(3):
+        resid = behroozi10_log_halo_mass(log_mstar, params, a) - log_mh
+        log_mstar = log_mstar - resid / _d_log_mh_d_log_mstar(
+            log_mstar, params, a)
+    return log_mstar
+
+
+def leauthaud11_centrals(params, log_prim_haloprop, threshold, a):
+    """<N_cen>: Leauthaud et al. (2011), eq. 8."""
+    log_fshmr = fshmr_log_mstar(log_prim_haloprop, params, a)
+    inv_scatter = 1.0 / (_SQRT2 * params["scatter_model_param1"])
+    return 0.5 * erfc((threshold - log_fshmr) * inv_scatter)
+
+
+def leauthaud11_satellites(params, log_prim_haloprop, threshold, a,
+                           modulate_with_cenocc=True):
+    """<N_sat>: Leauthaud et al. (2011), eqs. 12-14.
+
+    M_sat and M_cut scale with the threshold halo mass
+    Mh_t = f_SHMR^-1(M*_t), which is the CLOSED-FORM direction of the
+    Behroozi relation — no inversion needed here.
+    """
+    xp = get_namespace(log_prim_haloprop)
+    log_mh = xp.asarray(log_prim_haloprop)
+    log_mh_t = behroozi10_log_halo_mass(threshold, params, a)
+    # log10 of M_sat/M_cut via their power-law scalings around 1e12.
+    log_msat = (12.0 + xp.log10(params["bsat"]) +
+                params["betasat"] * (log_mh_t - 12.0))
+    log_mcut = (12.0 + xp.log10(params["bcut"]) +
+                params["betacut"] * (log_mh_t - 12.0))
+    nsat = (exp(_LN10 * params["alphasat"] * (log_mh - log_msat)) *
+            exp(-exp10(log_mcut - log_mh)))
+    if modulate_with_cenocc:
+        nsat = nsat * leauthaud11_centrals(params, log_mh, threshold, a)
+    return nsat
+
+
+class Leauthaud11Model(HodModel):
+    """Leauthaud11 HOD model (cens + sats), SHMR-based.
+
+    Parameters
+    ----------
+    threshold : float, optional
+        Stellar-mass threshold log10(M*_t / (Msun / h^2)) of the galaxy
+        sample.  Default is 10.5.
+    redshift : float, optional
+        Sets the scale factor a = 1 / (1 + z) of the Behroozi10
+        coefficient evolution.  Default is 0.
+    modulate_with_cenocc : bool, optional
+        Multiply <N_sat> by <N_cen> (Leauthaud et al. 2011 eq. 12;
+        halotools' default for this model).  Default is True.
+    **params : dict
+        Overrides for the Behroozi10 SMHM coefficients
+        (``smhm_{m0,m1,beta,delta,gamma}_{0,a}``), the central scatter
+        ``scatter_model_param1``, and the satellite scalings
+        ``alphasat``, ``betasat``, ``bsat``, ``betacut``, ``bcut``.
+    """
+
+    param_names = tuple(LEAUTHAUD11_PARAMS)
+    param_defaults = dict(LEAUTHAUD11_PARAMS)
+    # The SHMR inversion seed is a searchsorted/gather (xp.interp),
+    # which Mosaic does not lower inside Pallas kernels; the XLA
+    # engine (which fuses everything else) is this model's fast path.
+    supports_fused_engine = False
+
+    def __init__(self, threshold=10.5, modulate_with_cenocc=True,
+                 prim_haloprop_key="halo_mvir", sec_haloprop_key=None,
+                 redshift=0.0, **params):
+        self.threshold = float(threshold)
+        self.modulate_with_cenocc = modulate_with_cenocc
+        super().__init__(prim_haloprop_key=prim_haloprop_key,
+                         sec_haloprop_key=sec_haloprop_key,
+                         redshift=redshift, **params)
+
+    @property
+    def _a(self):
+        return 1.0 / (1.0 + self.redshift)
+
+    def occupation(self, params, gal_type, log_prim_haloprop,
+                   sec_haloprop_percentile):
+        if gal_type == CENTRALS:
+            return leauthaud11_centrals(params, log_prim_haloprop,
+                                        self.threshold, self._a)
+        return leauthaud11_satellites(
+            params, log_prim_haloprop, self.threshold, self._a,
+            modulate_with_cenocc=self.modulate_with_cenocc)

@@ -35,6 +35,11 @@ class HodModel:
 
     gal_types = (CENTRALS, SATELLITES)
     param_defaults: dict = {}
+    # Whether `occupation` lowers inside a Pallas kernel (the fused /
+    # bundle engines trace it in-kernel).  Models whose occupation uses
+    # ops Mosaic cannot lower (gathers, searchsorted, ...) set this
+    # False; engine='auto' then composes the XLA predictor instead.
+    supports_fused_engine = True
 
     def __init__(self, prim_haloprop_key="halo_mvir",
                  sec_haloprop_key=None, redshift=0.0, **params):

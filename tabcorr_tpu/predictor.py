@@ -384,6 +384,7 @@ def make_predictor(obj, model, n_gauss=10, dtype=jnp.float32,
     # Pallas/Mosaic has no float64 matmul: the fused engine is only
     # eligible for the f32/bf16 fast path.
     fused_eligible = (vectorized and not separate_gal_type and
+                      getattr(model, "supports_fused_engine", True) and
                       jnp.dtype(dtype) in (jnp.dtype(jnp.float32),
                                            jnp.dtype(jnp.bfloat16)) and
                       (isinstance(obj, TabCorr) or
@@ -397,9 +398,10 @@ def make_predictor(obj, model, n_gauss=10, dtype=jnp.float32,
         if not fused_eligible:
             raise ValueError(
                 "engine='fused' requires vectorized=True, "
-                "separate_gal_type=False, a float32/bfloat16 dtype and a "
+                "separate_gal_type=False, a float32/bfloat16 dtype, a "
                 "TabCorr (or an Interpolator whose nodes share one halo "
-                "binning).")
+                "binning) and a model whose occupation lowers in Pallas "
+                "(model.supports_fused_engine).")
         if isinstance(obj, Interpolator):
             return _interpolator_fused_predict_fn(obj, model, n_gauss,
                                                   dtype, extrapolate,
@@ -461,6 +463,7 @@ def make_multi_predictor(objs, model, n_gauss=10, dtype=jnp.float32,
     """
     bundle_eligible = (
         jnp.dtype(dtype) == jnp.dtype(jnp.float32) and
+        getattr(model, "supports_fused_engine", True) and
         all(isinstance(obj, TabCorr) for obj in objs))
     if engine == "auto":
         # Every table's constants share ONE kernel's VMEM: give each
@@ -473,8 +476,10 @@ def make_multi_predictor(objs, model, n_gauss=10, dtype=jnp.float32,
                   jax.default_backend() == "tpu" else "xla")
     if engine == "bundle":
         if not bundle_eligible:
-            raise ValueError("engine='bundle' requires float32 and "
-                             "TabCorr objects.")
+            raise ValueError(
+                "engine='bundle' requires float32, TabCorr objects and a "
+                "model whose occupation lowers in Pallas "
+                "(model.supports_fused_engine).")
         from .ops.fused import DEFAULT_TILE, make_fused_bundle_predictor
         tables = [obj.table_data(n_gauss=n_gauss, dtype=dtype)
                   for obj in objs]

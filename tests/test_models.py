@@ -258,3 +258,135 @@ def test_occupation_residual_matches_jvp_fallback():
                                    atol=1e-10, rtol=1e-6)
         # And the residual actually moves the occupation (not a no-op).
         assert np.max(np.abs(np.asarray(exact - base))) > 0
+
+
+# ---------------------------------------------------------------------------
+# Leauthaud11 (SHMR-based) model
+# ---------------------------------------------------------------------------
+
+def test_behroozi10_inversion_roundtrip():
+    from tabcorr_tpu.models import (behroozi10_log_halo_mass,
+                                    fshmr_log_mstar)
+    from tabcorr_tpu.models.leauthaud11 import LEAUTHAUD11_PARAMS
+    params = dict(LEAUTHAUD11_PARAMS)
+    a = 1.0 / 1.5
+    log_mh = np.linspace(10.5, 15.5, 41)
+    log_mstar = fshmr_log_mstar(log_mh, params, a)
+    # The inversion is a true root of the closed-form forward relation.
+    np.testing.assert_allclose(
+        behroozi10_log_halo_mass(log_mstar, params, a), log_mh,
+        rtol=0, atol=1e-10)
+    # Monotone.
+    assert np.all(np.diff(log_mstar) > 0)
+
+
+def test_leauthaud11_centrals_half_at_threshold_mass():
+    from tabcorr_tpu.models import behroozi10_log_halo_mass
+    from tabcorr_tpu.models.leauthaud11 import LEAUTHAUD11_PARAMS
+    model = tt.Leauthaud11Model(threshold=10.5, redshift=0.5)
+    a = 1.0 / 1.5
+    # At the halo mass where f_SHMR equals the threshold, <N_cen> = 1/2
+    # exactly (erfc(0)/2), independent of the scatter.
+    log_mh_t = behroozi10_log_halo_mass(10.5, dict(LEAUTHAUD11_PARAMS), a)
+    ncen = model.mean_occupation_centrals(
+        prim_haloprop=np.array([10 ** log_mh_t]))
+    np.testing.assert_allclose(ncen, 0.5, rtol=1e-9)
+    # Monotone increasing, 0 and 1 in the limits.
+    mass = 10 ** np.linspace(10.5, 15.5, 64)
+    ncen = model.mean_occupation_centrals(prim_haloprop=mass)
+    assert np.all(np.diff(ncen) >= 0)
+    assert ncen[0] < 1e-8 and ncen[-1] > 1 - 1e-8
+
+
+def test_leauthaud11_satellites_scalings():
+    from tabcorr_tpu.models import behroozi10_log_halo_mass
+    from tabcorr_tpu.models.leauthaud11 import LEAUTHAUD11_PARAMS
+    model = tt.Leauthaud11Model(threshold=10.5, redshift=0.0,
+                                modulate_with_cenocc=False)
+    params = dict(LEAUTHAUD11_PARAMS)
+    log_mh_t = behroozi10_log_halo_mass(10.5, params, 1.0)
+    log_msat = (12.0 + np.log10(params["bsat"]) +
+                params["betasat"] * (log_mh_t - 12.0))
+    log_mcut = (12.0 + np.log10(params["bcut"]) +
+                params["betacut"] * (log_mh_t - 12.0))
+    mass = 10 ** np.linspace(12.5, 15.5, 16)
+    nsat = model.mean_occupation_satellites(prim_haloprop=mass)
+    want = ((mass / 10 ** log_msat) ** params["alphasat"] *
+            np.exp(-(10 ** log_mcut) / mass))
+    np.testing.assert_allclose(nsat, want, rtol=1e-9)
+    # The modulated form is <N_cen> times the unmodulated one.
+    model_mod = tt.Leauthaud11Model(threshold=10.5, redshift=0.0)
+    nsat_mod = model_mod.mean_occupation_satellites(prim_haloprop=mass)
+    ncen = model_mod.mean_occupation_centrals(prim_haloprop=mass)
+    np.testing.assert_allclose(nsat_mod, nsat * ncen, rtol=1e-9)
+
+
+def test_leauthaud11_gradients_flow_through_inversion():
+    import jax
+    import jax.numpy as jnp
+    from tabcorr_tpu.models.leauthaud11 import (LEAUTHAUD11_PARAMS,
+                                                leauthaud11_centrals)
+    params = {k: jnp.float64(v) for k, v in LEAUTHAUD11_PARAMS.items()}
+    log_mh = jnp.asarray(13.0, dtype=jnp.float64)
+
+    def ncen_of(p):
+        return leauthaud11_centrals(p, log_mh, 10.5, 1.0)
+
+    grads = jax.grad(lambda p: ncen_of(p))(params)
+    # Finite differences on a representative subset.
+    for key in ["smhm_m1_0", "smhm_beta_0", "smhm_gamma_0",
+                "scatter_model_param1"]:
+        eps = 1e-6
+        p_hi = dict(params)
+        p_lo = dict(params)
+        p_hi[key] = params[key] + eps
+        p_lo[key] = params[key] - eps
+        fd = (ncen_of(p_hi) - ncen_of(p_lo)) / (2 * eps)
+        np.testing.assert_allclose(grads[key], fd, rtol=1e-4,
+                                   err_msg=key)
+        assert abs(float(grads[key])) > 0
+
+
+def test_leauthaud11_predict_through_table(wp_tabcorr):
+    model = tt.Leauthaud11Model(threshold=10.5,
+                                redshift=wp_tabcorr.attrs["redshift"])
+    ngal, xi = wp_tabcorr.predict(model, check_consistency=False)
+    assert ngal > 0 and np.all(np.isfinite(xi))
+    # Occupations respond to the SHMR normalization.
+    model2 = tt.Leauthaud11Model(threshold=10.5,
+                                 redshift=wp_tabcorr.attrs["redshift"],
+                                 smhm_m1_0=12.6)
+    ngal2, _ = wp_tabcorr.predict(model2, check_consistency=False)
+    assert ngal2 != ngal
+
+
+def test_leauthaud11_vectorized_predictor_matches_host(wp_tabcorr):
+    import jax.numpy as jnp
+    model = tt.Leauthaud11Model(threshold=10.5,
+                                redshift=wp_tabcorr.attrs["redshift"])
+    ngal_h, xi_h = wp_tabcorr.predict(model, check_consistency=False)
+    pred = wp_tabcorr.make_predictor(model, vectorized=True, engine="xla",
+                                     dtype=jnp.float64)
+    batch = {k: np.full(3, v) for k, v in model.param_dict.items()}
+    batch["smhm_m1_0"][1] = 12.5
+    ngal, xi = pred(batch)
+    np.testing.assert_allclose(float(ngal[0]), ngal_h, rtol=1e-9)
+    np.testing.assert_allclose(np.asarray(xi)[0], xi_h, rtol=1e-9)
+    assert float(ngal[1]) != float(ngal[0])
+
+
+def test_leauthaud11_not_fused_eligible(wp_tabcorr):
+    # The SHMR inversion cannot lower in Pallas; explicit fused/bundle
+    # engines refuse, and auto composes the XLA path.
+    model = tt.Leauthaud11Model(threshold=10.5,
+                                redshift=wp_tabcorr.attrs["redshift"])
+    assert not model.supports_fused_engine
+    with pytest.raises(ValueError, match="supports_fused_engine"):
+        wp_tabcorr.make_predictor(model, vectorized=True, engine="fused")
+    from tabcorr_tpu.predictor import make_multi_predictor
+    with pytest.raises(ValueError, match="supports_fused_engine"):
+        make_multi_predictor([wp_tabcorr], model, engine="bundle")
+    pred = wp_tabcorr.make_predictor(model, vectorized=True, engine="auto")
+    batch = {k: np.full(2, v) for k, v in model.param_dict.items()}
+    ngal, xi = pred(batch)
+    assert np.all(np.isfinite(np.asarray(xi)))
