@@ -21,6 +21,7 @@ satellites by [0, inf).
 from __future__ import annotations
 
 from ..utils.backend import get_namespace
+from .leauthaud11 import Leauthaud11Model
 from .protocol import CENTRALS
 from .zheng07 import Zheng07Model
 
@@ -63,17 +64,30 @@ def heaviside_assembias(base, strength, sec_haloprop_percentile, split=0.5,
         room_down = xp.minimum(head, ratio * (upper_bound - base))
 
     delta = xp.where(strength >= 0, strength * room_up, strength * room_down)
-    above = sec_haloprop_percentile >= split
+    # Knife-edge robustness: a percentile midpoint can sit within one
+    # float64 ulp of the split — a single sec bin spanning
+    # [-1e-3, 1 + 1e-3] has midpoint 0.5 - 6e-17, which rounds to
+    # exactly 0.5 in the float32 device paths, flipping the branch
+    # between engines.  The 1e-6 tolerance makes the float64 host path
+    # and the float32 device kernels classify such bins identically
+    # (percentile midpoints of real multi-bin tabulations are O(0.1)
+    # away from any split).
+    above = sec_haloprop_percentile >= split - 1e-6
     return xp.where(above, base + delta,
                     base - delta * frac_above / split)
 
 
-class AssembiasZheng07Model(Zheng07Model):
-    """Zheng07 model with Heaviside assembly bias on centrals and satellites.
+class HeavisideAssembiasMixin:
+    """Mix-in decorating any :class:`~.protocol.HodModel` with assembly bias.
 
+    Compose as ``class Decorated(HeavisideAssembiasMixin, BaseModel)``.
     Adds the parameters ``mean_occupation_centrals_assembias_param1`` and
     ``mean_occupation_satellites_assembias_param1`` (names chosen for
-    compatibility with halotools' decorated zheng07 models).
+    compatibility with halotools' decorated models).  The mix-in does not
+    override ``occupation_residual``: the protocol's generic JVP fallback
+    differentiates the *decorated* occupation and is therefore correct as
+    is; base models with an exact analytic absorption should override it
+    in the composed class (see :class:`AssembiasZheng07Model`).
     """
 
     def __init__(self, split=0.5, sec_haloprop_key="halo_nfw_conc", **kwargs):
@@ -91,16 +105,6 @@ class AssembiasZheng07Model(Zheng07Model):
         return self._decorate(params, gal_type, base,
                               sec_haloprop_percentile)
 
-    def occupation_residual(self, params, gal_type, log_prim_haloprop,
-                            log_prim_res, sec_haloprop_percentile):
-        # The decoration depends on log10(M) only through the baseline
-        # occupation, so the exact zheng07 residual absorption composes.
-        base = super().occupation_residual(params, gal_type,
-                                           log_prim_haloprop, log_prim_res,
-                                           sec_haloprop_percentile)
-        return self._decorate(params, gal_type, base,
-                              sec_haloprop_percentile)
-
     def _decorate(self, params, gal_type, base, sec_haloprop_percentile):
         if gal_type == CENTRALS:
             strength = params["mean_occupation_centrals_assembias_param1"]
@@ -111,3 +115,25 @@ class AssembiasZheng07Model(Zheng07Model):
         return heaviside_assembias(
             base, strength, sec_haloprop_percentile, split=self.split,
             lower_bound=0.0, upper_bound=None)
+
+
+class AssembiasZheng07Model(HeavisideAssembiasMixin, Zheng07Model):
+    """Zheng07 model with Heaviside assembly bias on centrals and satellites."""
+
+    def occupation_residual(self, params, gal_type, log_prim_haloprop,
+                            log_prim_res, sec_haloprop_percentile):
+        # The decoration depends on log10(M) only through the baseline
+        # occupation, so the exact zheng07 residual absorption composes.
+        base = super().occupation_residual(params, gal_type,
+                                           log_prim_haloprop, log_prim_res,
+                                           sec_haloprop_percentile)
+        return self._decorate(params, gal_type, base,
+                              sec_haloprop_percentile)
+
+
+class AssembiasLeauthaud11Model(HeavisideAssembiasMixin, Leauthaud11Model):
+    """Leauthaud11 model with Heaviside assembly bias on both galaxy types.
+
+    ``occupation_residual`` is the inherited generic JVP of the decorated
+    occupation (the SHMR inversion has no cheap analytic absorption).
+    """

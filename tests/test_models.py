@@ -390,3 +390,55 @@ def test_leauthaud11_not_fused_eligible(wp_tabcorr):
     batch = {k: np.full(2, v) for k, v in model.param_dict.items()}
     ngal, xi = pred(batch)
     assert np.all(np.isfinite(np.asarray(xi)))
+
+
+def test_assembias_leauthaud11_mean_preservation_and_baseline():
+    from tabcorr_tpu.models import AssembiasLeauthaud11Model
+    model = AssembiasLeauthaud11Model(threshold=10.5, redshift=0.0)
+    model.param_dict["mean_occupation_centrals_assembias_param1"] = 0.7
+    model.param_dict["mean_occupation_satellites_assembias_param1"] = -0.4
+    mass = 10 ** np.linspace(11.5, 15.0, 32)
+    base_model = tt.Leauthaud11Model(threshold=10.5, redshift=0.0)
+    for name in ["mean_occupation_centrals", "mean_occupation_satellites"]:
+        fn = getattr(model, name)
+        lo = fn(prim_haloprop=mass,
+                sec_haloprop_percentile=np.full_like(mass, 0.25))
+        hi = fn(prim_haloprop=mass,
+                sec_haloprop_percentile=np.full_like(mass, 0.75))
+        # Mass-conditioned mean is exactly preserved at split=0.5 ...
+        base = getattr(base_model, name)(prim_haloprop=mass)
+        np.testing.assert_allclose(0.5 * (lo + hi), base, rtol=1e-9)
+        # ... and the perturbation is active.
+        assert np.any(np.abs(hi - lo) > 1e-6)
+    # Centrals stay within [0, 1].
+    hi = model.mean_occupation_centrals(
+        prim_haloprop=mass, sec_haloprop_percentile=np.full_like(mass, 0.9))
+    assert np.all(hi <= 1.0 + 1e-12) and np.all(hi >= 0.0)
+    # Zero strength reduces to the baseline.
+    model.param_dict["mean_occupation_centrals_assembias_param1"] = 0.0
+    model.param_dict["mean_occupation_satellites_assembias_param1"] = 0.0
+    base_model = tt.Leauthaud11Model(threshold=10.5, redshift=0.0)
+    np.testing.assert_allclose(
+        model.mean_occupation_centrals(prim_haloprop=mass),
+        base_model.mean_occupation_centrals(prim_haloprop=mass), rtol=1e-12)
+
+
+def test_assembias_branch_consistent_across_dtypes(wp_tabcorr):
+    # The bolplanck fixture has ONE sec bin whose percentile midpoint is
+    # 0.5 - 6e-17: below 0.5 in float64 but exactly 0.5 after float32
+    # rounding.  The decorated occupation must classify it identically
+    # on the float64 host path and the float32 device path.
+    import jax.numpy as jnp
+    sec = np.unique(np.asarray(
+        wp_tabcorr.gal_type["sec_haloprop_percentile"], dtype=np.float64))
+    assert len(sec) == 1 and sec[0] < 0.5  # the knife-edge fixture
+    model = tt.AssembiasZheng07Model(
+        threshold=-18, redshift=wp_tabcorr.attrs["redshift"])
+    model.param_dict["mean_occupation_centrals_assembias_param1"] = 0.5
+    ngal_h, _ = wp_tabcorr.predict(model, check_consistency=False)
+    pred = wp_tabcorr.make_predictor(model, vectorized=True, engine="xla",
+                                     dtype=jnp.float32)
+    batch = {k: np.full(1, v, dtype=np.float32)
+             for k, v in model.param_dict.items()}
+    ngal_d, _ = pred(batch)
+    np.testing.assert_allclose(float(ngal_d[0]), ngal_h, rtol=2e-5)
