@@ -77,14 +77,17 @@ for _attempt in range(2):
     except (subprocess.TimeoutExpired, subprocess.CalledProcessError):
         pass
 if TUNNEL_DEAD:
-    # Provisional line first: if the caller's time budget expires during
-    # the CPU fallback below, the run still leaves a parseable record
-    # (the fallback's own line supersedes it as the final line).
+    # Provisional record on STDERR: if the caller's time budget expires
+    # during the CPU fallback below, the run still leaves a parseable
+    # trace of why — while stdout carries exactly ONE JSON line (the
+    # final measurement), so a caller reading either the first or the
+    # only stdout line never sees a zero.
     print(json.dumps({
         "metric": "zheng07_wp_xi_ell_predictions_per_sec", "value": 0.0,
         "unit": "predictions/s", "vs_baseline": 0.0,
         "error": "accelerator tunnel unreachable after 2x150s; "
-                 "CPU fallback measurement follows"}), flush=True)
+                 "CPU fallback measurement follows"}),
+        file=sys.stderr, flush=True)
     jax.config.update("jax_platforms", "cpu")
 
 jax.config.update("jax_compilation_cache_dir", "/tmp/tabcorr_jax_cache")
