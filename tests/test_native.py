@@ -294,3 +294,48 @@ def test_native_fuzz_vs_bruteforce_oracle(seed):
         np.testing.assert_array_equal(got, want)
     else:
         np.testing.assert_allclose(got, want, rtol=1e-10, atol=1e-9)
+
+
+def test_native_thread_count_invariance(tmp_path):
+    # The OpenMP merge (per-thread partials summed in thread-id order)
+    # must not change results with the thread count.  OMP_NUM_THREADS is
+    # read at library load, so each count runs in its own subprocess.
+    import subprocess
+    import sys
+
+    script = tmp_path / "count.py"
+    script.write_text(
+        "import sys\n"
+        "import numpy as np\n"
+        "from tabcorr_tpu import native\n"
+        "rng = np.random.default_rng(11)\n"
+        "pos1 = rng.uniform(0, 80, (1500, 3))\n"
+        "pos2 = rng.uniform(0, 80, (1200, 3))\n"
+        "l1 = rng.integers(0, 4, 1500).astype(np.int32)\n"
+        "l2 = rng.integers(0, 3, 1200).astype(np.int32)\n"
+        "w2 = rng.uniform(0.5, 2.0, 1200)\n"
+        "r = np.logspace(-0.5, 1.2, 7)\n"
+        "a = native.labeled_pair_count(pos1, l1, 4, period=80.0,\n"
+        "    kind='rppi', r_edges=r, pi_max=12.0)\n"
+        "b = native.labeled_pair_count(pos1, l1, 4, pos2=pos2, labels2=l2,\n"
+        "    n_labels_2=3, weights2=w2, period=80.0, kind='proj',\n"
+        "    r_edges=r, pair_weight='unit+log_rp')\n"
+        "np.savez(sys.argv[1], a=a, b=b)\n")
+
+    import os
+    repo_root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    results = {}
+    for n in ["1", "4"]:
+        out = tmp_path / f"counts_{n}.npz"
+        env = dict(os.environ, OMP_NUM_THREADS=n, JAX_PLATFORMS="cpu",
+                   PYTHONPATH=repo_root)
+        subprocess.run([sys.executable, str(script), str(out)],
+                       check=True, timeout=300, env=env, cwd=repo_root)
+        results[n] = np.load(out)
+
+    # Unit counts are integer-exact; weighted sums agree to f64 roundoff
+    # (the merge order over threads is fixed, but the per-thread
+    # partition of i-rows is dynamic).
+    np.testing.assert_array_equal(results["1"]["a"], results["4"]["a"])
+    np.testing.assert_allclose(results["1"]["b"], results["4"]["b"],
+                               rtol=1e-12, atol=1e-12)
