@@ -442,3 +442,20 @@ def test_assembias_branch_consistent_across_dtypes(wp_tabcorr):
              for k, v in model.param_dict.items()}
     ngal_d, _ = pred(batch)
     np.testing.assert_allclose(float(ngal_d[0]), ngal_h, rtol=2e-5)
+
+
+def test_leauthaud11_through_interpolator(ds_interpolator):
+    # The Interpolator is model-agnostic: grid parameters (log_eta, ...)
+    # come from param_dict while the occupations come from the SHMR.
+    model = tt.Leauthaud11Model(
+        threshold=10.5, redshift=0.5, prim_haloprop_key="halo_m258m",
+        sec_haloprop_key="halo_nfw_conc")
+    model.param_dict["log_eta"] = 0.0
+    model.param_dict["alpha_s"] = 1.0
+    model.param_dict["alpha_c"] = 0.0
+    ngal, ds = ds_interpolator.predict(model, check_consistency=False)
+    assert ngal > 0 and np.all(np.isfinite(ds))
+    # Off-node grid values interpolate smoothly.
+    model.param_dict["log_eta"] = 0.1
+    ngal2, ds2 = ds_interpolator.predict(model, check_consistency=False)
+    assert np.all(np.isfinite(ds2)) and not np.allclose(ds, ds2)
