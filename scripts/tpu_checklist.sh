@@ -1,0 +1,37 @@
+#!/usr/bin/env bash
+# TPU-return checklist: run after accelerator connectivity is restored.
+# Each step is independently skippable; everything logs to stdout.
+#
+#   bash scripts/tpu_checklist.sh [quick]
+#
+# 'quick' skips the autotuner and the slow golden suite.
+set -uo pipefail
+cd "$(dirname "$0")/.."
+
+echo "== 0. connectivity probe =="
+if ! timeout 180 python -c "import jax; d = jax.devices(); print(d)"; then
+    echo "accelerator backend unreachable; aborting checklist" >&2
+    exit 1
+fi
+
+if [ "${1:-}" != "quick" ]; then
+    echo "== 1. bundle autotune (fuse_occupation x sub_tiles x tile) =="
+    timeout 1800 python scripts/tune_bundle.py || true
+    echo "   -> if fuse_occupation / sub_tiles > 1 wins by > 3%, flip the"
+    echo "      defaults in tabcorr_tpu/ops/fused.py and re-run the tests."
+fi
+
+echo "== 2. headline bench =="
+timeout 1200 python bench.py
+
+if [ "${1:-}" != "quick" ]; then
+    echo "== 3. slow golden suite on the real chip =="
+    TABCORR_TEST_ACCELERATOR=1 timeout 3600 \
+        python -m pytest tests/ -q -m slow
+fi
+
+echo "== 4. fast suite (CPU, sharding semantics) =="
+timeout 1200 python -m pytest tests/ -q -m "not slow" -x
+
+echo "== checklist done; update docs/performance.md and"
+echo "   docs/status_round3.md with the measured numbers =="
