@@ -3,7 +3,7 @@
 Equivalent of the reference's scripts/tabulate_snapshot.py: reads a parsed
 ``snapshot.hdf5`` from the database directory, loops over the velocity-bias
 phase-space grid (alpha_c x alpha_s x conc_gal_bias), tabulates the
-requested statistic per grid node (xi -> multipoles 0/2/4, wp, or ds), and
+requested statistic per grid node (xi -> multipoles 0/2/4, wp, ds, or\nxi_r -> real-space xi(r), a superset of the reference's choices), and
 assembles the per-node tabulations into the final Interpolator file.
 
 Usage:
@@ -105,7 +105,7 @@ def main():
     parser.add_argument("--tab_config", default="default",
                         help="tabulation configuration to assume")
     parser.add_argument("--tpcf", default="xi",
-                        choices=["xi", "wp", "ds"],
+                        choices=["xi", "wp", "ds", "xi_r"],
                         help="TPCF to tabulate")
     parser.add_argument("--seed", type=int, default=None,
                         help="random seed for the mock population")
@@ -127,6 +127,12 @@ def main():
     if args.tpcf == "wp" and config["pi_max"] >= 80:
         config["alpha_c_bins"] = [0.0]
     if args.tpcf == "ds":
+        config["alpha_c_bins"] = [0.0]
+        config["alpha_s_bins"] = [1.0]
+    if args.tpcf == "xi_r":
+        # Real-space xi(r): velocity-bias parameters (central velocity
+        # noise alpha_c, satellite dispersion scaling alpha_s) only move
+        # velocities and cannot affect a real-space statistic.
         config["alpha_c_bins"] = [0.0]
         config["alpha_s_bins"] = [1.0]
 
@@ -167,7 +173,12 @@ def main():
             mode=mode, cens_prof_model=cens_prof_model,
             sats_prof_model=sats_prof_model, verbose=True,
             sats_per_prim_haloprop=config["sats_per_prim_haloprop"],
-            project_xyz=True, prim_haloprop_bins=prim_haloprop_bins,
+            # xi(r) is isotropic without RSD: axis projections are
+            # redundant, and distorted coordinates would put velocity
+            # anisotropy into a real-space statistic.
+            redshift_space_distortions=args.tpcf != "xi_r",
+            project_xyz=args.tpcf != "xi_r",
+            prim_haloprop_bins=prim_haloprop_bins,
             prim_haloprop_key=f"halo_m{mdef}",
             sec_haloprop_key=("halo_nfw_conc"
                               if args.suite == "AbacusSummit"
@@ -188,6 +199,10 @@ def main():
                     halotab_s_mu, config["mu_bins"], order)
                 halotab_multipole.write(path / f"xi{order}_{i}.hdf5",
                                         overwrite=True)
+        elif args.tpcf == "xi_r":
+            halotab = tt.TabCorr.tabulate(
+                halocat, tt.corrfunc.tpcf, config["s_bins"], **kwargs)
+            halotab.write(path / f"xi_r_{i}.hdf5", overwrite=True)
         elif args.tpcf == "wp":
             halotab = tt.TabCorr.tabulate(
                 halocat, tt.corrfunc.wp, config["rp_wp_bins"],

@@ -231,3 +231,52 @@ def test_tune_bundle_quick_smoke(capsys):
     best = json.loads(out[-1])["best"]
     assert {"fuse_occupation", "sub_tiles", "batch_tile",
             "rate"} <= set(best)
+
+
+@pytest.mark.slow
+def test_full_xi_r_pipeline(tmp_path, monkeypatch):
+    # Real-space xi(r) pipeline (a superset of the reference's CLI
+    # choices): velocity-bias axes are pruned (they cannot move a
+    # real-space statistic), so the grid spans log_eta only.
+    import parse_snapshot
+    import tabulate_snapshot
+
+    monkeypatch.setenv("TABCORR_DATABASE", str(tmp_path))
+
+    rng = np.random.default_rng(3)
+    n = 3000
+    mdef = "200m"
+    mass = 10.0 ** rng.uniform(12.8, 14.5, n)
+    halos = {
+        "halo_x": rng.uniform(0, 1050, n),
+        "halo_y": rng.uniform(0, 1050, n),
+        "halo_z": rng.uniform(0, 1050, n),
+        "halo_vx": 300 * rng.normal(size=n),
+        "halo_vy": 300 * rng.normal(size=n),
+        "halo_vz": 300 * rng.normal(size=n),
+        f"halo_m{mdef}": mass,
+        f"halo_r{mdef}": 1.2 * (mass / 1e14) ** (1 / 3),
+        "halo_rs": 0.15 * (mass / 1e14) ** (1 / 3),
+        "halo_vmax": 400 * (mass / 1e14) ** 0.3 *
+        np.exp(0.1 * rng.normal(size=n)),
+    }
+    out_path = (tt.database.directory("AemulusAlpha", 0.25, i_cosmo=0) /
+                "snapshot.hdf5")
+    parse_snapshot.write_snapshot(out_path, halos, {"BoxSize": 1050.0})
+
+    monkeypatch.setattr(sys, "argv", [
+        "tabulate_snapshot.py", "AemulusAlpha", "0.25", "--tpcf", "xi_r",
+        "--tab_config", "efficient", "--seed", "1"])
+    tabulate_snapshot.main()
+
+    halotab = tt.database.read("AemulusAlpha", 0.25, "xi_r",
+                               tab_config="efficient")
+    assert halotab.keys == ["log_eta"]
+    assert len(halotab.tabcorr_list) == 4
+
+    model = tt.Zheng07Model(threshold=-20, redshift=0.25,
+                            prim_haloprop_key=f"halo_m{mdef}",
+                            logMmin=13.2, logM0=13.0, logM1=14.0)
+    model.param_dict["log_eta"] = 0.1
+    ngal, xi = halotab.predict(model, check_consistency=False)
+    assert np.all(np.isfinite(xi)) and ngal > 0
