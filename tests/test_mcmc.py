@@ -361,3 +361,37 @@ def test_diagnostics_on_ensemble_chain():
     assert np.all(tau < 40)
     assert np.all(effective_sample_size(chain) > 1000)
     assert np.all(gelman_rubin(chain[200:]) < 1.05)
+
+
+def test_vectorized_ensemble_with_leauthaud11(wp_tabcorr):
+    # The batched MCMC hot path with a model that cannot use the fused
+    # engines: make_multi_predictor(engine='auto') must fall back to XLA
+    # and the vectorized ensemble must still run.
+    import jax
+    from tabcorr_tpu.mcmc import (make_gaussian_logpost_batched,
+                                  run_ensemble)
+    from tabcorr_tpu.predictor import make_multi_predictor
+
+    model = tt.Leauthaud11Model(threshold=10.5,
+                                redshift=wp_tabcorr.attrs["redshift"])
+    predict_all = make_multi_predictor([wp_tabcorr], model, engine="auto")
+    base = {k: float(v) for k, v in model.param_dict.items()}
+    ngal0, wp0 = wp_tabcorr.predict(model, check_consistency=False)
+    inv_cov = np.diag(1.0 / (0.05 * np.asarray(wp0)) ** 2)
+
+    log_prob = make_gaussian_logpost_batched(
+        predict_all, ("smhm_m1_0", "scatter_model_param1"), base,
+        [np.asarray(wp0)], [inv_cov],
+        bounds={"smhm_m1_0": (11.5, 13.5),
+                "scatter_model_param1": (0.05, 0.6)})
+
+    n_walkers = 16
+    rng = np.random.default_rng(0)
+    walkers0 = np.column_stack([
+        base["smhm_m1_0"] + 0.02 * rng.normal(size=n_walkers),
+        base["scatter_model_param1"] + 0.01 * rng.normal(size=n_walkers)])
+    chain, lp, accept = run_ensemble(jax.random.PRNGKey(3), log_prob,
+                                     walkers0, n_steps=10,
+                                     vectorized=True)
+    assert chain.shape == (10, n_walkers, 2)
+    assert np.all(np.isfinite(np.asarray(lp)))
