@@ -3,7 +3,8 @@
 Equivalent of the reference's scripts/tabulate_snapshot.py: reads a parsed
 ``snapshot.hdf5`` from the database directory, loops over the velocity-bias
 phase-space grid (alpha_c x alpha_s x conc_gal_bias), tabulates the
-requested statistic per grid node (xi -> multipoles 0/2/4, wp, ds, or\nxi_r -> real-space xi(r), a superset of the reference's choices), and
+requested statistic per grid node (xi -> multipoles 0/2/4, wp, ds, or
+xi_r -> real-space xi(r), a superset of the reference's choices), and
 assembles the per-node tabulations into the final Interpolator file.
 
 Usage:
@@ -126,12 +127,10 @@ def main():
     # Statistic-specific grid pruning (reference: :146-151).
     if args.tpcf == "wp" and config["pi_max"] >= 80:
         config["alpha_c_bins"] = [0.0]
-    if args.tpcf == "ds":
-        config["alpha_c_bins"] = [0.0]
-        config["alpha_s_bins"] = [1.0]
-    if args.tpcf == "xi_r":
-        # Real-space xi(r): velocity-bias parameters (central velocity
-        # noise alpha_c, satellite dispersion scaling alpha_s) only move
+    if args.tpcf in ("ds", "xi_r"):
+        # ds: reference pruning (scripts/tabulate_snapshot.py:146-151).
+        # xi_r: velocity-bias parameters (central velocity noise
+        # alpha_c, satellite dispersion scaling alpha_s) only move
         # velocities and cannot affect a real-space statistic.
         config["alpha_c_bins"] = [0.0]
         config["alpha_s_bins"] = [1.0]

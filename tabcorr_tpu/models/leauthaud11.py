@@ -27,6 +27,8 @@ dict, so gradients flow through the inversion into MCMC/Fisher code.
 
 from __future__ import annotations
 
+import math
+
 from ..utils.backend import erfc, exp, exp10, get_namespace
 from .protocol import CENTRALS, HodModel
 
@@ -64,25 +66,32 @@ def _smhm_coeffs(params, a):
             params["smhm_gamma_0"] + params["smhm_gamma_a"] * am1)
 
 
-def behroozi10_log_halo_mass(log_mstar, params, a):
+def behroozi10_log_halo_mass(log_mstar, params, a, littleh=0.72):
     """log10 Mh(M*): Behroozi et al. (2010), eq. 21.
 
     log10 Mh = log10 M1 + beta x + 10^(delta x) / (1 + 10^(-gamma x))
                - 1/2,   with x = log10(M* / M*_0).
+
+    ``littleh``: the published Behroozi10 coefficients assume h = 0.72;
+    following halotools' convention, h = 1 inputs/outputs are converted
+    by evaluating the relation at M* h^2 and returning Mh / h (set
+    ``littleh=1`` for the raw published-units relation).
     """
     xp = get_namespace(log_mstar)
     log_m1, log_m0, beta, delta, gamma = _smhm_coeffs(params, a)
-    x = xp.asarray(log_mstar) - log_m0
+    log_h = math.log10(littleh)
+    x = xp.asarray(log_mstar) + 2.0 * log_h - log_m0
     s_delta = exp10(delta * x)
     s_neg_gamma = exp10(-gamma * x)
-    return log_m1 + beta * x + s_delta / (1.0 + s_neg_gamma) - 0.5
+    return (log_m1 + beta * x + s_delta / (1.0 + s_neg_gamma) - 0.5 -
+            log_h)
 
 
-def _d_log_mh_d_log_mstar(log_mstar, params, a):
+def _d_log_mh_d_log_mstar(log_mstar, params, a, littleh=0.72):
     """Analytic d(log10 Mh)/d(log10 M*) for the Newton refinement."""
     xp = get_namespace(log_mstar)
     _, log_m0, beta, delta, gamma = _smhm_coeffs(params, a)
-    x = xp.asarray(log_mstar) - log_m0
+    x = xp.asarray(log_mstar) + 2.0 * math.log10(littleh) - log_m0
     s_delta = exp10(delta * x)
     s_neg_gamma = exp10(-gamma * x)
     denom = 1.0 + s_neg_gamma
@@ -90,7 +99,7 @@ def _d_log_mh_d_log_mstar(log_mstar, params, a):
         delta + (delta + gamma) * s_neg_gamma) / (denom * denom)
 
 
-def fshmr_log_mstar(log_mh, params, a):
+def fshmr_log_mstar(log_mh, params, a, littleh=0.72):
     """log10 f_SHMR(Mh): mean stellar mass at halo mass Mh.
 
     Monotone inversion of :func:`behroozi10_log_halo_mass`: linear
@@ -106,24 +115,26 @@ def fshmr_log_mstar(log_mh, params, a):
     # fast path would silently promote every downstream array.
     grid_mstar = xp.linspace(_GRID_LO, _GRID_HI, _GRID_N,
                              dtype=log_mh.dtype)
-    grid_mh = behroozi10_log_halo_mass(grid_mstar, params, a)
+    grid_mh = behroozi10_log_halo_mass(grid_mstar, params, a, littleh)
     log_mstar = xp.interp(log_mh, grid_mh, grid_mstar)
     for _ in range(3):
-        resid = behroozi10_log_halo_mass(log_mstar, params, a) - log_mh
+        resid = (behroozi10_log_halo_mass(log_mstar, params, a, littleh) -
+                 log_mh)
         log_mstar = log_mstar - resid / _d_log_mh_d_log_mstar(
-            log_mstar, params, a)
+            log_mstar, params, a, littleh)
     return log_mstar
 
 
-def leauthaud11_centrals(params, log_prim_haloprop, threshold, a):
+def leauthaud11_centrals(params, log_prim_haloprop, threshold, a,
+                         littleh=0.72):
     """<N_cen>: Leauthaud et al. (2011), eq. 8."""
-    log_fshmr = fshmr_log_mstar(log_prim_haloprop, params, a)
+    log_fshmr = fshmr_log_mstar(log_prim_haloprop, params, a, littleh)
     inv_scatter = 1.0 / (_SQRT2 * params["scatter_model_param1"])
     return 0.5 * erfc((threshold - log_fshmr) * inv_scatter)
 
 
 def leauthaud11_satellites(params, log_prim_haloprop, threshold, a,
-                           modulate_with_cenocc=True):
+                           modulate_with_cenocc=True, littleh=0.72):
     """<N_sat>: Leauthaud et al. (2011), eqs. 12-14.
 
     M_sat and M_cut scale with the threshold halo mass
@@ -132,7 +143,7 @@ def leauthaud11_satellites(params, log_prim_haloprop, threshold, a,
     """
     xp = get_namespace(log_prim_haloprop)
     log_mh = xp.asarray(log_prim_haloprop)
-    log_mh_t = behroozi10_log_halo_mass(threshold, params, a)
+    log_mh_t = behroozi10_log_halo_mass(threshold, params, a, littleh)
     # log10 of M_sat/M_cut via their power-law scalings around 1e12.
     log_msat = (12.0 + xp.log10(params["bsat"]) +
                 params["betasat"] * (log_mh_t - 12.0))
@@ -141,7 +152,8 @@ def leauthaud11_satellites(params, log_prim_haloprop, threshold, a,
     nsat = (exp(_LN10 * params["alphasat"] * (log_mh - log_msat)) *
             exp(-exp10(log_mcut - log_mh)))
     if modulate_with_cenocc:
-        nsat = nsat * leauthaud11_centrals(params, log_mh, threshold, a)
+        nsat = nsat * leauthaud11_centrals(params, log_mh, threshold,
+                                           a, littleh)
     return nsat
 
 
@@ -151,14 +163,24 @@ class Leauthaud11Model(HodModel):
     Parameters
     ----------
     threshold : float, optional
-        Stellar-mass threshold log10(M*_t / (Msun / h^2)) of the galaxy
-        sample.  Default is 10.5.
+        Stellar-mass threshold log10(M*_t) of the galaxy sample, in the
+        h = 1 units halotools assumes (the published Behroozi10
+        coefficients' h = 0.72 is converted internally — see
+        ``littleh``).  Default is 10.5.
     redshift : float, optional
         Sets the scale factor a = 1 / (1 + z) of the Behroozi10
         coefficient evolution.  Default is 0.
     modulate_with_cenocc : bool, optional
         Multiply <N_sat> by <N_cen> (Leauthaud et al. 2011 eq. 12;
         halotools' default for this model).  Default is True.
+    littleh : float, optional
+        Hubble parameter the Behroozi10 coefficients were published
+        for; inputs/outputs are converted to h = 1 units by evaluating
+        the relation at M* h^2 and dividing the halo mass by h
+        (halotools' convention).  Default is 0.72; set 1 for the raw
+        published-units relation.  Exact numerical parity with
+        halotools is asserted in tests/test_reference_parity.py when
+        halotools is installed.
     **params : dict
         Overrides for the Behroozi10 SMHM coefficients
         (``smhm_{m0,m1,beta,delta,gamma}_{0,a}``), the central scatter
@@ -174,10 +196,11 @@ class Leauthaud11Model(HodModel):
     supports_fused_engine = False
 
     def __init__(self, threshold=10.5, modulate_with_cenocc=True,
-                 prim_haloprop_key="halo_mvir", sec_haloprop_key=None,
-                 redshift=0.0, **params):
+                 littleh=0.72, prim_haloprop_key="halo_mvir",
+                 sec_haloprop_key=None, redshift=0.0, **params):
         self.threshold = float(threshold)
         self.modulate_with_cenocc = modulate_with_cenocc
+        self.littleh = float(littleh)
         super().__init__(prim_haloprop_key=prim_haloprop_key,
                          sec_haloprop_key=sec_haloprop_key,
                          redshift=redshift, **params)
@@ -190,7 +213,9 @@ class Leauthaud11Model(HodModel):
                    sec_haloprop_percentile):
         if gal_type == CENTRALS:
             return leauthaud11_centrals(params, log_prim_haloprop,
-                                        self.threshold, self._a)
+                                        self.threshold, self._a,
+                                        littleh=self.littleh)
         return leauthaud11_satellites(
             params, log_prim_haloprop, self.threshold, self._a,
-            modulate_with_cenocc=self.modulate_with_cenocc)
+            modulate_with_cenocc=self.modulate_with_cenocc,
+            littleh=self.littleh)

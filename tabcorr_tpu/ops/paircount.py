@@ -783,25 +783,10 @@ def tpcf(sample1, r_bins, sample2=None, period=None, do_auto=True,
     the device kernels (and the native C++ counter) with
     :func:`s_mu_tpcf`.
     """
-    _check_auto_cross(do_auto, do_cross)
-    period = np.broadcast_to(np.asarray(period, dtype=np.float64), (3,))
-    r_bins = np.asarray(r_bins, dtype=np.float64)
-    mu_edges = np.array([0.0, 1.0])
-
-    if do_auto:
-        counts = labeled_pair_count(
-            sample1, np.zeros(len(sample1), dtype=np.int32), 1,
-            period=period, kind="smu", r_edges=r_bins, mu_edges=mu_edges)
-        n_pairs = len(sample1) * len(sample1)
-    else:
-        counts = labeled_pair_count(
-            sample1, np.zeros(len(sample1), dtype=np.int32), 1,
-            pos2=sample2, period=period, kind="smu", r_edges=r_bins,
-            mu_edges=mu_edges)
-        n_pairs = len(sample1) * len(sample2)
-
-    n_exp = n_pairs / np.prod(period) * 4 * np.pi / 3 * np.diff(r_bins**3)
-    return counts[0, 0, :, 0] / n_exp - 1
+    xi = s_mu_tpcf(sample1, np.asarray(r_bins, dtype=np.float64),
+                   np.array([0.0, 1.0]), sample2=sample2, period=period,
+                   do_auto=do_auto, do_cross=do_cross)
+    return xi[:, 0]
 
 
 def delta_sigma_from_mass_profiles(rp_bins, mass_in, mass_annulus,

@@ -218,7 +218,10 @@ class _FastPath:
             self.mu_bins = np.asarray(tpcf_args[1], dtype=np.float64)
             self.shape = (len(self.s_bins) - 1, len(self.mu_bins) - 1)
         elif tpcf_name == "tpcf":
+            # xi(r) shares the (s, mu) machinery with a single mu bin.
             self.r_bins = np.asarray(tpcf_args[0], dtype=np.float64)
+            self.s_bins = self.r_bins
+            self.mu_bins = np.array([0.0, 1.0])
             self.shape = (len(self.r_bins) - 1,)
         elif tpcf_name == "mean_delta_sigma":
             self.ptcl_pos = np.asarray(tpcf_args[0], dtype=np.float64)
@@ -249,7 +252,7 @@ class _FastPath:
             xi[outer == 0] = 0.0
             return np.moveaxis(xi, -1, 0)
 
-        if self.name == "s_mu_tpcf":
+        if self.name in ("s_mu_tpcf", "tpcf"):
             counts = self._count(
                 pos, labels, n_bins, period=period, kind="smu",
                 r_edges=self.s_bins, mu_edges=self.mu_bins, **extra)
@@ -260,19 +263,6 @@ class _FastPath:
                 xi = counts / n_exp - 1
             xi[outer == 0] = 0.0
             return np.moveaxis(xi.reshape(n_bins, n_bins, -1), -1, 0)
-
-        if self.name == "tpcf":
-            # xi(r): an (s, mu) sweep with a single mu bin.
-            counts = self._count(
-                pos, labels, n_bins, period=period, kind="smu",
-                r_edges=self.r_bins, mu_edges=np.array([0.0, 1.0]),
-                **extra)[..., 0]
-            n_exp = (outer[:, :, None] / volume * 4 * np.pi / 3 *
-                     np.diff(self.r_bins**3))
-            with np.errstate(invalid="ignore", divide="ignore"):
-                xi = counts / n_exp - 1
-            xi[outer == 0] = 0.0
-            return np.moveaxis(xi, -1, 0)
 
         raise ValueError(f"{self.name} is a cross statistic.")
 

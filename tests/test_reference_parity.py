@@ -224,3 +224,23 @@ def test_assembias_decoration_matches_halotools():
                                        atol=1e-12)
             np.testing.assert_allclose(got_s, want_s, rtol=1e-6,
                                        atol=1e-12)
+
+
+def test_leauthaud11_occupations_match_halotools():
+    # SHMR-based occupations vs halotools' Leauthaud11Cens/Sats,
+    # including the littleh = 0.72 unit conversions of the Behroozi10
+    # coefficients.
+    from halotools.empirical_models import Leauthaud11Cens, Leauthaud11Sats
+
+    redshift = 0.5
+    cens_ref = Leauthaud11Cens(threshold=10.5, redshift=redshift)
+    sats_ref = Leauthaud11Sats(threshold=10.5, redshift=redshift)
+    model = tt.Leauthaud11Model(threshold=10.5, redshift=redshift)
+
+    prim = np.logspace(11, 15, 41)
+    want_c = cens_ref.mean_occupation(prim_haloprop=prim)
+    want_s = sats_ref.mean_occupation(prim_haloprop=prim)
+    got_c = model.mean_occupation_centrals(prim_haloprop=prim)
+    got_s = model.mean_occupation_satellites(prim_haloprop=prim)
+    np.testing.assert_allclose(got_c, want_c, rtol=1e-5, atol=1e-12)
+    np.testing.assert_allclose(got_s, want_s, rtol=1e-5, atol=1e-12)
