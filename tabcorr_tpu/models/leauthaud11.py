@@ -109,20 +109,17 @@ def fshmr_log_mstar(log_mh, params, a, littleh=0.72):
     range clamp to the grid ends; the centrals occupation there is
     0 or 1 to double precision for any sane threshold.
     """
+    from ..utils.inversion import monotone_inverse
     xp = get_namespace(log_mh)
     log_mh = xp.asarray(log_mh)
     # Grid in the query's dtype: mixing a float64 grid into a float32
     # fast path would silently promote every downstream array.
     grid_mstar = xp.linspace(_GRID_LO, _GRID_HI, _GRID_N,
                              dtype=log_mh.dtype)
-    grid_mh = behroozi10_log_halo_mass(grid_mstar, params, a, littleh)
-    log_mstar = xp.interp(log_mh, grid_mh, grid_mstar)
-    for _ in range(3):
-        resid = (behroozi10_log_halo_mass(log_mstar, params, a, littleh) -
-                 log_mh)
-        log_mstar = log_mstar - resid / _d_log_mh_d_log_mstar(
-            log_mstar, params, a, littleh)
-    return log_mstar
+    return monotone_inverse(
+        lambda ls: behroozi10_log_halo_mass(ls, params, a, littleh),
+        log_mh, grid_mstar,
+        dfn=lambda ls: _d_log_mh_d_log_mstar(ls, params, a, littleh))
 
 
 def leauthaud11_centrals(params, log_prim_haloprop, threshold, a,

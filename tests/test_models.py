@@ -459,3 +459,28 @@ def test_leauthaud11_through_interpolator(ds_interpolator):
     model.param_dict["log_eta"] = 0.1
     ngal2, ds2 = ds_interpolator.predict(model, check_consistency=False)
     assert np.all(np.isfinite(ds2)) and not np.allclose(ds, ds2)
+
+
+def test_monotone_inverse_utility():
+    import jax
+    import jax.numpy as jnp
+    from tabcorr_tpu.utils.inversion import monotone_inverse
+
+    # Numpy path with analytic derivative.
+    grid = np.linspace(-3.0, 3.0, 101)
+    y = np.linspace(-20.0, 20.0, 17)
+    x = monotone_inverse(lambda t: t**3 + 2 * t, y, grid,
+                         dfn=lambda t: 3 * t**2 + 2)
+    np.testing.assert_allclose(x**3 + 2 * x, y, atol=1e-12)
+
+    # jax path with the default jvp derivative; parameter gradients are
+    # exact (implicit function theorem): d/dc of root(t^3 + 2t + c = y)
+    # is -1 / (3 t^2 + 2).
+    def root_of(c):
+        return monotone_inverse(lambda t: t**3 + 2 * t + c,
+                                jnp.float64(5.0),
+                                jnp.asarray(grid))
+    g = jax.grad(root_of)(jnp.float64(0.3))
+    t = root_of(jnp.float64(0.3))
+    np.testing.assert_allclose(float(g), -1.0 / (3 * float(t)**2 + 2),
+                               rtol=1e-9)
