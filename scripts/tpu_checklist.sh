@@ -24,6 +24,9 @@ fi
 echo "== 2. headline bench =="
 timeout 1200 python bench.py
 
+echo "== 2b. tabulation-sweep bench =="
+timeout 1200 python scripts/bench_sweep.py --strategy matmul || true
+
 if [ "${1:-}" != "quick" ]; then
     echo "== 3. slow golden suite on the real chip =="
     TABCORR_TEST_ACCELERATOR=1 timeout 3600 \
