@@ -484,3 +484,22 @@ def test_monotone_inverse_utility():
     t = root_of(jnp.float64(0.3))
     np.testing.assert_allclose(float(g), -1.0 / (3 * float(t)**2 + 2),
                                rtol=1e-9)
+
+
+def test_leauthaud11_batched_interpolator_matches_host(ds_interpolator):
+    import jax.numpy as jnp
+    from tabcorr_tpu.predictor import make_predictor, params_batch
+    model = tt.Leauthaud11Model(
+        threshold=10.5, redshift=0.5, prim_haloprop_key="halo_m258m",
+        sec_haloprop_key="halo_nfw_conc")
+    model.param_dict["log_eta"] = 0.05
+    ngal_h, ds_h = ds_interpolator.predict(model, check_consistency=False)
+
+    pred = make_predictor(ds_interpolator, model, dtype=jnp.float64,
+                          engine="xla")
+    params = params_batch(model, {"log_eta": np.array([0.05, 0.15])},
+                          (2,), dtype=jnp.float64)
+    ngal, ds = pred(params)
+    np.testing.assert_allclose(float(ngal[0]), ngal_h, rtol=1e-9)
+    np.testing.assert_allclose(np.asarray(ds)[0], ds_h, rtol=1e-9)
+    assert not np.allclose(np.asarray(ds)[1], ds_h)
