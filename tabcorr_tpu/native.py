@@ -30,30 +30,67 @@ _SOURCE = _NATIVE_DIR / "paircount.cpp"
 NATIVE_ABI_VERSION = 3
 
 
-def _artifact_dir() -> Path:
-    if os.access(_NATIVE_DIR, os.W_OK):
-        return _NATIVE_DIR
-    cache = Path(os.environ.get("XDG_CACHE_HOME",
-                                Path.home() / ".cache")) / "tabcorr_tpu"
-    cache.mkdir(parents=True, exist_ok=True)
-    return cache
+def _isa_tag() -> str:
+    """Host-ISA component of the artifact filename.
 
-
-_LIB_PATH = (_artifact_dir() /
-             f"libtabcorr_paircount_v{NATIVE_ABI_VERSION}.so")
-_LIB = None
+    The library is compiled with ``-march=native``; a cache directory
+    shared across heterogeneous machines (NFS $HOME on a cluster) must
+    not serve an AVX-512 binary to an older node — that is a SIGILL,
+    not a catchable exception.
+    """
+    import hashlib
+    import platform
+    tag = platform.machine() or "unknown"
+    try:
+        with open("/proc/cpuinfo") as stream:
+            for line in stream:
+                if line.startswith("flags"):
+                    tag += "-" + hashlib.sha1(
+                        line.encode()).hexdigest()[:8]
+                    break
+    except OSError:
+        pass
+    return tag
 
 
 class NativeUnavailable(RuntimeError):
     pass
 
 
-def _build_library():
+def _artifact_path() -> Path:
+    """Writable location for the compiled library (computed lazily:
+    creating cache directories as an import side effect would turn a
+    read-only $HOME into an ImportError instead of a clean fallback)."""
+    if os.access(_NATIVE_DIR, os.W_OK):
+        base = _NATIVE_DIR
+    else:
+        base = Path(os.environ.get("XDG_CACHE_HOME",
+                                   Path.home() / ".cache")) / "tabcorr_tpu"
+        try:
+            base.mkdir(parents=True, exist_ok=True)
+        except OSError as exc:
+            raise NativeUnavailable(
+                f"No writable directory for the native library: {exc}")
+    return base / (f"libtabcorr_paircount_v{NATIVE_ABI_VERSION}"
+                   f"_{_isa_tag()}.so")
+
+
+_LIB = None
+
+
+def _build_library(lib_path):
+    # Link into a private temp name, then atomically rename: concurrent
+    # first-use builds (multiprocessing pipelines, pytest-xdist) must
+    # never dlopen a half-written ELF.
+    tmp = lib_path.with_name(lib_path.name + f".tmp{os.getpid()}")
     cmd = ["g++", "-O3", "-std=c++17", "-shared", "-fPIC", "-fopenmp",
-           "-march=native", str(_SOURCE), "-o", str(_LIB_PATH)]
+           "-march=native", str(_SOURCE), "-o", str(tmp)]
     try:
         subprocess.run(cmd, check=True, capture_output=True, text=True)
-    except (subprocess.CalledProcessError, FileNotFoundError) as exc:
+        os.replace(tmp, lib_path)
+    except (subprocess.CalledProcessError, FileNotFoundError,
+            OSError) as exc:
+        tmp.unlink(missing_ok=True)
         detail = getattr(exc, "stderr", str(exc))
         raise NativeUnavailable(
             f"Could not build the native pair counter: {detail}")
@@ -64,13 +101,25 @@ def load_library():
     global _LIB
     if _LIB is not None:
         return _LIB
-    if not _LIB_PATH.exists() or (_SOURCE.exists() and
-                                  _SOURCE.stat().st_mtime >
-                                  _LIB_PATH.stat().st_mtime):
-        if not _SOURCE.exists():
-            raise NativeUnavailable(f"{_SOURCE} not found.")
-        _build_library()
-    lib = ctypes.CDLL(str(_LIB_PATH))
+    if not _SOURCE.exists():
+        raise NativeUnavailable(f"{_SOURCE} not found.")
+    lib_path = _artifact_path()
+    if (not lib_path.exists() or
+            _SOURCE.stat().st_mtime > lib_path.stat().st_mtime):
+        _build_library(lib_path)
+    try:
+        lib = ctypes.CDLL(str(lib_path))
+    except OSError:
+        # A truncated artifact (interrupted build, pre-atomic-rename
+        # cache): rebuild once under a fresh name, then give up cleanly
+        # so native_available() keeps its False contract.
+        try:
+            lib_path.unlink(missing_ok=True)
+            _build_library(lib_path)
+            lib = ctypes.CDLL(str(lib_path))
+        except (OSError, NativeUnavailable) as exc:
+            raise NativeUnavailable(
+                f"Could not load the native pair counter: {exc}")
     try:
         lib.tabcorr_native_version.restype = ctypes.c_int
         found = int(lib.tabcorr_native_version())
@@ -82,7 +131,7 @@ def load_library():
         # bug, not a stale artifact (re-dlopening one filename would
         # return glibc's cached stale mapping anyway).
         raise NativeUnavailable(
-            f"{_LIB_PATH.name} reports ABI version {found}, expected "
+            f"{lib_path.name} reports ABI version {found}, expected "
             f"{NATIVE_ABI_VERSION}; native_src/paircount.cpp and "
             f"tabcorr_tpu/native.py are out of sync.")
     lib.tabcorr_count_pairs.restype = None
@@ -107,7 +156,6 @@ def load_library():
                                            #   2 unit+log_rp: doubled out buf)
         ctypes.POINTER(ctypes.c_double),   # out
     ]
-    lib.tabcorr_native_version.restype = ctypes.c_int
     _LIB = lib
     return lib
 
@@ -129,6 +177,10 @@ def labeled_pair_count(pos1, labels1, n_labels_1, pos2=None, labels2=None,
                        mu_edges=None, pair_weight="unit"):
     """Native twin of :func:`tabcorr_tpu.ops.paircount.labeled_pair_count`."""
     lib = load_library()
+    if kind == "rppi" and pi_max is None:
+        # The C++ kernel would read pi_max = 0 and count nothing; fail
+        # loudly like the device path does.
+        raise ValueError("kind='rppi' requires pi_max.")
     period = np.ascontiguousarray(
         np.broadcast_to(np.asarray(period, dtype=np.float64), (3,)))
     r_edges = np.ascontiguousarray(r_edges, dtype=np.float64)
@@ -151,13 +203,15 @@ def labeled_pair_count(pos1, labels1, n_labels_1, pos2=None, labels2=None,
         pos2, labels2, n_labels_2 = pos1, labels1, n_labels_1
     else:
         pos2 = np.ascontiguousarray(pos2, dtype=np.float64)
-        labels2 = (np.zeros(len(pos2), dtype=np.int32) if labels2 is None
-                   else np.ascontiguousarray(labels2, dtype=np.int32))
-        n_labels_2 = n_labels_2 or int(labels2.max()) + 1
+        # labels2=None stays a NULL pointer: the kernel synthesizes
+        # label 0 per tracer, saving an O(n2) materialization.
+        if labels2 is not None:
+            labels2 = np.ascontiguousarray(labels2, dtype=np.int32)
+        if n_labels_2 is None:
+            n_labels_2 = (1 if labels2 is None
+                          else int(labels2.max()) + 1)
 
-    if weights2 is None:
-        weights2 = np.ones(len(pos2), dtype=np.float64)
-    else:
+    if weights2 is not None:
         weights2 = np.asarray(weights2, dtype=np.float64)
         if weights2.ndim == 0:
             weights2 = np.full(len(pos2), weights2)
@@ -175,7 +229,8 @@ def labeled_pair_count(pos1, labels1, n_labels_1, pos2=None, labels2=None,
     lib.tabcorr_count_pairs(
         ptr(pos1, ctypes.c_double), ptr(labels1, ctypes.c_int32),
         len(pos1), ptr(pos2, ctypes.c_double),
-        ptr(labels2, ctypes.c_int32), ptr(weights2, ctypes.c_double),
+        None if labels2 is None else ptr(labels2, ctypes.c_int32),
+        None if weights2 is None else ptr(weights2, ctypes.c_double),
         len(pos2), int(auto), int(n_labels_1), int(n_labels_2),
         ptr(edges_sq, ctypes.c_double), n_r,
         float(pi_max if pi_max is not None else 0.0), n_mu,

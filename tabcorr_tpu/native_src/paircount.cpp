@@ -163,7 +163,10 @@ void count_pairs(const double* pos1, const int32_t* labels1, int64_t n1,
         double x1 = pos1[3 * i + 0], y1 = pos1[3 * i + 1],
                z1 = pos1[3 * i + 2];
         int l1 = labels1 ? labels1[i] : 0;
-        if (l1 < 0) continue;
+        // Out-of-range labels are dropped like negatives (the device
+        // twin's one-hot/scatter semantics); without the upper check an
+        // over-range label would index past the histogram.
+        if (l1 < 0 || l1 >= n_labels_1) continue;
         int64_t base1 = int64_t(l1) * n_labels_2;
 
         double xw = std::fmod(x1, period[0]);
@@ -275,7 +278,8 @@ void count_pairs(const double* pos1, const int32_t* labels1, int64_t n1,
                     int64_t j = j0 + buf_idx[s];
                     if (autocorr && grid.orig[j] == i) continue;
                     int l2 = grid.label[j];
-                    if (l2 < 0 || buf_bin[s] < 0) continue;
+                    if (l2 < 0 || l2 >= n_labels_2 ||
+                        buf_bin[s] < 0) continue;
                     double w = grid.weight[j];
                     int64_t idx = (base1 + l2) * n_sub + buf_bin[s];
                     // pair_weight 1: accumulate w * ln(rp) for the exact

@@ -195,16 +195,33 @@ def test_auto_strategy_routes_to_native_on_cpu():
                                   np.asarray(got_scatter))
 
 
-def test_artifact_dir_falls_back_to_cache(monkeypatch, tmp_path):
-    # A read-only site-packages install must build into the user cache.
+def test_artifact_path_falls_back_to_cache(monkeypatch, tmp_path):
+    # A read-only site-packages install must build into the user cache,
+    # keyed by ABI version and host ISA (-march=native artifacts must
+    # not be shared across heterogeneous machines).
     monkeypatch.setattr(native.os, "access", lambda p, m: False)
     monkeypatch.setenv("XDG_CACHE_HOME", str(tmp_path))
-    d = native._artifact_dir()
-    assert d == tmp_path / "tabcorr_tpu"
-    assert d.is_dir()
+    p = native._artifact_path()
+    assert p.parent == tmp_path / "tabcorr_tpu"
+    assert p.parent.is_dir()
+    assert f"v{native.NATIVE_ABI_VERSION}_" in p.name
+    assert native._isa_tag() in p.name
     # Writable source dir (a development checkout) builds next to it.
     monkeypatch.setattr(native.os, "access", lambda p, m: True)
-    assert native._artifact_dir() == native._NATIVE_DIR
+    assert native._artifact_path().parent == native._NATIVE_DIR
+
+
+def test_artifact_path_unwritable_cache_is_unavailable(monkeypatch,
+                                                       tmp_path):
+    # A locked-down host (read-only package dir AND unwritable cache)
+    # must surface NativeUnavailable — not an import-time crash — so
+    # strategy='auto' can fall back to the XLA scatter path.
+    monkeypatch.setattr(native.os, "access", lambda p, m: False)
+    blocked = tmp_path / "file"
+    blocked.write_text("")
+    monkeypatch.setenv("XDG_CACHE_HOME", str(blocked))  # mkdir fails
+    with pytest.raises(native.NativeUnavailable):
+        native._artifact_path()
 
 
 @pytest.mark.parametrize("seed", [6, 17, 23, 31])
@@ -339,3 +356,39 @@ def test_native_thread_count_invariance(tmp_path):
     np.testing.assert_array_equal(results["1"]["a"], results["4"]["a"])
     np.testing.assert_allclose(results["1"]["b"], results["4"]["b"],
                                rtol=1e-12, atol=1e-12)
+
+
+def test_native_out_of_range_labels_dropped(data):
+    # Labels >= n_labels are dropped exactly like negatives (the device
+    # twin's one-hot/scatter semantics) — not written past the histogram.
+    L, pos, labels = data
+    r = np.logspace(-0.5, 1.0, 4)
+    bad = labels.copy()
+    bad[::7] = 3  # == n_labels
+    neg = labels.copy()
+    neg[::7] = -1
+    kw = dict(period=L, kind="rppi", r_edges=r, pi_max=12.0)
+    a = native.labeled_pair_count(pos, bad, 3, **kw)
+    b = native.labeled_pair_count(pos, neg, 3, **kw)
+    np.testing.assert_array_equal(a, b)
+
+
+def test_native_rppi_requires_pi_max(data):
+    L, pos, labels = data
+    r = np.logspace(-0.5, 1.0, 4)
+    with pytest.raises(ValueError, match="pi_max"):
+        native.labeled_pair_count(pos, labels, 3, period=L,
+                                  kind="rppi", r_edges=r)
+
+
+def test_native_null_labels2_weights2_match_explicit(data):
+    L, pos, labels = data
+    pos2 = np.random.default_rng(8).uniform(0, L, (400, 3))
+    r = np.logspace(-0.5, 1.0, 4)
+    kw = dict(period=L, kind="proj", r_edges=r)
+    a = native.labeled_pair_count(pos, labels, 3, pos2=pos2, **kw)
+    b = native.labeled_pair_count(
+        pos, labels, 3, pos2=pos2,
+        labels2=np.zeros(len(pos2), dtype=np.int32), n_labels_2=1,
+        weights2=np.ones(len(pos2)), **kw)
+    np.testing.assert_array_equal(a, b)
