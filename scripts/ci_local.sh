@@ -27,4 +27,17 @@ python -m pytest tests/ -m "not slow" -q
 
 echo "== slow suite (goldens + pipeline; fast on CPU via the native counter) =="
 python -m pytest tests/ -m slow -q
+
+echo "== example smoke (wp / ds / fisher) =="
+# Pin the CPU backend via jax.config (site hooks can initialize an
+# accelerator plugin before env vars are consulted; a dead tunnel then
+# hangs the run — see tests/conftest.py).
+for ex in example_wp example_ds example_fisher; do
+    MPLBACKEND=Agg python -c "
+import jax
+jax.config.update('jax_platforms', 'cpu')
+import runpy
+runpy.run_path('examples/$ex.py', run_name='__main__')
+" > /dev/null
+done
 echo "LOCAL CI GREEN"
