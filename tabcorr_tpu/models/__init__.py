@@ -1,6 +1,7 @@
 """JAX-native HOD occupation models."""
 
 from .assembias import (AssembiasLeauthaud11Model, AssembiasZheng07Model,
+                        AssembiasZuMandelbaum15Model,
                         HeavisideAssembiasMixin, heaviside_assembias)
 from .functional import FunctionalHodModel
 from .leauthaud11 import (LEAUTHAUD11_PARAMS, Leauthaud11Model,
@@ -9,12 +10,22 @@ from .leauthaud11 import (LEAUTHAUD11_PARAMS, Leauthaud11Model,
 from .protocol import CENTRALS, SATELLITES, HodModel
 from .zheng07 import (ZHENG07_THRESHOLD_PARAMS, Zheng07Model,
                       zheng07_centrals, zheng07_satellites)
+from .zu_mandelbaum15 import (ZU_MANDELBAUM15_PARAMS, ZuMandelbaum15Model,
+                              zu15_log_halo_mass, zu15_log_mstar,
+                              zu15_scatter_ln_mstar,
+                              zu_mandelbaum15_centrals,
+                              zu_mandelbaum15_satellites)
 
 __all__ = ["HodModel", "Zheng07Model", "AssembiasZheng07Model",
            "Leauthaud11Model", "AssembiasLeauthaud11Model",
+           "ZuMandelbaum15Model", "AssembiasZuMandelbaum15Model",
            "HeavisideAssembiasMixin", "FunctionalHodModel",
            "zheng07_centrals", "zheng07_satellites",
            "leauthaud11_centrals", "leauthaud11_satellites",
+           "zu_mandelbaum15_centrals", "zu_mandelbaum15_satellites",
            "behroozi10_log_halo_mass", "fshmr_log_mstar",
+           "zu15_log_halo_mass", "zu15_log_mstar",
+           "zu15_scatter_ln_mstar",
            "heaviside_assembias", "ZHENG07_THRESHOLD_PARAMS",
-           "LEAUTHAUD11_PARAMS", "CENTRALS", "SATELLITES"]
+           "LEAUTHAUD11_PARAMS", "ZU_MANDELBAUM15_PARAMS",
+           "CENTRALS", "SATELLITES"]

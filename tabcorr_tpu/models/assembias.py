@@ -24,6 +24,7 @@ from ..utils.backend import get_namespace
 from .leauthaud11 import Leauthaud11Model
 from .protocol import CENTRALS
 from .zheng07 import Zheng07Model
+from .zu_mandelbaum15 import ZuMandelbaum15Model
 
 
 def heaviside_assembias(base, strength, sec_haloprop_percentile, split=0.5,
@@ -136,4 +137,15 @@ class AssembiasLeauthaud11Model(HeavisideAssembiasMixin, Leauthaud11Model):
 
     ``occupation_residual`` is the inherited generic JVP of the decorated
     occupation (the SHMR inversion has no cheap analytic absorption).
+    """
+
+
+class AssembiasZuMandelbaum15Model(HeavisideAssembiasMixin,
+                                   ZuMandelbaum15Model):
+    """Zu & Mandelbaum (2015) model with Heaviside assembly bias.
+
+    halotools ships no prebuilt decorated variant of this family; the
+    composition here is the same generic HeavisideAssembias decoration
+    halotools applies to any occupation component.  Like Leauthaud11,
+    ``occupation_residual`` stays the generic JVP fallback.
     """

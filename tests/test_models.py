@@ -503,3 +503,147 @@ def test_leauthaud11_batched_interpolator_matches_host(ds_interpolator):
     np.testing.assert_allclose(float(ngal[0]), ngal_h, rtol=1e-9)
     np.testing.assert_allclose(np.asarray(ds)[0], ds_h, rtol=1e-9)
     assert not np.allclose(np.asarray(ds)[1], ds_h)
+
+
+# ---------------------------------------------------------------------------
+# Zu & Mandelbaum (2015) iHOD model
+# ---------------------------------------------------------------------------
+
+def test_zu15_inversion_roundtrip():
+    from tabcorr_tpu.models import zu15_log_halo_mass, zu15_log_mstar
+    from tabcorr_tpu.models.zu_mandelbaum15 import ZU_MANDELBAUM15_PARAMS
+    params = dict(ZU_MANDELBAUM15_PARAMS)
+    log_mh = np.linspace(10.5, 15.5, 41)
+    log_mstar = zu15_log_mstar(log_mh, params)
+    np.testing.assert_allclose(zu15_log_halo_mass(log_mstar, params),
+                               log_mh, rtol=0, atol=1e-10)
+    assert np.all(np.diff(log_mstar) > 0)
+
+
+def test_zu15_scatter_form():
+    from tabcorr_tpu.models import zu15_scatter_ln_mstar
+    from tabcorr_tpu.models.zu_mandelbaum15 import ZU_MANDELBAUM15_PARAMS
+    params = dict(ZU_MANDELBAUM15_PARAMS)
+    log_m1 = np.log10(params["smhm_m1"])
+    # Constant sigma_0 below M1 ...
+    lo = zu15_scatter_ln_mstar(params, np.array([10.0, 11.0, log_m1]))
+    np.testing.assert_allclose(lo, params["smhm_sigma"], rtol=1e-12)
+    # ... linear in ln(Mh/M1) above (the published eta < 0 shrinks it) ...
+    log_mh = np.array([13.0, 14.0])
+    want = (params["smhm_sigma"] + params["smhm_sigma_slope"] *
+            np.log(10.0 ** (log_mh - log_m1)))
+    np.testing.assert_allclose(zu15_scatter_ln_mstar(params, log_mh),
+                               want, rtol=1e-12)
+    # Zu15's headline: ~0.5 at M1 down to ~0.3 at 1e14 Msun.
+    assert 0.29 < want[1] < 0.35
+    # ... and floored positive for pathological samples.
+    assert zu15_scatter_ln_mstar(params, np.array([30.0]))[0] > 0
+
+
+def test_zu15_centrals_half_at_pivot_mass():
+    from tabcorr_tpu.models import zu15_log_halo_mass
+    from tabcorr_tpu.models.zu_mandelbaum15 import ZU_MANDELBAUM15_PARAMS
+    model = tt.ZuMandelbaum15Model(threshold=10.5)
+    # At the halo mass where f_SHMR equals the threshold, <N_cen> = 1/2
+    # exactly, independent of the (mass-dependent) scatter.
+    log_mh_t = zu15_log_halo_mass(10.5, dict(ZU_MANDELBAUM15_PARAMS))
+    ncen = model.mean_occupation_centrals(
+        prim_haloprop=np.array([10 ** log_mh_t]))
+    np.testing.assert_allclose(ncen, 0.5, rtol=1e-9)
+    mass = 10 ** np.linspace(10.5, 15.5, 64)
+    ncen = model.mean_occupation_centrals(prim_haloprop=mass)
+    assert np.all(np.diff(ncen) >= 0)
+    assert ncen[0] < 1e-8 and ncen[-1] > 1 - 1e-8
+
+
+def test_zu15_satellites_scalings():
+    from tabcorr_tpu.models import zu15_log_halo_mass
+    from tabcorr_tpu.models.zu_mandelbaum15 import ZU_MANDELBAUM15_PARAMS
+    model = tt.ZuMandelbaum15Model(threshold=10.5,
+                                   modulate_with_cenocc=False)
+    params = dict(ZU_MANDELBAUM15_PARAMS)
+    log_mh_t = zu15_log_halo_mass(10.5, params)
+    log_msat = (12.0 + np.log10(params["bsat"]) +
+                params["betasat"] * (log_mh_t - 12.0))
+    log_mcut = (12.0 + np.log10(params["bcut"]) +
+                params["betacut"] * (log_mh_t - 12.0))
+    mass = 10 ** np.linspace(12.5, 15.5, 16)
+    nsat = model.mean_occupation_satellites(prim_haloprop=mass)
+    want = ((mass / 10 ** log_msat) ** params["alphasat"] *
+            np.exp(-(10 ** log_mcut) / mass))
+    np.testing.assert_allclose(nsat, want, rtol=1e-9)
+    model_mod = tt.ZuMandelbaum15Model(threshold=10.5)
+    nsat_mod = model_mod.mean_occupation_satellites(prim_haloprop=mass)
+    ncen = model_mod.mean_occupation_centrals(prim_haloprop=mass)
+    np.testing.assert_allclose(nsat_mod, nsat * ncen, rtol=1e-9)
+
+
+def test_zu15_gradients_flow_through_inversion():
+    import jax
+    import jax.numpy as jnp
+    from tabcorr_tpu.models.zu_mandelbaum15 import (
+        ZU_MANDELBAUM15_PARAMS, zu_mandelbaum15_centrals)
+    params = {k: jnp.float64(v) for k, v in ZU_MANDELBAUM15_PARAMS.items()}
+    log_mh = jnp.asarray(13.0, dtype=jnp.float64)
+
+    def ncen_of(p):
+        return zu_mandelbaum15_centrals(p, log_mh, 10.5)
+
+    grads = jax.grad(ncen_of)(params)
+    for key in ["smhm_m1", "smhm_beta", "smhm_gamma", "smhm_sigma",
+                "smhm_sigma_slope"]:
+        # Relative step: smhm_m1 is a LINEAR mass ~1e12.
+        eps = max(abs(float(params[key])), 1.0) * 1e-6
+        p_hi = dict(params)
+        p_lo = dict(params)
+        p_hi[key] = params[key] + eps
+        p_lo[key] = params[key] - eps
+        fd = (ncen_of(p_hi) - ncen_of(p_lo)) / (2 * eps)
+        np.testing.assert_allclose(grads[key], fd, rtol=1e-4, err_msg=key)
+        assert abs(float(grads[key])) > 0
+
+
+def test_zu15_predict_through_table(wp_tabcorr):
+    model = tt.ZuMandelbaum15Model(threshold=10.5,
+                                   prim_haloprop_key="halo_mvir")
+    ngal, xi = wp_tabcorr.predict(model, check_consistency=False)
+    assert ngal > 0 and np.all(np.isfinite(xi))
+    model2 = tt.ZuMandelbaum15Model(threshold=10.5,
+                                    prim_haloprop_key="halo_mvir",
+                                    smhm_m1=10.0 ** 12.5)
+    ngal2, _ = wp_tabcorr.predict(model2, check_consistency=False)
+    assert ngal2 != ngal
+
+
+def test_zu15_vectorized_predictor_matches_host(wp_tabcorr):
+    import jax.numpy as jnp
+    model = tt.ZuMandelbaum15Model(threshold=10.5,
+                                   prim_haloprop_key="halo_mvir")
+    ngal_h, xi_h = wp_tabcorr.predict(model, check_consistency=False)
+    assert not model.supports_fused_engine
+    pred = wp_tabcorr.make_predictor(model, vectorized=True, engine="auto",
+                                     dtype=jnp.float64)
+    batch = {k: np.full(3, v) for k, v in model.param_dict.items()}
+    batch["smhm_m1"][1] = 10.0 ** 12.5
+    ngal, xi = pred(batch)
+    np.testing.assert_allclose(float(ngal[0]), ngal_h, rtol=1e-9)
+    np.testing.assert_allclose(np.asarray(xi)[0], xi_h, rtol=1e-9)
+    assert float(ngal[1]) != float(ngal[0])
+
+
+def test_assembias_zu15_mean_preservation():
+    from tabcorr_tpu.models import AssembiasZuMandelbaum15Model
+    model = AssembiasZuMandelbaum15Model(threshold=10.5)
+    model.param_dict["mean_occupation_centrals_assembias_param1"] = 0.6
+    model.param_dict["mean_occupation_satellites_assembias_param1"] = -0.3
+    mass = 10 ** np.linspace(11.5, 15.0, 32)
+    base_model = tt.ZuMandelbaum15Model(threshold=10.5)
+    for name in ["mean_occupation_centrals", "mean_occupation_satellites"]:
+        fn = getattr(model, name)
+        lo = fn(prim_haloprop=mass,
+                sec_haloprop_percentile=np.full_like(mass, 0.25))
+        hi = fn(prim_haloprop=mass,
+                sec_haloprop_percentile=np.full_like(mass, 0.75))
+        base = getattr(base_model, name)(prim_haloprop=mass)
+        np.testing.assert_allclose(0.5 * (lo + hi), base, rtol=1e-9)
+        assert np.any(np.abs(hi - lo) > 1e-6)

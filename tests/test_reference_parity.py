@@ -244,3 +244,24 @@ def test_leauthaud11_occupations_match_halotools():
     got_s = model.mean_occupation_satellites(prim_haloprop=prim)
     np.testing.assert_allclose(got_c, want_c, rtol=1e-5, atol=1e-12)
     np.testing.assert_allclose(got_s, want_s, rtol=1e-5, atol=1e-12)
+
+
+def test_zu_mandelbaum15_occupations_match_halotools():
+    # iHOD occupations vs halotools' ZuMandelbaum15Cens/Sats: the
+    # Behroozi10-form SHMR in h = 1 units, the mass-dependent
+    # sigma_lnM* (constant below M1, linear in ln Mh above), and the
+    # Leauthaud-style satellite scalings.
+    from halotools.empirical_models import (ZuMandelbaum15Cens,
+                                            ZuMandelbaum15Sats)
+
+    cens_ref = ZuMandelbaum15Cens(threshold=10.5)
+    sats_ref = ZuMandelbaum15Sats(threshold=10.5)
+    model = tt.ZuMandelbaum15Model(threshold=10.5)
+
+    prim = np.logspace(11, 15, 41)
+    want_c = cens_ref.mean_occupation(prim_haloprop=prim)
+    want_s = sats_ref.mean_occupation(prim_haloprop=prim)
+    got_c = model.mean_occupation_centrals(prim_haloprop=prim)
+    got_s = model.mean_occupation_satellites(prim_haloprop=prim)
+    np.testing.assert_allclose(got_c, want_c, rtol=1e-5, atol=1e-12)
+    np.testing.assert_allclose(got_s, want_s, rtol=1e-5, atol=1e-12)
