@@ -21,6 +21,31 @@ if [ "${1:-}" != "quick" ]; then
     echo "      defaults in tabcorr_tpu/ops/fused.py and re-run the tests."
 fi
 
+echo "== 1b. SHMR-family Mosaic lowering smoke (bisection seed) =="
+# Interpret-mode tests cannot prove Mosaic lowers the in-kernel
+# bisection-seeded SHMR inversion; one real-chip compile does.
+timeout 900 python - << 'EOF'
+import numpy as np, jax.numpy as jnp
+import tabcorr_tpu as tt
+from tabcorr_tpu.predictor import make_multi_predictor, params_batch
+tab = tt.TabCorr.read("tests/data/examples/bolplanck_wp.hdf5")
+for model in (tt.Leauthaud11Model(threshold=10.5,
+                                  redshift=tab.attrs["redshift"]),
+              tt.ZuMandelbaum15Model(threshold=10.5,
+                                     prim_haloprop_key="halo_mvir")):
+    f_b = make_multi_predictor([tab], model, engine="bundle")
+    f_x = make_multi_predictor([tab], model, engine="xla")
+    params = params_batch(model, {}, (8,), dtype=jnp.float32)
+    [(ng_b, xi_b)] = f_b(params)
+    [(ng_x, xi_x)] = f_x(params)
+    np.testing.assert_allclose(np.asarray(ng_b), np.asarray(ng_x),
+                               rtol=2e-5)
+    np.testing.assert_allclose(np.asarray(xi_b), np.asarray(xi_x),
+                               rtol=1e-4,
+                               atol=2e-6 * float(np.max(np.abs(xi_x))))
+    print(type(model).__name__, "bundle-on-chip OK")
+EOF
+
 echo "== 2. headline bench =="
 timeout 1200 python bench.py
 

@@ -109,17 +109,23 @@ def fshmr_log_mstar(log_mh, params, a, littleh=0.72):
     range clamp to the grid ends; the centrals occupation there is
     0 or 1 to double precision for any sane threshold.
     """
+    from ..utils.backend import in_pallas_lowering
     from ..utils.inversion import monotone_inverse
     xp = get_namespace(log_mh)
     log_mh = xp.asarray(log_mh)
+    fwd = lambda ls: behroozi10_log_halo_mass(ls, params, a, littleh)  # noqa: E731
+    dfwd = lambda ls: _d_log_mh_d_log_mstar(ls, params, a, littleh)  # noqa: E731
+    if in_pallas_lowering():
+        # Inside Pallas kernels the interp seed's gather cannot lower in
+        # Mosaic; the fixed bisection bracket shrink (where/arithmetic
+        # only) seeds the same Newton refinement instead.
+        return monotone_inverse(fwd, log_mh,
+                                bracket=(_GRID_LO, _GRID_HI), dfn=dfwd)
     # Grid in the query's dtype: mixing a float64 grid into a float32
     # fast path would silently promote every downstream array.
     grid_mstar = xp.linspace(_GRID_LO, _GRID_HI, _GRID_N,
                              dtype=log_mh.dtype)
-    return monotone_inverse(
-        lambda ls: behroozi10_log_halo_mass(ls, params, a, littleh),
-        log_mh, grid_mstar,
-        dfn=lambda ls: _d_log_mh_d_log_mstar(ls, params, a, littleh))
+    return monotone_inverse(fwd, log_mh, grid_mstar, dfn=dfwd)
 
 
 def leauthaud11_centrals(params, log_prim_haloprop, threshold, a,
@@ -140,7 +146,12 @@ def leauthaud11_satellites(params, log_prim_haloprop, threshold, a,
     """
     xp = get_namespace(log_prim_haloprop)
     log_mh = xp.asarray(log_prim_haloprop)
-    log_mh_t = behroozi10_log_halo_mass(threshold, params, a, littleh)
+    # Evaluate the threshold pivot in the query dtype: a python-float
+    # query would go through numpy float64 scalars and silently promote
+    # the whole satellite occupation (and everything downstream) to
+    # float64 when jax x64 is enabled.
+    thr = xp.asarray(threshold, dtype=log_mh.dtype)
+    log_mh_t = behroozi10_log_halo_mass(thr, params, a, littleh)
     # log10 of M_sat/M_cut via their power-law scalings around 1e12.
     log_msat = (12.0 + xp.log10(params["bsat"]) +
                 params["betasat"] * (log_mh_t - 12.0))
@@ -187,10 +198,10 @@ class Leauthaud11Model(HodModel):
 
     param_names = tuple(LEAUTHAUD11_PARAMS)
     param_defaults = dict(LEAUTHAUD11_PARAMS)
-    # The SHMR inversion seed is a searchsorted/gather (xp.interp),
-    # which Mosaic does not lower inside Pallas kernels; the XLA
-    # engine (which fuses everything else) is this model's fast path.
-    supports_fused_engine = False
+    # Fused/bundle-eligible: inside Pallas kernels the SHMR inversion
+    # swaps its interp seed (a gather Mosaic cannot lower) for a fixed
+    # bisection bracket shrink (see utils.inversion.monotone_inverse).
+    supports_fused_engine = True
 
     def __init__(self, threshold=10.5, modulate_with_cenocc=True,
                  littleh=0.72, prim_haloprop_key="halo_mvir",

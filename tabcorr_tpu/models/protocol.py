@@ -45,7 +45,10 @@ class HodModel:
                  sec_haloprop_key=None, redshift=0.0, **params):
         self.prim_haloprop_key = prim_haloprop_key
         self.sec_haloprop_key = sec_haloprop_key
-        self.redshift = redshift
+        # Plain python float: a numpy scalar here (e.g. straight from
+        # HDF5 attrs) is float64 and would silently promote every
+        # float32 device-path occupation that mixes in the redshift.
+        self.redshift = float(redshift)
         self.param_dict = dict(self.param_defaults)
         unknown = set(params) - set(self.param_dict)
         if unknown:

@@ -88,18 +88,23 @@ def zu15_log_halo_mass(log_mstar, params):
 def zu15_log_mstar(log_mh, params):
     """log10 f_SHMR(Mh): mean stellar mass at halo mass Mh, by the same
     grid-seeded Newton inversion as :func:`~.leauthaud11.fshmr_log_mstar`."""
+    from ..utils.backend import in_pallas_lowering
     from ..utils.inversion import monotone_inverse
-    from .leauthaud11 import _d_log_mh_d_log_mstar
+    from .leauthaud11 import (_d_log_mh_d_log_mstar,
+                              behroozi10_log_halo_mass)
     xp = get_namespace(log_mh, params["smhm_m1"])
     log_mh = xp.asarray(log_mh)
     coeffs = _behroozi_coeff_dict(params, xp)
+    fwd = lambda ls: behroozi10_log_halo_mass(ls, coeffs, 1.0, 1.0)  # noqa: E731
+    dfwd = lambda ls: _d_log_mh_d_log_mstar(ls, coeffs, 1.0, 1.0)  # noqa: E731
+    if in_pallas_lowering():
+        # Mosaic-safe bisection seed in place of the interp gather (see
+        # models.leauthaud11.fshmr_log_mstar).
+        return monotone_inverse(fwd, log_mh,
+                                bracket=(_GRID_LO, _GRID_HI), dfn=dfwd)
     grid_mstar = xp.linspace(_GRID_LO, _GRID_HI, _GRID_N,
                              dtype=log_mh.dtype)
-    from .leauthaud11 import behroozi10_log_halo_mass
-    return monotone_inverse(
-        lambda ls: behroozi10_log_halo_mass(ls, coeffs, 1.0, 1.0),
-        log_mh, grid_mstar,
-        dfn=lambda ls: _d_log_mh_d_log_mstar(ls, coeffs, 1.0, 1.0))
+    return monotone_inverse(fwd, log_mh, grid_mstar, dfn=dfwd)
 
 
 def zu15_scatter_ln_mstar(params, log_prim_haloprop):
@@ -135,7 +140,10 @@ def zu_mandelbaum15_satellites(params, log_prim_haloprop, threshold,
     """
     xp = get_namespace(log_prim_haloprop, params["bsat"])
     log_mh = xp.asarray(log_prim_haloprop)
-    log_mh_t = zu15_log_halo_mass(threshold, params)
+    # Threshold pivot in the query dtype (see models.leauthaud11: a
+    # python-float query would promote to float64 under jax x64).
+    thr = xp.asarray(threshold, dtype=log_mh.dtype)
+    log_mh_t = zu15_log_halo_mass(thr, params)
     log_msat = (12.0 + xp.log10(params["bsat"]) +
                 params["betasat"] * (log_mh_t - 12.0))
     log_mcut = (12.0 + xp.log10(params["bcut"]) +
@@ -171,10 +179,9 @@ class ZuMandelbaum15Model(HodModel):
 
     param_names = tuple(ZU_MANDELBAUM15_PARAMS)
     param_defaults = dict(ZU_MANDELBAUM15_PARAMS)
-    # Same constraint as Leauthaud11: the SHMR inversion seed is a
-    # searchsorted/gather, which Mosaic does not lower inside Pallas
-    # kernels; engine='auto' composes the XLA predictor.
-    supports_fused_engine = False
+    # Fused/bundle-eligible via the Mosaic-safe bisection seed, same as
+    # Leauthaud11 (see utils.inversion.monotone_inverse).
+    supports_fused_engine = True
 
     def __init__(self, threshold=10.5, modulate_with_cenocc=True,
                  prim_haloprop_key="halo_m200m", sec_haloprop_key=None,

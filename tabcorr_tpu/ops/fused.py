@@ -88,7 +88,7 @@ def _auto_quadratic_cols(t, ngal, groups, pack, nb_sub, slab_w):
 
 
 def make_fused_contraction(table: TableData, batch_tile=DEFAULT_TILE,
-                           interpret=False, precision="highest",
+                           interpret="auto", precision="highest",
                            error_model="elementwise",
                            scale_block_rows=None, pack_slabs=True):
     """Fused contraction: ``ngal (B, n_bins) -> (total (B,), xi (B, n_xi))``.
@@ -104,6 +104,10 @@ def make_fused_contraction(table: TableData, batch_tile=DEFAULT_TILE,
     within consecutive row blocks (stacked-node Interpolator matrices:
     one block per grid node).
     """
+    if interpret == "auto":
+        # Mosaic compiles on TPU only; on a CPU-only host the kernel
+        # runs in interpret mode (same auto rule as the bundle path).
+        interpret = jax.default_backend() != "tpu"
     n_bins = table.n_bins
     # Pad the bin axis to a lane multiple (128): Mosaic only lowers the
     # (TB, n_xi * nb) -> (TB, n_xi, nb) reshape when nb is lane-aligned,
@@ -192,7 +196,7 @@ def make_fused_contraction(table: TableData, batch_tile=DEFAULT_TILE,
 
 def make_fused_predictor(table: TableData, occupation_cen, occupation_sat,
                          param_names=None, batch_tile=DEFAULT_TILE,
-                         interpret=False, precision="highest",
+                         interpret="auto", precision="highest",
                          error_model="elementwise"):
     """Fused batched predictor ``f(params dict of (B,)) -> (ngal, xi)``.
 

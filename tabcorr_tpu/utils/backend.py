@@ -330,6 +330,14 @@ class pallas_lowering:
         return False
 
 
+def in_pallas_lowering() -> bool:
+    """Whether a :class:`pallas_lowering` context is active (i.e. the
+    caller is being traced into a Pallas kernel).  Lets shared numerics
+    (e.g. ``utils.inversion.monotone_inverse``) swap gather-based
+    algorithms for Mosaic-lowerable ones."""
+    return _PALLAS_LOWERING
+
+
 def _use_poly(x) -> bool:
     """Polynomial path: inside Pallas traces (Mosaic has no erf) and for
     every sub-float64 device dtype (more accurate than XLA's f32 erfc)."""

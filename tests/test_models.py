@@ -375,21 +375,72 @@ def test_leauthaud11_vectorized_predictor_matches_host(wp_tabcorr):
     assert float(ngal[1]) != float(ngal[0])
 
 
-def test_leauthaud11_not_fused_eligible(wp_tabcorr):
-    # The SHMR inversion cannot lower in Pallas; explicit fused/bundle
-    # engines refuse, and auto composes the XLA path.
+def test_leauthaud11_fused_engine_matches_xla(wp_tabcorr):
+    # The SHMR inversion swaps its interp seed for a Mosaic-safe
+    # bisection under pallas_lowering, so the fused engine is eligible
+    # and must match the XLA engine at the float32 contract.
+    import jax.numpy as jnp
     model = tt.Leauthaud11Model(threshold=10.5,
                                 redshift=wp_tabcorr.attrs["redshift"])
-    assert not model.supports_fused_engine
-    with pytest.raises(ValueError, match="supports_fused_engine"):
-        wp_tabcorr.make_predictor(model, vectorized=True, engine="fused")
-    from tabcorr_tpu.predictor import make_multi_predictor
-    with pytest.raises(ValueError, match="supports_fused_engine"):
-        make_multi_predictor([wp_tabcorr], model, engine="bundle")
-    pred = wp_tabcorr.make_predictor(model, vectorized=True, engine="auto")
-    batch = {k: np.full(2, v) for k, v in model.param_dict.items()}
-    ngal, xi = pred(batch)
-    assert np.all(np.isfinite(np.asarray(xi)))
+    assert model.supports_fused_engine
+    import tabcorr_tpu.ops.fused as fused_mod
+    make = fused_mod.make_fused_contraction
+
+    def interpreted(table, **kw):
+        kw["interpret"] = True
+        return make(table, **kw)
+
+    fused_mod.make_fused_contraction = interpreted
+    try:
+        pred_f = wp_tabcorr.make_predictor(model, vectorized=True,
+                                           engine="fused",
+                                           dtype=jnp.float32)
+    finally:
+        fused_mod.make_fused_contraction = make
+    pred_x = wp_tabcorr.make_predictor(model, vectorized=True,
+                                       engine="xla", dtype=jnp.float64)
+    batch32 = {k: np.full(2, v, dtype=np.float32)
+               for k, v in model.param_dict.items()}
+    batch32["smhm_m1_0"][1] = 12.5
+    batch64 = {k: v.astype(np.float64) for k, v in batch32.items()}
+    ngal_f, xi_f = pred_f(batch32)
+    ngal_x, xi_x = pred_x(batch64)
+    np.testing.assert_allclose(np.asarray(ngal_f), np.asarray(ngal_x),
+                               rtol=2e-5)
+    np.testing.assert_allclose(np.asarray(xi_f), np.asarray(xi_x),
+                               rtol=2e-4)
+
+
+def test_shmr_bisection_seed_matches_interp_and_is_gather_free():
+    # The pallas_lowering context switches monotone_inverse to the
+    # bisection seed: same roots as the interp seed to float precision,
+    # and the traced computation contains NO gather primitives (the
+    # Mosaic lowering constraint the switch exists for).
+    import jax
+    import jax.numpy as jnp
+    from tabcorr_tpu.models import fshmr_log_mstar, zu15_log_mstar
+    from tabcorr_tpu.models.leauthaud11 import LEAUTHAUD11_PARAMS
+    from tabcorr_tpu.models.zu_mandelbaum15 import ZU_MANDELBAUM15_PARAMS
+    from tabcorr_tpu.utils.backend import pallas_lowering
+
+    log_mh = jnp.linspace(10.5, 15.5, 64)
+    for fn, params in ((lambda l: fshmr_log_mstar(
+                            l, {k: jnp.asarray(v) for k, v in
+                                LEAUTHAUD11_PARAMS.items()}, 1.0 / 1.5),
+                        None),
+                       (lambda l: zu15_log_mstar(
+                            l, {k: jnp.asarray(v) for k, v in
+                                ZU_MANDELBAUM15_PARAMS.items()}),
+                        None)):
+        want = fn(log_mh)
+        with pallas_lowering():
+            got = fn(log_mh)
+            jaxpr = jax.make_jaxpr(fn)(log_mh)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                                   rtol=0, atol=1e-10)
+        prims = {eqn.primitive.name for eqn in jaxpr.eqns}
+        assert "gather" not in prims and "dynamic_slice" not in prims, (
+            sorted(prims))
 
 
 def test_assembias_leauthaud11_mean_preservation_and_baseline():
@@ -620,8 +671,8 @@ def test_zu15_vectorized_predictor_matches_host(wp_tabcorr):
     model = tt.ZuMandelbaum15Model(threshold=10.5,
                                    prim_haloprop_key="halo_mvir")
     ngal_h, xi_h = wp_tabcorr.predict(model, check_consistency=False)
-    assert not model.supports_fused_engine
-    pred = wp_tabcorr.make_predictor(model, vectorized=True, engine="auto",
+    assert model.supports_fused_engine
+    pred = wp_tabcorr.make_predictor(model, vectorized=True, engine="xla",
                                      dtype=jnp.float64)
     batch = {k: np.full(3, v) for k, v in model.param_dict.items()}
     batch["smhm_m1"][1] = 10.0 ** 12.5
@@ -647,3 +698,27 @@ def test_assembias_zu15_mean_preservation():
         base = getattr(base_model, name)(prim_haloprop=mass)
         np.testing.assert_allclose(0.5 * (lo + hi), base, rtol=1e-9)
         assert np.any(np.abs(hi - lo) > 1e-6)
+
+
+def test_shmr_models_through_bundle_engine(wp_tabcorr):
+    # The bundle kernel traces the occupation IN-kernel under
+    # pallas_lowering: the bisection-seeded SHMR inversion must
+    # reproduce the XLA engine at the float32 contract for both SHMR
+    # families (leauthaud11 and zu_mandelbaum15).
+    import jax.numpy as jnp
+    from tabcorr_tpu.predictor import make_multi_predictor, params_batch
+    for model in (tt.Leauthaud11Model(threshold=10.5,
+                                      redshift=wp_tabcorr.attrs["redshift"]),
+                  tt.ZuMandelbaum15Model(threshold=10.5,
+                                         prim_haloprop_key="halo_mvir")):
+        f_b = make_multi_predictor([wp_tabcorr], model, engine="bundle",
+                                   batch_tile=8)
+        f_x = make_multi_predictor([wp_tabcorr], model, engine="xla")
+        params = params_batch(model, {}, (8,), dtype=jnp.float32)
+        [(ng_b, xi_b)] = f_b(params)
+        [(ng_x, xi_x)] = f_x(params)
+        np.testing.assert_allclose(np.asarray(ng_b), np.asarray(ng_x),
+                                   rtol=2e-5)
+        np.testing.assert_allclose(
+            np.asarray(xi_b), np.asarray(xi_x), rtol=1e-4,
+            atol=2e-6 * float(np.max(np.abs(np.asarray(xi_x)))))
