@@ -52,6 +52,9 @@ timeout 1200 python bench.py
 echo "== 2b. tabulation-sweep bench =="
 timeout 1200 python scripts/bench_sweep.py --strategy matmul || true
 
+echo "== 2c. per-family engine bench =="
+timeout 1800 python scripts/bench_models.py || true
+
 if [ "${1:-}" != "quick" ]; then
     echo "== 3. slow golden suite on the real chip =="
     TABCORR_TEST_ACCELERATOR=1 timeout 3600 \

@@ -364,9 +364,11 @@ def test_diagnostics_on_ensemble_chain():
 
 
 def test_vectorized_ensemble_with_leauthaud11(wp_tabcorr):
-    # The batched MCMC hot path with a model that cannot use the fused
-    # engines: make_multi_predictor(engine='auto') must fall back to XLA
-    # and the vectorized ensemble must still run.
+    # The batched MCMC hot path with an SHMR model: engine='auto' now
+    # routes through the Pallas bundle (the bisection-seeded inversion
+    # lowers in-kernel), so the vectorized ensemble rides the flagship
+    # kernel; its log-posterior must match the XLA engine's at the
+    # float32 contract.
     import jax
     from tabcorr_tpu.mcmc import (make_gaussian_logpost_batched,
                                   run_ensemble)
@@ -375,21 +377,31 @@ def test_vectorized_ensemble_with_leauthaud11(wp_tabcorr):
     model = tt.Leauthaud11Model(threshold=10.5,
                                 redshift=wp_tabcorr.attrs["redshift"])
     predict_all = make_multi_predictor([wp_tabcorr], model, engine="auto")
+    predict_xla = make_multi_predictor([wp_tabcorr], model, engine="xla")
     base = {k: float(v) for k, v in model.param_dict.items()}
     ngal0, wp0 = wp_tabcorr.predict(model, check_consistency=False)
     inv_cov = np.diag(1.0 / (0.05 * np.asarray(wp0)) ** 2)
 
+    names = ("smhm_m1_0", "scatter_model_param1")
+    bounds = {"smhm_m1_0": (11.5, 13.5),
+              "scatter_model_param1": (0.05, 0.6)}
     log_prob = make_gaussian_logpost_batched(
-        predict_all, ("smhm_m1_0", "scatter_model_param1"), base,
-        [np.asarray(wp0)], [inv_cov],
-        bounds={"smhm_m1_0": (11.5, 13.5),
-                "scatter_model_param1": (0.05, 0.6)})
+        predict_all, names, base, [np.asarray(wp0)], [inv_cov],
+        bounds=bounds)
+    log_prob_xla = make_gaussian_logpost_batched(
+        predict_xla, names, base, [np.asarray(wp0)], [inv_cov],
+        bounds=bounds)
 
     n_walkers = 16
     rng = np.random.default_rng(0)
     walkers0 = np.column_stack([
         base["smhm_m1_0"] + 0.02 * rng.normal(size=n_walkers),
         base["scatter_model_param1"] + 0.01 * rng.normal(size=n_walkers)])
+    lp_auto = np.asarray(log_prob(jnp.asarray(walkers0, jnp.float32)))
+    lp_xla = np.asarray(log_prob_xla(jnp.asarray(walkers0, jnp.float32)))
+    # chi^2-scale agreement: the bundle's f32 prediction error enters
+    # the quadratic form against a 5%-relative covariance.
+    np.testing.assert_allclose(lp_auto, lp_xla, rtol=1e-3, atol=2e-3)
     chain, lp, accept = run_ensemble(jax.random.PRNGKey(3), log_prob,
                                      walkers0, n_steps=10,
                                      vectorized=True)
