@@ -12,9 +12,10 @@ prediction kernels, device-mesh sharding, and on-device MCMC.
 from . import corrfunc, cosmology, database
 from .halocat import HaloCatalog, ParticleCatalog
 from .interpolator import Interpolator
-from .models import (AssembiasLeauthaud11Model, AssembiasZheng07Model,
-                     AssembiasZuMandelbaum15Model, HodModel,
-                     Leauthaud11Model, Zheng07Model, ZuMandelbaum15Model)
+from .models import (AssembiasCacciato09Model, AssembiasLeauthaud11Model,
+                     AssembiasZheng07Model, AssembiasZuMandelbaum15Model,
+                     Cacciato09Model, HodModel, Leauthaud11Model,
+                     Zheng07Model, ZuMandelbaum15Model)
 from .table import TabCorr
 from .tabulate import (compute_tpcf_matrix, distribution_index,
                        sort_into_bins)
@@ -24,7 +25,8 @@ __version__ = "0.1.0"
 __all__ = ["TabCorr", "Interpolator", "HodModel", "Zheng07Model",
            "AssembiasZheng07Model", "Leauthaud11Model",
            "AssembiasLeauthaud11Model", "ZuMandelbaum15Model",
-           "AssembiasZuMandelbaum15Model",
+           "AssembiasZuMandelbaum15Model", "Cacciato09Model",
+           "AssembiasCacciato09Model",
            "HaloCatalog", "ParticleCatalog",
            "cosmology", "database", "corrfunc", "sort_into_bins",
            "distribution_index", "symmetric_matrix_to_array",

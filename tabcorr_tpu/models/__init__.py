@@ -1,8 +1,12 @@
 """JAX-native HOD occupation models."""
 
-from .assembias import (AssembiasLeauthaud11Model, AssembiasZheng07Model,
-                        AssembiasZuMandelbaum15Model,
+from .assembias import (AssembiasCacciato09Model, AssembiasLeauthaud11Model,
+                        AssembiasZheng07Model, AssembiasZuMandelbaum15Model,
                         HeavisideAssembiasMixin, heaviside_assembias)
+from .cacciato09 import (CACCIATO09_PARAMS, Cacciato09Model,
+                         cacciato09_centrals,
+                         cacciato09_median_log_luminosity,
+                         cacciato09_satellites)
 from .functional import FunctionalHodModel
 from .leauthaud11 import (LEAUTHAUD11_PARAMS, Leauthaud11Model,
                           behroozi10_log_halo_mass, fshmr_log_mstar,
@@ -19,13 +23,16 @@ from .zu_mandelbaum15 import (ZU_MANDELBAUM15_PARAMS, ZuMandelbaum15Model,
 __all__ = ["HodModel", "Zheng07Model", "AssembiasZheng07Model",
            "Leauthaud11Model", "AssembiasLeauthaud11Model",
            "ZuMandelbaum15Model", "AssembiasZuMandelbaum15Model",
+           "Cacciato09Model", "AssembiasCacciato09Model",
            "HeavisideAssembiasMixin", "FunctionalHodModel",
            "zheng07_centrals", "zheng07_satellites",
            "leauthaud11_centrals", "leauthaud11_satellites",
            "zu_mandelbaum15_centrals", "zu_mandelbaum15_satellites",
+           "cacciato09_centrals", "cacciato09_satellites",
+           "cacciato09_median_log_luminosity",
            "behroozi10_log_halo_mass", "fshmr_log_mstar",
            "zu15_log_halo_mass", "zu15_log_mstar",
            "zu15_scatter_ln_mstar",
            "heaviside_assembias", "ZHENG07_THRESHOLD_PARAMS",
            "LEAUTHAUD11_PARAMS", "ZU_MANDELBAUM15_PARAMS",
-           "CENTRALS", "SATELLITES"]
+           "CACCIATO09_PARAMS", "CENTRALS", "SATELLITES"]

@@ -21,6 +21,7 @@ satellites by [0, inf).
 from __future__ import annotations
 
 from ..utils.backend import get_namespace
+from .cacciato09 import Cacciato09Model
 from .leauthaud11 import Leauthaud11Model
 from .protocol import CENTRALS
 from .zheng07 import Zheng07Model
@@ -148,4 +149,13 @@ class AssembiasZuMandelbaum15Model(HeavisideAssembiasMixin,
     composition here is the same generic HeavisideAssembias decoration
     halotools applies to any occupation component.  Like Leauthaud11,
     ``occupation_residual`` stays the generic JVP fallback.
+    """
+
+
+class AssembiasCacciato09Model(HeavisideAssembiasMixin, Cacciato09Model):
+    """Cacciato09 CLF model with Heaviside assembly bias on both types.
+
+    Same generic decoration as the other families (halotools ships no
+    prebuilt decorated CLF either); ``occupation_residual`` stays the
+    generic JVP fallback.
     """

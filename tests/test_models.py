@@ -722,3 +722,250 @@ def test_shmr_models_through_bundle_engine(wp_tabcorr):
         np.testing.assert_allclose(
             np.asarray(xi_b), np.asarray(xi_x), rtol=1e-4,
             atol=2e-6 * float(np.max(np.abs(np.asarray(xi_x)))))
+
+
+def test_upper_incomplete_gamma_against_recurrence_free_points():
+    # Gamma(a, x) for a straddling zero (the Cacciato09 satellite slope
+    # regime) vs mpmath where available, else scipy-derived identities.
+    from tabcorr_tpu.utils.special import upper_incomplete_gamma
+    mpmath = pytest.importorskip("mpmath")
+    worst = 0.0
+    for a in [-0.95, -0.5, -0.25, -0.05, -1e-4, -1e-6, 0.0, 1e-6,
+              1e-4, 0.05, 0.5, 1.0, 1.4]:
+        for x in [1e-6, 1e-3, 0.1, 0.7, 2.0, 10.0, 50.0]:
+            got = float(upper_incomplete_gamma(np.float64(a),
+                                               np.float64(x)))
+            want = float(mpmath.gammainc(a, x, mpmath.inf))
+            worst = max(worst, abs(got - want) / abs(want))
+    assert worst < 1e-7
+
+
+def test_upper_incomplete_gamma_vectorized_and_jax():
+    # One array call straddling the a = 0 blend matches elementwise host
+    # evaluation, on both backends and under grad.
+    import jax
+    import jax.numpy as jnp
+    from tabcorr_tpu.utils.special import upper_incomplete_gamma
+    a = np.array([-0.6, -0.1, -1e-6, 0.0, 1e-6, 0.3, 1.2])
+    x = np.array([0.5, 2.0, 0.1, 0.7, 5.0, 1e-3, 20.0])
+    host = upper_incomplete_gamma(a, x)
+    np.testing.assert_allclose(
+        host, [float(upper_incomplete_gamma(ai, xi))
+               for ai, xi in zip(a, x)], rtol=1e-13)
+    dev = jax.jit(upper_incomplete_gamma)(jnp.asarray(a), jnp.asarray(x))
+    # jax's gammaincc and scipy's agree to ~1e-9 relative in float64
+    # (different continued-fraction/series cutovers), not to ulp.
+    np.testing.assert_allclose(np.asarray(dev), host, rtol=1e-8)
+    # d/dx Gamma(a, x) = -x^(a-1) e^-x, exactly known.
+    g = jax.grad(lambda xx: upper_incomplete_gamma(jnp.float64(-0.3),
+                                                   xx))(jnp.float64(1.7))
+    np.testing.assert_allclose(float(g), -1.7 ** (-1.3) * np.exp(-1.7),
+                               rtol=1e-10)
+
+
+def test_cacciato09_median_luminosity_form():
+    from tabcorr_tpu.models import cacciato09_median_log_luminosity
+    from tabcorr_tpu.models.cacciato09 import CACCIATO09_PARAMS
+    p = dict(CACCIATO09_PARAMS)
+    logm = np.linspace(10.0, 15.5, 23)
+    ratio = 10.0 ** (logm - p["log_M_1"])
+    want = np.log10(10.0 ** p["log_L_0"] * ratio ** p["gamma_1"] /
+                    (1.0 + ratio) ** (p["gamma_1"] - p["gamma_2"]))
+    np.testing.assert_allclose(
+        cacciato09_median_log_luminosity(p, logm), want, rtol=1e-12)
+
+
+def test_cacciato09_centrals_half_at_median_crossing():
+    from tabcorr_tpu.models import (cacciato09_centrals,
+                                    cacciato09_median_log_luminosity)
+    from tabcorr_tpu.models.cacciato09 import CACCIATO09_PARAMS
+    from scipy.optimize import brentq
+    p = dict(CACCIATO09_PARAMS)
+    thr = 9.8
+    log_mh_t = brentq(
+        lambda lm: float(cacciato09_median_log_luminosity(p, lm)) - thr,
+        10.0, 16.0)
+    np.testing.assert_allclose(
+        float(cacciato09_centrals(p, np.float64(log_mh_t), thr)), 0.5,
+        rtol=1e-9)
+    nc = cacciato09_centrals(p, np.linspace(10.5, 15.5, 41), thr)
+    assert np.all(np.diff(nc) >= 0) and nc[-1] <= 1.0
+
+
+def test_cacciato09_satellites_vs_clf_quadrature():
+    # The analytic incomplete-gamma form vs brute-force integration of
+    # the modified-Schechter CLF above the threshold, including the
+    # delta != 1 (More et al. 2013 extension) mode.
+    from scipy.integrate import quad
+    from tabcorr_tpu.models import (cacciato09_median_log_luminosity,
+                                    cacciato09_satellites)
+    from tabcorr_tpu.models.cacciato09 import CACCIATO09_PARAMS
+    ln10 = np.log(10.0)
+    thr = 9.5
+
+    def oracle(p, log_mh):
+        lc = 10.0 ** float(cacciato09_median_log_luminosity(
+            p, np.float64(log_mh)))
+        ls = 0.562 * lc
+        alpha = -2.0 + p["a_1"] * (1 - 2 / np.pi * np.arctan(
+            p["a_2"] * (log_mh - p["log_M_2"])))
+        m12 = log_mh - 12.0
+        phistar = 10.0 ** (p["b_0"] + p["b_1"] * m12 + p["b_2"] * m12 ** 2)
+        delta = 10.0 ** (p["delta_1"] + p["delta_2"] * m12)
+
+        def integrand(log_lum):
+            r = 10.0 ** log_lum / ls
+            return phistar * r ** (alpha + 1.0) * np.exp(
+                -delta * r * r) * ln10
+
+        return quad(integrand, thr, thr + 8.0, limit=800)[0]
+
+    for p in [dict(CACCIATO09_PARAMS),
+              dict(CACCIATO09_PARAMS, delta_1=0.2, delta_2=0.1)]:
+        for log_mh in [11.8, 12.5, 13.0, 14.0, 15.0]:
+            got = float(cacciato09_satellites(p, np.float64(log_mh), thr))
+            np.testing.assert_allclose(got, oracle(p, log_mh), rtol=1e-9)
+
+
+def test_cacciato09_gradients_flow_through_incomplete_gamma():
+    import jax
+    import jax.numpy as jnp
+    from tabcorr_tpu.models.cacciato09 import (CACCIATO09_PARAMS,
+                                               cacciato09_satellites)
+    params = {k: jnp.float64(v) for k, v in CACCIATO09_PARAMS.items()}
+    log_mh = jnp.asarray(13.2, dtype=jnp.float64)
+
+    def nsat_of(p):
+        return cacciato09_satellites(p, log_mh, 9.5)
+
+    grads = jax.grad(nsat_of)(params)
+    # a_1/a_2/log_M_2 reach the result only through the incomplete
+    # gamma's FIRST argument (XLA's igamma_grad_a path).
+    for key in ["a_1", "a_2", "log_M_2", "b_0", "b_1", "log_L_0",
+                "gamma_1", "delta_1"]:
+        eps = max(abs(float(params[key])), 1.0) * 1e-6
+        p_hi, p_lo = dict(params), dict(params)
+        p_hi[key] = params[key] + eps
+        p_lo[key] = params[key] - eps
+        fd = (nsat_of(p_hi) - nsat_of(p_lo)) / (2 * eps)
+        np.testing.assert_allclose(grads[key], fd, rtol=1e-4, err_msg=key)
+        assert abs(float(grads[key])) > 0
+
+
+def test_cacciato09_float32_device_path_accuracy():
+    # Kernel-arithmetic error of the float32 device path vs the float64
+    # host oracle evaluated AT the float32-rounded inputs (isolates
+    # kernel error from parameter quantization).  The CLF's small
+    # central scatter (sigma = 0.143) and the incomplete gamma's
+    # argument sensitivity make this family's float32 contract looser
+    # than zheng07's: measured 2.3e-5 (cen) / 1.6e-4 (sat, cutoff
+    # region) — asserted with 2x headroom.
+    import jax
+    import jax.numpy as jnp
+    from tabcorr_tpu.models.cacciato09 import (CACCIATO09_PARAMS,
+                                               cacciato09_centrals,
+                                               cacciato09_satellites)
+    pq = {k: float(np.float32(v)) for k, v in CACCIATO09_PARAMS.items()}
+    logm = np.linspace(10.8, 15.5, 200)
+    lmq = np.float64(np.float32(logm))
+    thrq = float(np.float32(9.5))
+    cen64 = cacciato09_centrals(pq, lmq, thrq)
+    sat64 = cacciato09_satellites(pq, lmq, thrq)
+    p32 = {k: jnp.float32(v) for k, v in CACCIATO09_PARAMS.items()}
+    l32 = jnp.asarray(logm, dtype=jnp.float32)
+    cen32 = np.asarray(jax.jit(
+        lambda l: cacciato09_centrals(p32, l, 9.5))(l32), np.float64)
+    sat32 = np.asarray(jax.jit(
+        lambda l: cacciato09_satellites(p32, l, 9.5))(l32), np.float64)
+    m = cen64 > 1e-6
+    assert np.max(np.abs(cen32[m] - cen64[m]) / cen64[m]) < 5e-5
+    m = sat64 > 1e-6
+    assert np.max(np.abs(sat32[m] - sat64[m]) / sat64[m]) < 4e-4
+
+
+def test_cacciato09_predict_through_table(wp_tabcorr):
+    model = tt.Cacciato09Model(threshold=9.5,
+                               prim_haloprop_key="halo_mvir")
+    ngal, xi = wp_tabcorr.predict(model, check_consistency=False)
+    assert ngal > 0 and np.all(np.isfinite(xi))
+    model2 = tt.Cacciato09Model(threshold=9.5,
+                                prim_haloprop_key="halo_mvir",
+                                log_M_1=11.4)
+    ngal2, _ = wp_tabcorr.predict(model2, check_consistency=False)
+    assert ngal2 != ngal
+
+
+def test_cacciato09_vectorized_predictor_matches_host(wp_tabcorr):
+    import jax.numpy as jnp
+    model = tt.Cacciato09Model(threshold=9.5,
+                               prim_haloprop_key="halo_mvir")
+    ngal_h, xi_h = wp_tabcorr.predict(model, check_consistency=False)
+    pred = wp_tabcorr.make_predictor(model, vectorized=True, engine="xla",
+                                     dtype=jnp.float64)
+    batch = {k: np.full(3, v) for k, v in model.param_dict.items()}
+    batch["log_M_1"][1] = 11.4
+    ngal, xi = pred(batch)
+    np.testing.assert_allclose(float(ngal[0]), ngal_h, rtol=1e-9)
+    np.testing.assert_allclose(np.asarray(xi)[0], xi_h, rtol=1e-9)
+    assert float(ngal[1]) != float(ngal[0])
+
+
+def test_cacciato09_engine_gating(wp_tabcorr):
+    # The incomplete gamma cannot lower in Mosaic: the model declares
+    # supports_fused_engine=False, so explicit fused/bundle requests
+    # raise and engine='auto' composes the XLA predictor.
+    import jax.numpy as jnp
+    from tabcorr_tpu.predictor import make_multi_predictor
+    model = tt.Cacciato09Model(threshold=9.5,
+                               prim_haloprop_key="halo_mvir")
+    assert not model.supports_fused_engine
+    with pytest.raises(ValueError, match="supports_fused_engine"):
+        wp_tabcorr.make_predictor(model, vectorized=True, engine="fused",
+                                  dtype=jnp.float32)
+    with pytest.raises(ValueError, match="supports_fused_engine"):
+        make_multi_predictor([wp_tabcorr], model, engine="bundle")
+    pred = wp_tabcorr.make_predictor(model, vectorized=True,
+                                     engine="auto", dtype=jnp.float64)
+    batch = {k: np.full(2, v) for k, v in model.param_dict.items()}
+    ngal, _ = pred(batch)
+    assert np.all(np.asarray(ngal) > 0)
+
+
+def test_cacciato09_through_interpolator(ds_interpolator):
+    # Grid parameters (log_eta) come from param_dict while the
+    # occupations come from the CLF; the Interpolator is model-agnostic.
+    import jax.numpy as jnp
+    from tabcorr_tpu.predictor import make_predictor, params_batch
+    model = tt.Cacciato09Model(
+        threshold=9.5, redshift=0.5, prim_haloprop_key="halo_m258m",
+        sec_haloprop_key="halo_nfw_conc")
+    model.param_dict["log_eta"] = 0.05
+    ngal_h, ds_h = ds_interpolator.predict(model, check_consistency=False)
+    assert ngal_h > 0 and np.all(np.isfinite(ds_h))
+
+    pred = make_predictor(ds_interpolator, model, dtype=jnp.float64,
+                          engine="xla")
+    params = params_batch(model, {"log_eta": np.array([0.05, 0.15])},
+                          (2,), dtype=jnp.float64)
+    ngal, ds = pred(params)
+    np.testing.assert_allclose(float(ngal[0]), ngal_h, rtol=1e-9)
+    np.testing.assert_allclose(np.asarray(ds)[0], ds_h, rtol=1e-9)
+    assert not np.allclose(np.asarray(ds)[1], ds_h)
+
+
+def test_assembias_cacciato09_mean_preservation():
+    from tabcorr_tpu.models import AssembiasCacciato09Model
+    model = AssembiasCacciato09Model(threshold=9.5)
+    model.param_dict["mean_occupation_centrals_assembias_param1"] = 0.6
+    model.param_dict["mean_occupation_satellites_assembias_param1"] = -0.3
+    mass = 10 ** np.linspace(11.5, 15.0, 32)
+    base_model = tt.Cacciato09Model(threshold=9.5)
+    for name in ["mean_occupation_centrals", "mean_occupation_satellites"]:
+        fn = getattr(model, name)
+        lo = fn(prim_haloprop=mass,
+                sec_haloprop_percentile=np.full_like(mass, 0.25))
+        hi = fn(prim_haloprop=mass,
+                sec_haloprop_percentile=np.full_like(mass, 0.75))
+        base = getattr(base_model, name)(prim_haloprop=mass)
+        np.testing.assert_allclose(0.5 * (lo + hi), base, rtol=1e-9)
+        assert np.any(np.abs(hi - lo) > 1e-6)

@@ -265,3 +265,23 @@ def test_zu_mandelbaum15_occupations_match_halotools():
     got_s = model.mean_occupation_satellites(prim_haloprop=prim)
     np.testing.assert_allclose(got_c, want_c, rtol=1e-5, atol=1e-12)
     np.testing.assert_allclose(got_s, want_s, rtol=1e-5, atol=1e-12)
+
+
+def test_cacciato09_occupations_match_halotools():
+    # CLF occupations vs halotools' Cacciato09Cens/Sats: the log-normal
+    # central CLF around the Cacciato09 median luminosity and the
+    # modified-Schechter satellite CLF whose threshold integral is an
+    # upper incomplete gamma with (possibly) negative first argument.
+    from halotools.empirical_models import Cacciato09Cens, Cacciato09Sats
+
+    cens_ref = Cacciato09Cens(threshold=9.5)
+    sats_ref = Cacciato09Sats(threshold=9.5)
+    model = tt.Cacciato09Model(threshold=9.5)
+
+    prim = np.logspace(11, 15, 41)
+    want_c = cens_ref.mean_occupation(prim_haloprop=prim)
+    want_s = sats_ref.mean_occupation(prim_haloprop=prim)
+    got_c = model.mean_occupation_centrals(prim_haloprop=prim)
+    got_s = model.mean_occupation_satellites(prim_haloprop=prim)
+    np.testing.assert_allclose(got_c, want_c, rtol=1e-5, atol=1e-12)
+    np.testing.assert_allclose(got_s, want_s, rtol=1e-5, atol=1e-12)
