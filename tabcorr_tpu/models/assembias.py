@@ -136,9 +136,18 @@ class AssembiasZheng07Model(HeavisideAssembiasMixin, Zheng07Model):
 class AssembiasLeauthaud11Model(HeavisideAssembiasMixin, Leauthaud11Model):
     """Leauthaud11 model with Heaviside assembly bias on both galaxy types.
 
-    ``occupation_residual`` is the inherited generic JVP of the decorated
-    occupation (the SHMR inversion has no cheap analytic absorption).
+    The decoration depends on log10(M) only through the baseline
+    occupation, so the base model's implicit-function-theorem residual
+    absorption composes (same pattern as :class:`AssembiasZheng07Model`).
     """
+
+    def occupation_residual(self, params, gal_type, log_prim_haloprop,
+                            log_prim_res, sec_haloprop_percentile):
+        base = super().occupation_residual(params, gal_type,
+                                           log_prim_haloprop, log_prim_res,
+                                           sec_haloprop_percentile)
+        return self._decorate(params, gal_type, base,
+                              sec_haloprop_percentile)
 
 
 class AssembiasZuMandelbaum15Model(HeavisideAssembiasMixin,
@@ -148,8 +157,17 @@ class AssembiasZuMandelbaum15Model(HeavisideAssembiasMixin,
     halotools ships no prebuilt decorated variant of this family; the
     composition here is the same generic HeavisideAssembias decoration
     halotools applies to any occupation component.  Like Leauthaud11,
-    ``occupation_residual`` stays the generic JVP fallback.
+    the base model's exact residual absorption composes through the
+    decoration.
     """
+
+    def occupation_residual(self, params, gal_type, log_prim_haloprop,
+                            log_prim_res, sec_haloprop_percentile):
+        base = super().occupation_residual(params, gal_type,
+                                           log_prim_haloprop, log_prim_res,
+                                           sec_haloprop_percentile)
+        return self._decorate(params, gal_type, base,
+                              sec_haloprop_percentile)
 
 
 class AssembiasCacciato09Model(HeavisideAssembiasMixin, Cacciato09Model):

@@ -129,20 +129,44 @@ def fshmr_log_mstar(log_mh, params, a, littleh=0.72):
 
 
 def leauthaud11_centrals(params, log_prim_haloprop, threshold, a,
-                         littleh=0.72):
-    """<N_cen>: Leauthaud et al. (2011), eq. 8."""
+                         littleh=0.72, log_prim_res=None):
+    """<N_cen>: Leauthaud et al. (2011), eq. 8.
+
+    ``log_prim_res`` is the float64 residual of float32-rounded
+    quadrature nodes (|res| < ulp(logM)/2).  The SHMR shift it induces
+    follows from the implicit function theorem,
+    d(log10 M*)/d(log10 Mh) = 1 / f'(log10 M*) with the ANALYTIC
+    forward derivative already used by the Newton refinement — one
+    extra :func:`_d_log_mh_d_log_mstar` evaluation instead of a traced
+    JVP through the whole grid-seeded inversion (which would re-run
+    the tangent of every Newton step and roughly double the fused-
+    kernel occupation cost).  First-order in the ~5e-7 residual, the
+    same order the generic JVP fallback achieves.  The correction is
+    applied AFTER the O(1) subtraction ``threshold - log_fshmr`` so it
+    lands at full float32 resolution (see models.zheng07).
+    """
     log_fshmr = fshmr_log_mstar(log_prim_haloprop, params, a, littleh)
+    centered = threshold - log_fshmr
+    if log_prim_res is not None:
+        centered = centered - log_prim_res / _d_log_mh_d_log_mstar(
+            log_fshmr, params, a, littleh)
     inv_scatter = 1.0 / (_SQRT2 * params["scatter_model_param1"])
-    return 0.5 * erfc((threshold - log_fshmr) * inv_scatter)
+    return 0.5 * erfc(centered * inv_scatter)
 
 
 def leauthaud11_satellites(params, log_prim_haloprop, threshold, a,
-                           modulate_with_cenocc=True, littleh=0.72):
+                           modulate_with_cenocc=True, littleh=0.72,
+                           log_prim_res=None):
     """<N_sat>: Leauthaud et al. (2011), eqs. 12-14.
 
     M_sat and M_cut scale with the threshold halo mass
     Mh_t = f_SHMR^-1(M*_t), which is the CLOSED-FORM direction of the
     Behroozi relation — no inversion needed here.
+
+    ``log_prim_res``: the node residual enters the two exponents
+    additively (they depend on logM affinely), so the absorption is
+    EXACT — added after the O(1) subtractions for float32 resolution
+    (see :func:`leauthaud11_centrals` for the centrals modulation).
     """
     xp = get_namespace(log_prim_haloprop)
     log_mh = xp.asarray(log_prim_haloprop)
@@ -157,11 +181,17 @@ def leauthaud11_satellites(params, log_prim_haloprop, threshold, a,
                 params["betasat"] * (log_mh_t - 12.0))
     log_mcut = (12.0 + xp.log10(params["bcut"]) +
                 params["betacut"] * (log_mh_t - 12.0))
-    nsat = (exp(_LN10 * params["alphasat"] * (log_mh - log_msat)) *
-            exp(-exp10(log_mcut - log_mh)))
+    d_pow = log_mh - log_msat
+    d_cut = log_mcut - log_mh
+    if log_prim_res is not None:
+        d_pow = d_pow + log_prim_res
+        d_cut = d_cut - log_prim_res
+    nsat = (exp(_LN10 * params["alphasat"] * d_pow) *
+            exp(-exp10(d_cut)))
     if modulate_with_cenocc:
         nsat = nsat * leauthaud11_centrals(params, log_mh, threshold,
-                                           a, littleh)
+                                           a, littleh,
+                                           log_prim_res=log_prim_res)
     return nsat
 
 
@@ -227,3 +257,18 @@ class Leauthaud11Model(HodModel):
             params, log_prim_haloprop, self.threshold, self._a,
             modulate_with_cenocc=self.modulate_with_cenocc,
             littleh=self.littleh)
+
+    def occupation_residual(self, params, gal_type, log_prim_haloprop,
+                            log_prim_res, sec_haloprop_percentile):
+        # Implicit-function-theorem absorption: one analytic forward-
+        # derivative evaluation instead of a JVP through the Newton
+        # inversion (see leauthaud11_centrals).
+        if gal_type == CENTRALS:
+            return leauthaud11_centrals(params, log_prim_haloprop,
+                                        self.threshold, self._a,
+                                        littleh=self.littleh,
+                                        log_prim_res=log_prim_res)
+        return leauthaud11_satellites(
+            params, log_prim_haloprop, self.threshold, self._a,
+            modulate_with_cenocc=self.modulate_with_cenocc,
+            littleh=self.littleh, log_prim_res=log_prim_res)

@@ -107,36 +107,61 @@ def zu15_log_mstar(log_mh, params):
     return monotone_inverse(fwd, log_mh, grid_mstar, dfn=dfwd)
 
 
-def zu15_scatter_ln_mstar(params, log_prim_haloprop):
+def zu15_scatter_ln_mstar(params, log_prim_haloprop, log_prim_res=None):
     """sigma_lnM*(Mh): Zu & Mandelbaum (2015), eq. 26.
 
     Constant sigma_0 below M_1; linear in ln(Mh / M_1) above it with
     slope eta (negative at the published fit, so the scatter shrinks
     toward cluster masses).  Floored at a tiny positive value so
     pathological parameter samples cannot flip the erfc argument.
+
+    ``log_prim_res``: the node residual enters ln(Mh / M_1) additively,
+    so the absorption is exact (added after the O(1) subtraction — see
+    models.zheng07 for the float32-resolution rationale).
     """
     xp = get_namespace(log_prim_haloprop, params["smhm_m1"])
     log_mh = xp.asarray(log_prim_haloprop)
     dln_mh = _LN10 * (log_mh - xp.log10(params["smhm_m1"]))
+    if log_prim_res is not None:
+        dln_mh = dln_mh + _LN10 * log_prim_res
     sigma = params["smhm_sigma"] + params["smhm_sigma_slope"] * xp.where(
         dln_mh > 0.0, dln_mh, 0.0)
     return xp.where(sigma > _SIGMA_FLOOR, sigma, _SIGMA_FLOOR)
 
 
-def zu_mandelbaum15_centrals(params, log_prim_haloprop, threshold):
+def zu_mandelbaum15_centrals(params, log_prim_haloprop, threshold,
+                             log_prim_res=None):
     """<N_cen>: Zu & Mandelbaum (2015), eq. 27 (log-normal CDF above
-    the stellar-mass threshold, mass-dependent scatter)."""
+    the stellar-mass threshold, mass-dependent scatter).
+
+    ``log_prim_res``: the SHMR shift follows from the implicit function
+    theorem, d(log10 M*)/d(log10 Mh) = 1 / f'(log10 M*) with the
+    analytic forward derivative (one extra evaluation instead of a JVP
+    through the Newton inversion — see models.leauthaud11); the
+    scatter absorbs the residual exactly.
+    """
     log_fshmr = zu15_log_mstar(log_prim_haloprop, params)
-    sigma = zu15_scatter_ln_mstar(params, log_prim_haloprop)
-    return 0.5 * erfc(_LN10 * (threshold - log_fshmr) / (_SQRT2 * sigma))
+    centered = threshold - log_fshmr
+    if log_prim_res is not None:
+        from .leauthaud11 import _d_log_mh_d_log_mstar
+        xp = get_namespace(log_prim_haloprop, params["smhm_m1"])
+        coeffs = _behroozi_coeff_dict(params, xp)
+        centered = centered - log_prim_res / _d_log_mh_d_log_mstar(
+            log_fshmr, coeffs, 1.0, 1.0)
+    sigma = zu15_scatter_ln_mstar(params, log_prim_haloprop,
+                                  log_prim_res=log_prim_res)
+    return 0.5 * erfc(_LN10 * centered / (_SQRT2 * sigma))
 
 
 def zu_mandelbaum15_satellites(params, log_prim_haloprop, threshold,
-                               modulate_with_cenocc=True):
+                               modulate_with_cenocc=True,
+                               log_prim_res=None):
     """<N_sat>: Zu & Mandelbaum (2015), eqs. 28-30.
 
     Identical power-law/cutoff structure to Leauthaud11 sats, with the
     threshold pivot mass Mh_t from the closed-form Zu15 relation.
+    ``log_prim_res`` is absorbed exactly into the two affine exponents
+    (see models.leauthaud11.leauthaud11_satellites).
     """
     xp = get_namespace(log_prim_haloprop, params["bsat"])
     log_mh = xp.asarray(log_prim_haloprop)
@@ -148,10 +173,16 @@ def zu_mandelbaum15_satellites(params, log_prim_haloprop, threshold,
                 params["betasat"] * (log_mh_t - 12.0))
     log_mcut = (12.0 + xp.log10(params["bcut"]) +
                 params["betacut"] * (log_mh_t - 12.0))
-    nsat = (exp(_LN10 * params["alphasat"] * (log_mh - log_msat)) *
-            exp(-exp10(log_mcut - log_mh)))
+    d_pow = log_mh - log_msat
+    d_cut = log_mcut - log_mh
+    if log_prim_res is not None:
+        d_pow = d_pow + log_prim_res
+        d_cut = d_cut - log_prim_res
+    nsat = (exp(_LN10 * params["alphasat"] * d_pow) *
+            exp(-exp10(d_cut)))
     if modulate_with_cenocc:
-        nsat = nsat * zu_mandelbaum15_centrals(params, log_mh, threshold)
+        nsat = nsat * zu_mandelbaum15_centrals(params, log_mh, threshold,
+                                               log_prim_res=log_prim_res)
     return nsat
 
 
@@ -200,3 +231,15 @@ class ZuMandelbaum15Model(HodModel):
         return zu_mandelbaum15_satellites(
             params, log_prim_haloprop, self.threshold,
             modulate_with_cenocc=self.modulate_with_cenocc)
+
+    def occupation_residual(self, params, gal_type, log_prim_haloprop,
+                            log_prim_res, sec_haloprop_percentile):
+        # Implicit-function-theorem absorption (see models.leauthaud11).
+        if gal_type == CENTRALS:
+            return zu_mandelbaum15_centrals(params, log_prim_haloprop,
+                                            self.threshold,
+                                            log_prim_res=log_prim_res)
+        return zu_mandelbaum15_satellites(
+            params, log_prim_haloprop, self.threshold,
+            modulate_with_cenocc=self.modulate_with_cenocc,
+            log_prim_res=log_prim_res)

@@ -260,6 +260,49 @@ def test_occupation_residual_matches_jvp_fallback():
         assert np.max(np.abs(np.asarray(exact - base))) > 0
 
 
+@pytest.mark.parametrize("family", ["leauthaud11", "zu15"])
+def test_shmr_occupation_residual_exact_absorption(family):
+    # The SHMR families' occupation_residual uses the implicit-function-
+    # theorem derivative (one analytic forward-derivative evaluation)
+    # instead of a JVP through the Newton inversion.  It must match the
+    # ground truth occ(logM + res) evaluated directly in float64, and
+    # the decorated (assembias) variants must compose the decoration
+    # (NOT inherit the undecorated absorption).
+    import jax.numpy as jnp
+
+    from tabcorr_tpu.models import (AssembiasLeauthaud11Model,
+                                    AssembiasZuMandelbaum15Model)
+
+    if family == "leauthaud11":
+        model = tt.Leauthaud11Model(threshold=10.5, redshift=0.3)
+        ab_model = AssembiasLeauthaud11Model(threshold=10.5, redshift=0.3)
+    else:
+        model = tt.ZuMandelbaum15Model(threshold=10.5)
+        ab_model = AssembiasZuMandelbaum15Model(threshold=10.5)
+    ab_model.param_dict["mean_occupation_centrals_assembias_param1"] = 0.4
+    ab_model.param_dict["mean_occupation_satellites_assembias_param1"] = -0.3
+
+    rng = np.random.default_rng(7)
+    logm = jnp.asarray(np.linspace(11.0, 15.4, 64))
+    res = jnp.asarray(rng.uniform(-5e-7, 5e-7, 64))
+    sec = jnp.asarray(rng.uniform(0.05, 0.95, 64))
+
+    for m in (model, ab_model):
+        params = {k: jnp.float64(v) for k, v in m.param_dict.items()}
+        for gal_type in m.gal_types:
+            truth = m.occupation(params, gal_type, logm + res, sec)
+            exact = m.occupation_residual(params, gal_type, logm, res, sec)
+            base = m.occupation(params, gal_type, logm, sec)
+            # First-order absorption: agreement to second order in the
+            # ~5e-7 residual (the absorbed shift itself is ~1e-6
+            # relative; the quadratic remainder is ~(arg * res)^2,
+            # largest in deep erfc tails where occ''/occ ~ 1e3).
+            np.testing.assert_allclose(
+                np.asarray(exact), np.asarray(truth), rtol=1e-8,
+                err_msg=f"{type(m).__name__}/{gal_type}")
+            assert np.max(np.abs(np.asarray(exact - base))) > 0
+
+
 # ---------------------------------------------------------------------------
 # Leauthaud11 (SHMR-based) model
 # ---------------------------------------------------------------------------
