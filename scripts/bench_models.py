@@ -57,6 +57,11 @@ def main():
         ("zu_mandelbaum15",
          tt.ZuMandelbaum15Model(threshold=10.5,
                                 prim_haloprop_key="halo_mvir")),
+        # CLF: no Mosaic lowering for igammac -> xla engine only (the
+        # bundle/fused attempts are skipped by the ValueError guard).
+        ("cacciato09",
+         tt.Cacciato09Model(threshold=9.5, redshift=z,
+                            prim_haloprop_key="halo_mvir")),
     ]
     platform = jax.default_backend()
 
