@@ -15,7 +15,8 @@ from .interpolator import Interpolator
 from .models import (AssembiasCacciato09Model, AssembiasLeauthaud11Model,
                      AssembiasZheng07Model, AssembiasZuMandelbaum15Model,
                      Cacciato09Model, HodModel, Leauthaud11Model,
-                     Zheng07Model, ZuMandelbaum15Model)
+                     NonparametricHodModel, Zheng07Model,
+                     ZuMandelbaum15Model)
 from .table import TabCorr
 from .tabulate import (compute_tpcf_matrix, distribution_index,
                        sort_into_bins)
@@ -26,7 +27,7 @@ __all__ = ["TabCorr", "Interpolator", "HodModel", "Zheng07Model",
            "AssembiasZheng07Model", "Leauthaud11Model",
            "AssembiasLeauthaud11Model", "ZuMandelbaum15Model",
            "AssembiasZuMandelbaum15Model", "Cacciato09Model",
-           "AssembiasCacciato09Model",
+           "AssembiasCacciato09Model", "NonparametricHodModel",
            "HaloCatalog", "ParticleCatalog",
            "cosmology", "database", "corrfunc", "sort_into_bins",
            "distribution_index", "symmetric_matrix_to_array",

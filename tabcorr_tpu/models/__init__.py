@@ -8,6 +8,7 @@ from .cacciato09 import (CACCIATO09_PARAMS, Cacciato09Model,
                          cacciato09_median_log_luminosity,
                          cacciato09_satellites)
 from .functional import FunctionalHodModel
+from .nonparametric import NonparametricHodModel, smoothness_log_prior
 from .leauthaud11 import (LEAUTHAUD11_PARAMS, Leauthaud11Model,
                           behroozi10_log_halo_mass, fshmr_log_mstar,
                           leauthaud11_centrals, leauthaud11_satellites)
@@ -25,6 +26,7 @@ __all__ = ["HodModel", "Zheng07Model", "AssembiasZheng07Model",
            "ZuMandelbaum15Model", "AssembiasZuMandelbaum15Model",
            "Cacciato09Model", "AssembiasCacciato09Model",
            "HeavisideAssembiasMixin", "FunctionalHodModel",
+           "NonparametricHodModel", "smoothness_log_prior",
            "zheng07_centrals", "zheng07_satellites",
            "leauthaud11_centrals", "leauthaud11_satellites",
            "zu_mandelbaum15_centrals", "zu_mandelbaum15_satellites",

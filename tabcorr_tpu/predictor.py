@@ -499,6 +499,36 @@ def make_multi_predictor(objs, model, n_gauss=10, dtype=jnp.float32,
     return jax.jit(predict_all) if jit else predict_all
 
 
+def make_occupation_predictor(obj, dtype=jnp.float32, jit=True,
+                              separate_gal_type=False):
+    """Batched predictor over raw per-bin mean-occupation vectors.
+
+    The non-parametric fast path (see ``models.nonparametric``): the
+    statistic is an exact quadratic (auto) / linear (cross) form in the
+    occupation vector, so prediction skips the occupation trace entirely
+    and is a single batched MXU contraction — jit/vmap/grad-native.
+    The reference exposes this only as an internal hook
+    (reference: tabcorr/tabcorr.py:616-621, predict with an ndarray).
+
+    Returns ``f(occ (..., n_bins)) -> (ngal (...,), xi (..., *shape))``
+    with bins ordered [centrals..., satellites...] like
+    :meth:`TabCorr.mean_occupation`; ``separate_gal_type`` returns the
+    per-type dicts instead.  Batch-sharded inputs propagate through jit
+    (dp-shard the leading axis for multi-chip batches).
+    """
+    table = obj.table_data(n_gauss=1, dtype=dtype) \
+        if isinstance(obj, TabCorr) else obj
+
+    def f(occ):
+        occ = jnp.asarray(occ, dtype=dtype)
+        if separate_gal_type:
+            return predict_from_occupation_separate(table, occ)
+        ngal, xi = predict_from_occupation(table, occ)
+        return ngal, xi.reshape(occ.shape[:-1] + tuple(table.tpcf_shape))
+
+    return jax.jit(f) if jit else f
+
+
 def params_batch(model, overrides=None, batch_shape=(), dtype=jnp.float32):
     """Assemble a batched parameter dict from a model's param_dict.
 
