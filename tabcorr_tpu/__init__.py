@@ -13,10 +13,10 @@ from . import corrfunc, cosmology, database
 from .halocat import HaloCatalog, ParticleCatalog
 from .interpolator import Interpolator
 from .models import (AssembiasCacciato09Model, AssembiasLeauthaud11Model,
-                     AssembiasZheng07Model, AssembiasZuMandelbaum15Model,
-                     Cacciato09Model, HodModel, Leauthaud11Model,
-                     NonparametricHodModel, Zheng07Model,
-                     ZuMandelbaum15Model)
+                     AssembiasTinker13Model, AssembiasZheng07Model,
+                     AssembiasZuMandelbaum15Model, Cacciato09Model,
+                     HodModel, Leauthaud11Model, NonparametricHodModel,
+                     Tinker13Model, Zheng07Model, ZuMandelbaum15Model)
 from .table import TabCorr
 from .tabulate import (compute_tpcf_matrix, distribution_index,
                        sort_into_bins)
@@ -28,6 +28,7 @@ __all__ = ["TabCorr", "Interpolator", "HodModel", "Zheng07Model",
            "AssembiasLeauthaud11Model", "ZuMandelbaum15Model",
            "AssembiasZuMandelbaum15Model", "Cacciato09Model",
            "AssembiasCacciato09Model", "NonparametricHodModel",
+           "Tinker13Model", "AssembiasTinker13Model",
            "HaloCatalog", "ParticleCatalog",
            "cosmology", "database", "corrfunc", "sort_into_bins",
            "distribution_index", "symmetric_matrix_to_array",

@@ -1,8 +1,11 @@
 """JAX-native HOD occupation models."""
 
 from .assembias import (AssembiasCacciato09Model, AssembiasLeauthaud11Model,
-                        AssembiasZheng07Model, AssembiasZuMandelbaum15Model,
+                        AssembiasTinker13Model, AssembiasZheng07Model,
+                        AssembiasZuMandelbaum15Model,
                         HeavisideAssembiasMixin, heaviside_assembias)
+from .tinker13 import (TINKER13_PARAMS, Tinker13Model, tinker13_centrals,
+                       tinker13_quiescent_fraction, tinker13_satellites)
 from .cacciato09 import (CACCIATO09_PARAMS, Cacciato09Model,
                          cacciato09_centrals,
                          cacciato09_median_log_luminosity,
@@ -25,6 +28,9 @@ __all__ = ["HodModel", "Zheng07Model", "AssembiasZheng07Model",
            "Leauthaud11Model", "AssembiasLeauthaud11Model",
            "ZuMandelbaum15Model", "AssembiasZuMandelbaum15Model",
            "Cacciato09Model", "AssembiasCacciato09Model",
+           "Tinker13Model", "AssembiasTinker13Model",
+           "tinker13_centrals", "tinker13_satellites",
+           "tinker13_quiescent_fraction", "TINKER13_PARAMS",
            "HeavisideAssembiasMixin", "FunctionalHodModel",
            "NonparametricHodModel", "smoothness_log_prior",
            "zheng07_centrals", "zheng07_satellites",

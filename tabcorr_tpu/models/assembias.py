@@ -24,6 +24,7 @@ from ..utils.backend import get_namespace
 from .cacciato09 import Cacciato09Model
 from .leauthaud11 import Leauthaud11Model
 from .protocol import CENTRALS
+from .tinker13 import Tinker13Model
 from .zheng07 import Zheng07Model
 from .zu_mandelbaum15 import ZuMandelbaum15Model
 
@@ -177,3 +178,23 @@ class AssembiasCacciato09Model(HeavisideAssembiasMixin, Cacciato09Model):
     prebuilt decorated CLF either); ``occupation_residual`` stays the
     generic JVP fallback.
     """
+
+
+class AssembiasTinker13Model(HeavisideAssembiasMixin, Tinker13Model):
+    """Tinker13 quiescent/active model with Heaviside assembly bias.
+
+    The generic decoration applies to the instance's ``sfr_designation``
+    occupation as a whole; its central bounds remain [0, 1] (for a
+    single-population designation that is a conservative upper bound —
+    the population ceiling is f_q / 1-f_q, which only matters for
+    |assembias| ~ 1 near the ceiling).  The base model's exact residual
+    absorption composes through the decoration like the other families.
+    """
+
+    def occupation_residual(self, params, gal_type, log_prim_haloprop,
+                            log_prim_res, sec_haloprop_percentile):
+        base = super().occupation_residual(params, gal_type,
+                                           log_prim_haloprop, log_prim_res,
+                                           sec_haloprop_percentile)
+        return self._decorate(params, gal_type, base,
+                              sec_haloprop_percentile)

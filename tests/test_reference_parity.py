@@ -285,3 +285,41 @@ def test_cacciato09_occupations_match_halotools():
     got_s = model.mean_occupation_satellites(prim_haloprop=prim)
     np.testing.assert_allclose(got_c, want_c, rtol=1e-5, atol=1e-12)
     np.testing.assert_allclose(got_s, want_s, rtol=1e-5, atol=1e-12)
+
+
+def test_tinker13_occupations_match_halotools_at_control_points():
+    # Quiescent/active occupations vs halotools' Tinker13Cens and
+    # Tinker13QuiescentSats/Tinker13ActiveSats.  The quiescent-fraction
+    # interpolant differs between implementations (piecewise-linear here,
+    # spline in halotools), so centrals are compared AT the control
+    # masses, where both pass through the ordinate parameters exactly;
+    # satellites carry no f_q dependence and are compared on a grid.
+    from halotools.empirical_models import (Tinker13Cens,
+                                            Tinker13QuiescentSats,
+                                            Tinker13ActiveSats)
+
+    redshift = 0.5
+    cens_ref = Tinker13Cens(threshold=10.5, redshift=redshift)
+    model_q = tt.Tinker13Model(threshold=10.5, redshift=redshift,
+                               sfr_designation="quiescent")
+    model_a = tt.Tinker13Model(threshold=10.5, redshift=redshift,
+                               sfr_designation="active")
+
+    prim_ctrl = 10.0 ** np.asarray(
+        model_q.quiescent_fraction_abscissa)
+    for mod, sfr in ((model_q, "quiescent"), (model_a, "active")):
+        want = cens_ref.mean_occupation(prim_haloprop=prim_ctrl,
+                                        sfr_designation=sfr)
+        got = mod.mean_occupation_centrals(prim_haloprop=prim_ctrl)
+        np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-12)
+
+    prim = np.logspace(11, 15, 41)
+    for sats_ref, mod in ((Tinker13QuiescentSats(threshold=10.5,
+                                                 redshift=redshift),
+                           model_q),
+                          (Tinker13ActiveSats(threshold=10.5,
+                                              redshift=redshift),
+                           model_a)):
+        want = sats_ref.mean_occupation(prim_haloprop=prim)
+        got = mod.mean_occupation_satellites(prim_haloprop=prim)
+        np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-12)
