@@ -62,6 +62,9 @@ def main():
         ("cacciato09",
          tt.Cacciato09Model(threshold=9.5, redshift=z,
                             prim_haloprop_key="halo_mvir")),
+        # Two SHMR inversions + the branchless quiescent fraction per
+        # node: the most occupation-heavy bundle-eligible family.
+        ("tinker13", tt.Tinker13Model(threshold=10.5, redshift=z)),
     ]
     platform = jax.default_backend()
 
