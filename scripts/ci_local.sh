@@ -28,11 +28,11 @@ python -m pytest tests/ -m "not slow" -q
 echo "== slow suite (goldens + pipeline; fast on CPU via the native counter) =="
 python -m pytest tests/ -m slow -q
 
-echo "== example smoke (wp / ds / fisher) =="
+echo "== example smoke (wp / ds / fisher / nonparametric) =="
 # Pin the CPU backend via jax.config (site hooks can initialize an
 # accelerator plugin before env vars are consulted; a dead tunnel then
 # hangs the run — see tests/conftest.py).
-for ex in example_wp example_ds example_fisher; do
+for ex in example_wp example_ds example_fisher example_nonparametric; do
     MPLBACKEND=Agg python -c "
 import jax
 jax.config.update('jax_platforms', 'cpu')
