@@ -184,17 +184,54 @@ class AssembiasTinker13Model(HeavisideAssembiasMixin, Tinker13Model):
     """Tinker13 quiescent/active model with Heaviside assembly bias.
 
     The generic decoration applies to the instance's ``sfr_designation``
-    occupation as a whole; its central bounds remain [0, 1] (for a
-    single-population designation that is a conservative upper bound —
-    the population ceiling is f_q / 1-f_q, which only matters for
-    |assembias| ~ 1 near the ceiling).  The base model's exact residual
-    absorption composes through the decoration like the other families.
+    occupation as a whole.  For a single-population designation
+    ('quiescent'/'active') the central occupation is bounded by the
+    population's own ceiling — f_q(Mh) resp. 1 - f_q(Mh), not 1 — so
+    the decorated occupation stays physical for any |A| <= 1 and two
+    instances sharing a ``param_dict`` sum to at most one central per
+    halo.  The base model's exact residual absorption composes through
+    the decoration like the other families.
     """
+
+    def _central_ceiling(self, params, log_prim_haloprop,
+                         log_prim_res=None):
+        from .tinker13 import QUIESCENT, tinker13_quiescent_fraction
+        fq = tinker13_quiescent_fraction(
+            params, log_prim_haloprop,
+            abscissa=self.quiescent_fraction_abscissa,
+            log_prim_res=log_prim_res)
+        return fq if self.sfr_designation == QUIESCENT else 1.0 - fq
+
+    def _decorate_centrals(self, params, base, sec_haloprop_percentile,
+                           log_prim_haloprop, log_prim_res=None):
+        strength = params["mean_occupation_centrals_assembias_param1"]
+        upper = self._central_ceiling(params, log_prim_haloprop,
+                                      log_prim_res=log_prim_res)
+        return heaviside_assembias(
+            base, strength, sec_haloprop_percentile, split=self.split,
+            lower_bound=0.0, upper_bound=upper)
+
+    def occupation(self, params, gal_type, log_prim_haloprop,
+                   sec_haloprop_percentile):
+        base = Tinker13Model.occupation(
+            self, params, gal_type, log_prim_haloprop,
+            sec_haloprop_percentile)
+        if gal_type == CENTRALS and self.sfr_designation != "all":
+            return self._decorate_centrals(params, base,
+                                           sec_haloprop_percentile,
+                                           log_prim_haloprop)
+        return self._decorate(params, gal_type, base,
+                              sec_haloprop_percentile)
 
     def occupation_residual(self, params, gal_type, log_prim_haloprop,
                             log_prim_res, sec_haloprop_percentile):
-        base = super().occupation_residual(params, gal_type,
-                                           log_prim_haloprop, log_prim_res,
-                                           sec_haloprop_percentile)
+        base = Tinker13Model.occupation_residual(
+            self, params, gal_type, log_prim_haloprop, log_prim_res,
+            sec_haloprop_percentile)
+        if gal_type == CENTRALS and self.sfr_designation != "all":
+            return self._decorate_centrals(params, base,
+                                           sec_haloprop_percentile,
+                                           log_prim_haloprop,
+                                           log_prim_res=log_prim_res)
         return self._decorate(params, gal_type, base,
                               sec_haloprop_percentile)

@@ -94,6 +94,12 @@ class NonparametricHodModel(HodModel):
                                   for k, v in cells_cen.items()},
                        SATELLITES: {k: np.asarray(v, dtype=np.float64)
                                     for k, v in cells_sat.items()}}
+        n_cen = len(self._cells[CENTRALS]["log_prim_min"])
+        n_sat = len(self._cells[SATELLITES]["log_prim_min"])
+        if n_cen == 0 or n_sat == 0:
+            raise ValueError(
+                "Each galaxy type needs at least one cell (got "
+                f"{n_cen} centrals, {n_sat} satellites).")
         for gal_type, cells in self._cells.items():
             n = len(cells["log_prim_min"])
             if any(len(cells[k]) != n for k in cells):
@@ -101,8 +107,6 @@ class NonparametricHodModel(HodModel):
             # Rows carrying the global upper prim edge are closed above.
             cells["top"] = (cells["log_prim_max"] >=
                             np.max(cells["log_prim_max"]) - 1e-12)
-        n_cen = len(self._cells[CENTRALS]["log_prim_min"])
-        n_sat = len(self._cells[SATELLITES]["log_prim_min"])
         v_cen = np.zeros(n_cen) if values_cen is None \
             else np.asarray(values_cen, dtype=np.float64)
         v_sat = np.zeros(n_sat) if values_sat is None \

@@ -216,6 +216,10 @@ class Tinker13Model(HodModel):
                 defaults[f"quiescent_fraction_ordinates_param{i + 1}"] = \
                     0.5
             self.param_defaults = defaults
+            # Keep introspection consistent with the instance's actual
+            # parameter set (param_names is a class attribute sized for
+            # the default 3-point abscissa otherwise).
+            self.param_names = tuple(defaults)
         super().__init__(prim_haloprop_key=prim_haloprop_key,
                          sec_haloprop_key=sec_haloprop_key,
                          redshift=redshift, **params)

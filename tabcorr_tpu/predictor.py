@@ -522,7 +522,10 @@ def make_occupation_predictor(obj, dtype=jnp.float32, jit=True,
     def f(occ):
         occ = jnp.asarray(occ, dtype=dtype)
         if separate_gal_type:
-            return predict_from_occupation_separate(table, occ)
+            ngal_dict, xi_dict = predict_from_occupation_separate(table, occ)
+            xi_dict = {k: v.reshape(occ.shape[:-1] + tuple(table.tpcf_shape))
+                       for k, v in xi_dict.items()}
+            return ngal_dict, xi_dict
         ngal, xi = predict_from_occupation(table, occ)
         return ngal, xi.reshape(occ.shape[:-1] + tuple(table.tpcf_shape))
 
