@@ -22,15 +22,21 @@ tabulation is the model's point: build three instances sharing a
 
 Parameter keys follow halotools' suffix convention for this prebuilt
 (``smhm_m1_0_active``, ``scatter_model_param1_quiescent``,
-``quiescent_fraction_ordinates_param1``, ...).  f_q(Mh) is interpolated
-piecewise-LINEARLY in log10 Mh between the control points (constant
-beyond the ends); halotools draws a spline through the same points, so
-exact parity is claimed for everything EXCEPT the between-control-point
-shape of f_q (the armed parity test in tests/test_reference_parity.py
-pins the control points themselves, where the two agree exactly).
-Ordinates are clamped to [0, 1]; a convex combination of in-range
-ordinates needs no further clipping, which keeps the node-residual
-absorption exact.
+``quiescent_fraction_ordinates_param1``, ...).  f_q(Mh) follows
+halotools' ``custom_spline`` semantics exactly: an interpolating spline
+of degree min(n_points - 1, 5) through the ordinates in log10 Mh
+(scipy ``InterpolatedUnivariateSpline``; the polynomial pieces extend
+beyond the end control points), with the RESULT clipped to [0, 1]
+(halotools clips the evaluated fraction, not the ordinates).  Because
+the control masses are fixed per model instance, the spline is a LINEAR
+map from the ordinate parameters to piecewise-polynomial coefficients;
+that map is precomputed on the host once (``tinker13_fq_spline_map``)
+and the device evaluation is branchless where/Horner arithmetic — so
+the family stays bundle-eligible and exactly differentiable in the
+ordinates.  With the default 3-point abscissa the spline is a single
+quadratic (one segment, no selection at all).  Piecewise-LINEAR
+interpolation (constant beyond the ends, ordinates clamped to [0, 1])
+remains available via ``interpolation='linear'``.
 """
 
 from __future__ import annotations
@@ -72,20 +78,68 @@ def _subparams(params, sfr):
     return {k: params[f"{k}_{sfr}"] for k in _SMHM_KEYS + _SAT_KEYS}
 
 
-def tinker13_quiescent_fraction(params, log_prim_haloprop,
-                                abscissa=TINKER13_ABSCISSA,
-                                log_prim_res=None):
-    """Central quiescent fraction f_q(Mh): piecewise-linear in log10 Mh
-    through the ordinate parameters at the control masses, constant
-    beyond the ends.  Branchless (clip/where arithmetic only — lowers
-    under Mosaic), so the whole model stays bundle-eligible.
+# Cache of abscissa -> (breaks, coeffs); keyed by the rounded tuple.
+_FQ_SPLINE_MAPS = {}
+
+
+def tinker13_fq_spline_map(abscissa=TINKER13_ABSCISSA, k=None):
+    """Host-side precomputation of the f_q spline as a LINEAR map from
+    ordinates to piecewise-polynomial coefficients.
+
+    halotools evaluates f_q with ``custom_spline(log10(abscissa),
+    ordinates)``, i.e. a scipy interpolating spline of degree
+    ``k = min(len(abscissa) - 1, 5)``.  For fixed control masses that
+    spline is linear in the ordinates, so applying it to the unit
+    ordinate vectors yields, per breakpoint segment, a
+    ``(degree + 1, n_points)`` coefficient matrix (PPoly order, highest
+    degree first, in the local variable ``x - break_left``).
+
+    Returns ``(breaks, coeffs)``: float64 arrays of shape
+    ``(n_segments + 1,)`` and ``(n_segments, degree + 1, n_points)``.
+    The outermost segments extend beyond the end breakpoints
+    (polynomial extrapolation, matching scipy/halotools).  The default
+    3-point abscissa gives a single quadratic segment.
+    """
+    import numpy as np
+    from scipy.interpolate import PPoly, splrep
+
+    x = np.asarray(abscissa, dtype=np.float64)
+    n = len(x)
+    if k is None:
+        k = min(n - 1, 5)
+    key = (tuple(x.tolist()), int(k))
+    cached = _FQ_SPLINE_MAPS.get(key)
+    if cached is not None:
+        return cached
+    breaks = None
+    cols = []
+    for i in range(n):
+        e = np.zeros(n)
+        e[i] = 1.0
+        pp = PPoly.from_spline(splrep(x, e, k=k, s=0), extrapolate=True)
+        # Knot vector carries (k+1)-fold end multiplicities; keep the
+        # zero-width-free segments only.
+        real = np.flatnonzero(np.diff(pp.x) > 0)
+        if breaks is None:
+            breaks = np.append(pp.x[real], pp.x[real[-1] + 1])
+        cols.append(pp.c[:, real])
+    coeffs = np.stack(cols, axis=-1).transpose(1, 0, 2)
+    result = (breaks, np.ascontiguousarray(coeffs))
+    _FQ_SPLINE_MAPS[key] = result
+    return result
+
+
+def _fq_linear(params, logm, abscissa, log_prim_res, xp):
+    """Piecewise-linear f_q: ordinates clamped to [0, 1], constant
+    beyond the end control points (the pre-spline behavior, kept as
+    ``interpolation='linear'``).
 
     ``log_prim_res``: f_q is affine within a segment, so a sub-ulp node
-    residual is absorbed exactly via the segment slope.
+    residual is absorbed exactly via the segment slope.  A node sitting
+    EXACTLY on an interior control point uses the right segment's slope
+    (and zero slope at the last control point) — for the sub-ulp
+    residuals this path sees, the difference is below float64 noise.
     """
-    xp = get_namespace(log_prim_haloprop,
-                       params["quiescent_fraction_ordinates_param1"])
-    logm = xp.asarray(log_prim_haloprop)
     one = xp.asarray(1.0, dtype=logm.dtype)
     zero = xp.asarray(0.0, dtype=logm.dtype)
     ords = []
@@ -110,6 +164,70 @@ def tinker13_quiescent_fraction(params, log_prim_haloprop,
     if log_prim_res is not None:
         y = y + dy * log_prim_res
     return y
+
+
+def tinker13_quiescent_fraction(params, log_prim_haloprop,
+                                abscissa=TINKER13_ABSCISSA,
+                                log_prim_res=None,
+                                interpolation="spline",
+                                spline_map=None):
+    """Central quiescent fraction f_q(Mh) through the ordinate
+    parameters at the control masses.
+
+    ``interpolation='spline'`` (default) reproduces halotools exactly:
+    an interpolating spline of degree min(n_points - 1, 5) in log10 Mh,
+    polynomial extrapolation beyond the ends, result clipped to [0, 1].
+    Evaluation is branchless — per-segment coefficients are scalar
+    combinations of the ordinates selected with ``where`` and fed to a
+    Horner loop — so the model stays bundle-eligible (Mosaic lowers
+    clip/where arithmetic; no gathers).  ``interpolation='linear'``
+    keeps the piecewise-linear variant (constant extrapolation,
+    ordinates clamped instead of the result).
+
+    ``log_prim_res``: a sub-ulp node residual is absorbed EXACTLY by
+    shifting the polynomial evaluation point (segment selection uses
+    the unshifted mass; the pieces are C^(degree-1) continuous, so a
+    residual crossing a breakpoint contributes below float64 noise).
+    """
+    xp = get_namespace(log_prim_haloprop,
+                       params["quiescent_fraction_ordinates_param1"])
+    logm = xp.asarray(log_prim_haloprop)
+    if interpolation == "linear":
+        return _fq_linear(params, logm, abscissa, log_prim_res, xp)
+    if interpolation != "spline":
+        raise ValueError(f"Unknown interpolation: {interpolation!r}")
+    if spline_map is None:
+        spline_map = tinker13_fq_spline_map(abscissa)
+    breaks, coeffs = spline_map
+    n_seg, n_coef, n_pts = coeffs.shape
+    ords = [xp.asarray(params[f"quiescent_fraction_ordinates_param{i + 1}"],
+                       dtype=logm.dtype)
+            for i in range(n_pts)]
+    # Per-segment polynomial coefficients: scalar combinations of the
+    # (possibly traced) ordinates — the spline map itself is constant.
+    c_seg = [[sum(coeffs[j, d, i] * ords[i] for i in range(n_pts))
+              for d in range(n_coef)] for j in range(n_seg)]
+    if n_seg == 1:
+        left = xp.asarray(breaks[0], dtype=logm.dtype)
+        c_sel = c_seg[0]
+    else:
+        left = xp.full_like(logm, breaks[0])
+        c_sel = [c + xp.zeros_like(logm) for c in c_seg[0]]
+        for j in range(1, n_seg):
+            inside = logm >= breaks[j]
+            left = xp.where(inside, xp.asarray(breaks[j],
+                                               dtype=logm.dtype), left)
+            c_sel = [xp.where(inside, c_seg[j][d], c_sel[d])
+                     for d in range(n_coef)]
+    s = logm - left
+    if log_prim_res is not None:
+        s = s + log_prim_res
+    y = c_sel[0] + xp.zeros_like(logm)
+    for d in range(1, n_coef):
+        y = y * s + c_sel[d]
+    one = xp.asarray(1.0, dtype=logm.dtype)
+    zero = xp.asarray(0.0, dtype=logm.dtype)
+    return xp.where(y < zero, zero, xp.where(y > one, one, y))
 
 
 def tinker13_centrals(params, log_prim_haloprop, threshold, a,

@@ -287,13 +287,13 @@ def test_cacciato09_occupations_match_halotools():
     np.testing.assert_allclose(got_s, want_s, rtol=1e-5, atol=1e-12)
 
 
-def test_tinker13_occupations_match_halotools_at_control_points():
+def test_tinker13_occupations_match_halotools():
     # Quiescent/active occupations vs halotools' Tinker13Cens and
-    # Tinker13QuiescentSats/Tinker13ActiveSats.  The quiescent-fraction
-    # interpolant differs between implementations (piecewise-linear here,
-    # spline in halotools), so centrals are compared AT the control
-    # masses, where both pass through the ordinate parameters exactly;
-    # satellites carry no f_q dependence and are compared on a grid.
+    # Tinker13QuiescentSats/Tinker13ActiveSats on a full mass grid —
+    # INCLUDING masses between the f_q control points, where the
+    # quiescent fraction follows halotools' custom_spline semantics
+    # (scipy interpolating spline of degree min(n-1, 5) in log10 Mh,
+    # result clipped to [0, 1]).
     from halotools.empirical_models import (Tinker13Cens,
                                             Tinker13QuiescentSats,
                                             Tinker13ActiveSats)
@@ -305,12 +305,11 @@ def test_tinker13_occupations_match_halotools_at_control_points():
     model_a = tt.Tinker13Model(threshold=10.5, redshift=redshift,
                                sfr_designation="active")
 
-    prim_ctrl = 10.0 ** np.asarray(
-        model_q.quiescent_fraction_abscissa)
+    prim_grid = np.logspace(11, 15.5, 91)
     for mod, sfr in ((model_q, "quiescent"), (model_a, "active")):
-        want = cens_ref.mean_occupation(prim_haloprop=prim_ctrl,
+        want = cens_ref.mean_occupation(prim_haloprop=prim_grid,
                                         sfr_designation=sfr)
-        got = mod.mean_occupation_centrals(prim_haloprop=prim_ctrl)
+        got = mod.mean_occupation_centrals(prim_haloprop=prim_grid)
         np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-12)
 
     prim = np.logspace(11, 15, 41)

@@ -1,8 +1,10 @@
 """Tinker et al. (2013) quiescent/active model family.
 
-Invariants: the quiescent fraction passes exactly through its control
-points (where halotools' spline agrees regardless of interpolant),
-population decomposition sums exactly ('all' == quiescent + active),
+Invariants: the quiescent fraction reproduces halotools' spline
+semantics everywhere (scipy interpolating spline of the ordinates,
+result clipped to [0, 1]) and passes exactly through its control
+points, population decomposition sums exactly ('all' == quiescent +
+active),
 gradients flow, the residual absorption is exact, and the family runs
 through the table/predictor machinery including the fused engines
 (the quiescent-fraction interpolation is clip/where arithmetic, so the
@@ -33,24 +35,63 @@ def test_quiescent_fraction_control_points():
     np.testing.assert_allclose(got, want, rtol=1e-14)
 
 
-def test_quiescent_fraction_shape():
+def test_quiescent_fraction_spline_matches_scipy():
+    """The default interpolant reproduces halotools' custom_spline
+    semantics BETWEEN control points: scipy interpolating spline of
+    degree min(n-1, 5) with polynomial extrapolation, result clipped to
+    [0, 1].  Covers the single-segment default (3 points -> quadratic)
+    and a multi-segment case (5 points -> cubic with where-selection)."""
+    from scipy.interpolate import InterpolatedUnivariateSpline
+
+    logm = np.linspace(9.0, 17.0, 257)
     params = dict(TINKER13_PARAMS)
+    ords = [params[f"quiescent_fraction_ordinates_param{i + 1}"]
+            for i in range(3)]
+    spl = InterpolatedUnivariateSpline(
+        np.asarray(TINKER13_ABSCISSA), ords, k=2)
+    want = np.clip(spl(logm), 0.0, 1.0)
+    got = tinker13_quiescent_fraction(params, logm)
+    np.testing.assert_allclose(got, want, rtol=0, atol=1e-13)
+
+    absc5 = (11.0, 12.0, 13.0, 14.2, 15.5)
+    rng = np.random.default_rng(7)
+    ords5 = rng.uniform(0.05, 0.95, 5)
+    p5 = dict(params)
+    for i, o in enumerate(ords5):
+        p5[f"quiescent_fraction_ordinates_param{i + 1}"] = o
+    spl5 = InterpolatedUnivariateSpline(np.asarray(absc5), ords5, k=4)
+    want5 = np.clip(spl5(logm), 0.0, 1.0)
+    got5 = tinker13_quiescent_fraction(p5, logm, abscissa=absc5)
+    np.testing.assert_allclose(got5, want5, rtol=0, atol=1e-13)
+
+    # Out-of-range spline values are clipped to [0, 1] (the default
+    # ordinates overshoot below zero left of the abscissa).
+    assert np.all(got >= 0.0) and np.all(got <= 1.0)
+    assert got[0] == 0.0
+    with pytest.raises(ValueError):
+        tinker13_quiescent_fraction(params, logm, interpolation="nope")
+
+
+def test_quiescent_fraction_linear_variant():
+    params = dict(TINKER13_PARAMS)
+    kw = dict(interpolation="linear")
     # Linear between controls: midpoint of segment = mean of ordinates.
     mid = 0.5 * (TINKER13_ABSCISSA[0] + TINKER13_ABSCISSA[1])
-    got = tinker13_quiescent_fraction(params, np.array([mid]))
+    got = tinker13_quiescent_fraction(params, np.array([mid]), **kw)
     np.testing.assert_allclose(
         got[0], 0.5 * (params["quiescent_fraction_ordinates_param1"] +
                        params["quiescent_fraction_ordinates_param2"]),
         rtol=1e-14)
     # Constant extrapolation beyond the ends.
-    lo, hi = tinker13_quiescent_fraction(params, np.array([9.0, 17.0]))
+    lo, hi = tinker13_quiescent_fraction(params, np.array([9.0, 17.0]),
+                                         **kw)
     assert lo == params["quiescent_fraction_ordinates_param1"]
     assert hi == params["quiescent_fraction_ordinates_param3"]
     # Out-of-range ordinates are clamped to [0, 1].
     params2 = dict(params, quiescent_fraction_ordinates_param1=-0.3,
                    quiescent_fraction_ordinates_param3=1.4)
     vals = tinker13_quiescent_fraction(
-        params2, np.linspace(9.0, 17.0, 33))
+        params2, np.linspace(9.0, 17.0, 33), **kw)
     assert np.all(vals >= 0.0) and np.all(vals <= 1.0)
     assert vals[0] == 0.0 and vals[-1] == 1.0
 
