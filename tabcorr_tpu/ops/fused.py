@@ -351,6 +351,43 @@ def _grouped_dots(ngal, f_arrays, groups, precision, dtype=jnp.float32):
     return parts[0] if len(parts) == 1 else jnp.concatenate(parts, axis=-1)
 
 
+def _quad_segment_constants(table: TableData, seg_lo, seg_hi, nb):
+    """Flattened quadrature-grid constants for one galaxy-type segment.
+
+    Returns (logm, logm_res, sec, w, sel): node masses (+ their float64
+    residual row for the in-kernel node correction) and secondary
+    percentiles as (1, L) rows padded to a 128-lane multiple, a float32
+    weight row (quad weight times n_h per node; padded nodes zero,
+    padded node masses a huge value), and a 0/1 selector matrix (L, nb)
+    in bfloat16 mapping nodes to their bin.
+    """
+    n_gauss = table.log_prim_quad.shape[1]
+    length = (seg_hi - seg_lo) * n_gauss
+    padded = -(-length // 128) * 128
+    logm = np.full(padded, 20.0, np.float32)
+    logm[:length] = np.asarray(table.log_prim_quad[seg_lo:seg_hi],
+                               np.float32).ravel()
+    logm_res = np.zeros(padded, np.float32)
+    if table.log_prim_quad_lo is not None:
+        logm_res[:length] = np.asarray(
+            table.log_prim_quad_lo[seg_lo:seg_hi], np.float32).ravel()
+    sec = np.full(padded, 0.5, np.float32)
+    sec[:length] = np.repeat(np.asarray(table.sec_perc[seg_lo:seg_hi],
+                                        np.float32), n_gauss)
+    w_row = np.zeros(padded, np.float32)
+    weights = (np.asarray(table.quad_weight[seg_lo:seg_hi],
+                          np.float64) *
+               np.asarray(table.n_h[seg_lo:seg_hi],
+                          np.float64)[:, None])
+    w_row[:length] = weights.ravel()
+    sel = np.zeros((padded, nb), np.float32)
+    for i in range(seg_hi - seg_lo):
+        sel[i * n_gauss:(i + 1) * n_gauss, seg_lo + i] = 1.0
+    return (jnp.asarray(logm)[None, :], jnp.asarray(logm_res)[None, :],
+            jnp.asarray(sec)[None, :], jnp.asarray(w_row)[None, :],
+            jnp.asarray(sel, dtype=jnp.bfloat16))
+
+
 def _bundle_table_constants(table: TableData, error_model="elementwise",
                             tol=1e-6, margin=30.0, scale_block_rows=None,
                             pack_slabs=True):
@@ -394,7 +431,6 @@ def _bundle_table_constants(table: TableData, error_model="elementwise",
     nb_real = table.n_bins
     nb = -(-nb_real // 128) * 128
     n_xi = table.tpcf_dense.shape[0]
-    n_gauss = table.log_prim_quad.shape[1]
     nc = table.n_centrals
 
     groups, row_perm, row_inv_perm = _pass_groups(
@@ -423,37 +459,8 @@ def _bundle_table_constants(table: TableData, error_model="elementwise",
                                   np.float32)[np.asarray(row_perm)].T
         f2 = jnp.asarray(f2)
 
-    def segment(seg_lo, seg_hi):
-        length = (seg_hi - seg_lo) * n_gauss
-        padded = -(-length // 128) * 128
-        logm = np.full(padded, 20.0, np.float32)
-        logm[:length] = np.asarray(table.log_prim_quad[seg_lo:seg_hi],
-                                   np.float32).ravel()
-        # Node residual for the in-kernel first-order occupation
-        # correction (see ops.predict.TableData.log_prim_quad_lo);
-        # padded nodes carry zero tangent.
-        logm_res = np.zeros(padded, np.float32)
-        if table.log_prim_quad_lo is not None:
-            logm_res[:length] = np.asarray(
-                table.log_prim_quad_lo[seg_lo:seg_hi], np.float32).ravel()
-        sec = np.full(padded, 0.5, np.float32)
-        sec[:length] = np.repeat(np.asarray(table.sec_perc[seg_lo:seg_hi],
-                                            np.float32), n_gauss)
-        w_row = np.zeros(padded, np.float32)
-        weights = (np.asarray(table.quad_weight[seg_lo:seg_hi],
-                              np.float64) *
-                   np.asarray(table.n_h[seg_lo:seg_hi],
-                              np.float64)[:, None])
-        w_row[:length] = weights.ravel()
-        sel = np.zeros((padded, nb), np.float32)
-        for i in range(seg_hi - seg_lo):
-            sel[i * n_gauss:(i + 1) * n_gauss, seg_lo + i] = 1.0
-        return (jnp.asarray(logm)[None, :], jnp.asarray(logm_res)[None, :],
-                jnp.asarray(sec)[None, :], jnp.asarray(w_row)[None, :],
-                jnp.asarray(sel, dtype=jnp.bfloat16))
-
-    seg_c = segment(0, nc)
-    seg_s = segment(nc, nb_real)
+    seg_c = _quad_segment_constants(table, 0, nc, nb)
+    seg_s = _quad_segment_constants(table, nc, nb_real, nb)
     flat_blocks = _split_f_blocks(f2, groups, auto, nb, widths=widths)
     return dict(nb=nb, n_xi=n_xi, auto=auto,
                 tpcf_shape=tuple(table.tpcf_shape),
@@ -785,5 +792,618 @@ def make_fused_bundle_predictor(tables, occupation_cen, occupation_sat,
             results.append((total, xi.reshape(
                 (batch,) + c["tpcf_shape"])))
         return results
+
+    return jax.jit(predict_batch)
+
+
+# Default batch tile for the node-streamed grid kernel: the stacked-grid
+# constants stream from HBM once per batch tile, so a larger tile
+# amortizes that bandwidth (per-step VMEM stays small because only one
+# node block is resident at a time).  1024 is the largest tile whose
+# packed-layout scratch (batch_tile x packed-pair row) plus occupation
+# temporaries stay inside the 100 MB scoped-VMEM limit at the published
+# 64-node 'default' grid shape; 2048 overflows it by ~4% and the
+# workload is MXU-bound at 1024 anyway (the whole grid streams in ~19
+# MB/tile, ~20x below the bandwidth roofline).
+GRID_TILE = 1024
+
+
+def _grid_stream_constants(table: TableData, n_nodes,
+                           error_model="elementwise", tol=1e-6,
+                           margin=30.0, pack_slabs=True):
+    """Streamed per-node constants for the grid kernel.
+
+    ``table`` is a stacked Interpolator grid (n_nodes * n_xi statistic
+    rows over ONE shared halo binning).  Every node gets the SAME slab
+    layout so the Pallas grid can stream uniform column blocks: the MXU
+    pass class of each statistic row position is the MAXIMUM over nodes
+    (under the 'scaled' contract each node's amplitudes are normalized
+    to that node's own peak, the stacked-grid analog of
+    ``scale_block_rows=n_xi``), and the common row permutation makes
+    pass groups contiguous within each node's block.
+
+    Returns a dict with, per pass group, one stacked array of shape
+    (nb, n_nodes * w_g) — bf16 hi/lo pairs for the 3-pass tier — where
+    node j occupies columns [j*w_g, (j+1)*w_g); plus the shared
+    quadrature segment constants and the slab geometry.
+    """
+    auto = table.mode == AUTO
+    nb_real = table.n_bins
+    nb = -(-nb_real // 128) * 128
+    total_rows = table.tpcf_dense.shape[0]
+    if total_rows % n_nodes:
+        raise ValueError("Stacked row count must be divisible by n_nodes.")
+    n_xi = total_rows // n_nodes
+    dense = np.asarray(table.tpcf_dense, np.float32)
+    dense = dense.reshape((n_nodes, n_xi) + dense.shape[1:])
+
+    if error_model == "scaled":
+        passes = np.zeros(n_xi, np.int64)
+        for j in range(n_nodes):
+            passes = np.maximum(
+                passes, _row_pass_classes(dense[j], tol / margin))
+    elif error_model == "elementwise":
+        passes = np.full(n_xi, 6, np.int64)
+    else:
+        raise ValueError(f"Unknown accuracy contract: {error_model!r}")
+    row_perm = np.argsort(-passes, kind="stable")
+    row_inv_perm = np.argsort(row_perm)
+    groups = tuple((p, int(np.sum(passes == p))) for p in (6, 3, 1)
+                   if np.any(passes == p))
+
+    pack, nb_sub, slab_w = _pack_geometry(nb_real, nb, pack_slabs and auto)
+    if auto:
+        widths = [-(-count // pack) * slab_w for _, count in groups]
+    else:
+        # Cross mode: each node's group block padded to a lane multiple
+        # so the streamed column blocks stay 128-aligned.
+        widths = [-(-count // 128) * 128 for _, count in groups]
+
+    group_blocks = []
+    row0 = 0
+    for (_, count), w in zip(groups, widths):
+        big = np.zeros((nb, n_nodes * w), np.float32)
+        for j in range(n_nodes):
+            perm_rows = dense[j][row_perm[row0:row0 + count]]
+            for idx in range(count):
+                if auto:
+                    g, s = divmod(idx, pack)
+                    c0 = j * w + g * slab_w + s * nb_sub
+                    big[:nb_real, c0:c0 + nb_real] = perm_rows[idx].T
+                else:
+                    big[:nb_real, j * w + idx] = perm_rows[idx]
+        group_blocks.append(big)
+        row0 += count
+
+    # Same bf16 tiering as _split_f_blocks, applied to the stacked
+    # arrays (the split is elementwise, so splitting the stack equals
+    # stacking the per-node splits).
+    stream_arrays, block_widths = [], []
+    for (p, _), big, w in zip(groups, group_blocks, widths):
+        if p == 6:
+            stream_arrays.append(jnp.asarray(big))
+            block_widths.append(w)
+        elif p == 3:
+            hi = big.astype(jnp.bfloat16)
+            lo = (big - np.asarray(hi, np.float32)).astype(jnp.bfloat16)
+            stream_arrays += [jnp.asarray(hi), jnp.asarray(lo)]
+            block_widths += [w, w]
+        else:
+            stream_arrays.append(jnp.asarray(big.astype(jnp.bfloat16)))
+            block_widths.append(w)
+
+    nc = table.n_centrals
+    seg_c = _quad_segment_constants(table, 0, nc, nb)
+    seg_s = _quad_segment_constants(table, nc, nb_real, nb)
+    return dict(nb=nb, n_xi=n_xi, auto=auto, groups=groups,
+                widths=tuple(widths), pack=pack, nb_sub=nb_sub,
+                slab_w=slab_w, row_inv_perm=row_inv_perm,
+                stream_arrays=tuple(stream_arrays),
+                block_widths=tuple(block_widths),
+                seg_c=seg_c, seg_s=seg_s)
+
+
+def make_fused_grid_predictor(table: TableData, n_nodes, occupation_cen,
+                              occupation_sat, param_names,
+                              batch_tile=GRID_TILE, interpret="auto",
+                              precision="highest", accuracy="elementwise",
+                              mesh=None, batch_axis="dp", sub_tiles=8,
+                              pack_slabs=True, layout="auto",
+                              node_block=None):
+    """Node-streamed bundle predictor for stacked Interpolator grids.
+
+    The one-kernel bundle keeps every dense matrix resident in VMEM,
+    which caps it at grids whose stacked constants fit the chip's
+    ~128 MB — the published 'default' 4x4x4 = 64-node wp/xi tables
+    exceed it (reference grids: tabcorr/database.py:56-59).  This
+    kernel instead STREAMS the grid: the Pallas grid is (batch_tiles,
+    node_blocks) with the node axis innermost, each node block's matrix
+    is DMAed HBM->VMEM by Pallas's pipeline (double-buffered against
+    the previous block's contraction), and the occupation quadrature
+    runs ONCE per batch tile (at node step 0, same in-kernel exact
+    3-term-expansion path as the bundle) with the contraction operand
+    parked in VMEM scratch for the remaining node steps.  Per-step VMEM
+    is one node block x 2 buffers + the scratch, independent of the
+    grid size, so any node count streams.
+
+    Two layouts:
+
+    * ``'packed'`` (default where eligible): auto-mode tables contract
+      in PACKED symmetric storage — the kernel expands the per-pair
+      weights ``w_p = n_i n_j`` (i <= j) once per batch tile into
+      scratch and every node step is one MXU dot ``w @ F_packed`` with
+      the (2 - delta_ij) prefactor folded into the streamed matrix
+      host-side.  Packed K = (nb^2 + nb)/2 does ~2.3x fewer MACs than
+      the lane-padded slab layout, streams ~2x fewer bytes, and needs
+      no per-node VPU epilogue (the division by the squared density is
+      a row scale).  Cross-mode tables use the same kernel with
+      ``w := ngal`` (K = nb).  Eligible while the packed pair count
+      stays small enough for the scratch row (<= 8192 lanes, i.e.
+      nb <= ~126; every published auto table has nb <= 60).
+    * ``'slab'``: the bundle's lane-aligned slab layout, streamed one
+      node per step — the fallback for auto tables with very wide
+      binnings.
+
+    The HBM cost is the whole grid once per batch tile, so the default
+    ``batch_tile`` is larger than the bundle's (see GRID_TILE).
+
+    Parameters match :func:`make_fused_bundle_predictor` where shared;
+    ``accuracy`` is a single contract ('elementwise' or 'scaled' — the
+    scaled budget is normalized per node, as scale_block_rows=n_xi does
+    for the resident bundle).  ``sub_tiles`` bounds the slab layout's
+    contraction intermediate; ``node_block`` (packed layout) sets how
+    many nodes stream per step (default: sized so each step's block is
+    a few MB and class padding is amortized).
+
+    Returns ``f(params dict of (B,)) -> (ngal (B,), xi (B, n_nodes,
+    n_xi))`` with the node axis leading the statistic axis (grid order).
+    """
+    if interpret == "auto":
+        if mesh is not None:
+            platform = next(iter(mesh.devices.flat)).platform
+        else:
+            platform = jax.default_backend()
+        interpret = platform != "tpu"
+    if layout == "auto":
+        nbr = table.n_bins
+        npair_pad = -(-(nbr * (nbr + 1) // 2) // 128) * 128
+        layout = ("packed" if table.mode != AUTO or npair_pad <= 8192
+                  else "slab")
+    if layout == "packed":
+        return _make_grid_packed_predictor(
+            table, n_nodes, occupation_cen, occupation_sat, param_names,
+            batch_tile=batch_tile, interpret=interpret,
+            precision=precision, accuracy=accuracy, mesh=mesh,
+            batch_axis=batch_axis, node_block=node_block)
+    if layout != "slab":
+        raise ValueError(f"Unknown layout: {layout!r}")
+    cfg = _grid_stream_constants(table, n_nodes, error_model=accuracy,
+                                 pack_slabs=pack_slabs)
+    nb = cfg["nb"]
+    n_xi = cfg["n_xi"]
+    auto = cfg["auto"]
+    groups = cfg["groups"]
+    widths = cfg["widths"]
+    stream_arrays = cfg["stream_arrays"]
+    block_widths = cfg["block_widths"]
+    seg_arrays = cfg["seg_c"] + cfg["seg_s"]
+    xi_pad = -(-n_xi // 128) * 128
+    names = tuple(param_names)
+    n_names = len(names)
+    if n_names > 128:
+        raise ValueError("At most 128 parameters supported.")
+    n_stream = len(stream_arrays)
+
+    def quad_segment_sum(occ, w_row, sel):
+        # Same exact 3-term bfloat16 expansion as the resident bundle
+        # (see make_fused_bundle_predictor.quad_segment_sum).
+        t = occ * w_row
+        t_hi = t.astype(jnp.bfloat16)
+        r1 = t - t_hi.astype(jnp.float32)
+        t_mid = r1.astype(jnp.bfloat16)
+        t_lo = (r1 - t_mid.astype(jnp.float32)).astype(jnp.bfloat16)
+        return (jnp.dot(t_hi, sel, preferred_element_type=jnp.float32) +
+                jnp.dot(t_mid, sel, preferred_element_type=jnp.float32) +
+                jnp.dot(t_lo, sel, preferred_element_type=jnp.float32))
+
+    def kernel(params_ref, *rest):
+        stream_refs = rest[:n_stream]
+        (logm_c, logmres_c, sec_c, w_c, sel_c,
+         logm_s, logmres_s, sec_s, w_s, sel_s) = rest[n_stream:
+                                                      n_stream + 10]
+        total_out, xi_out = rest[n_stream + 10:n_stream + 12]
+        ngal_scratch = rest[n_stream + 12]
+        j = pl.program_id(1)
+
+        # Occupation quadrature once per batch tile: node step 0
+        # computes ngal (in-kernel, with the float64-node residual
+        # correction) and parks it in VMEM scratch; the remaining node
+        # steps are pure streamed contractions against it.
+        @pl.when(j == 0)
+        def _():
+            p = params_ref[:]
+            params = {name: p[:, i:i + 1]
+                      for i, name in enumerate(names)}
+            occ_c = occupation_with_residual(
+                occupation_cen, params, logm_c[:], logmres_c[:], sec_c[:])
+            occ_s = occupation_with_residual(
+                occupation_sat, params, logm_s[:], logmres_s[:], sec_s[:])
+            ngal = (quad_segment_sum(occ_c, w_c[:], sel_c[:]) +
+                    quad_segment_sum(occ_s, w_s[:], sel_s[:]))
+            ngal_scratch[:] = ngal
+            total_out[:] = jnp.sum(ngal, axis=-1)[:, None]
+
+        ngal_full = ngal_scratch[:]
+        total = jnp.sum(ngal_full, axis=-1)
+        f_arrays = [r[:] for r in stream_refs]
+
+        tb = ngal_full.shape[0]
+        n_sub = sub_tiles if tb % sub_tiles == 0 else 1
+        step = tb // n_sub
+        for k in range(n_sub):
+            rows = slice(k * step, (k + 1) * step)
+            ngal = ngal_full[rows]
+            t = _grouped_dots(ngal, f_arrays, groups, precision)
+            if auto:
+                xi = _auto_quadratic_cols(t, ngal, groups, cfg["pack"],
+                                          cfg["nb_sub"], cfg["slab_w"])
+                xi = xi / (total[rows] * total[rows])[:, None]
+            else:
+                cols, off = [], 0
+                for (_, count), w in zip(groups, widths):
+                    cols.append(t[:, off:off + count])
+                    off += w
+                xi = (cols[0] if len(cols) == 1
+                      else jnp.concatenate(cols, axis=-1))
+                xi = xi / total[rows][:, None]
+            xi_out[rows, :n_xi] = xi
+            if xi_pad > n_xi:
+                xi_out[rows, n_xi:] = jnp.zeros(
+                    (step, xi_pad - n_xi), jnp.float32)
+
+    def run_kernel(pmat, *consts):
+        local = pmat.shape[0]
+        stream_consts = consts[:n_stream]
+        fixed_consts = consts[n_stream:]
+        with backend.pallas_lowering():
+            return pl.pallas_call(
+                kernel,
+                grid=(local // batch_tile, n_nodes),
+                in_specs=[pl.BlockSpec((batch_tile, 128),
+                                       lambda i, j: (i, 0),
+                                       memory_space=pltpu.VMEM)] +
+                         [pl.BlockSpec((nb, w), lambda i, j: (0, j),
+                                       memory_space=pltpu.VMEM)
+                          for w in block_widths] +
+                         [pl.BlockSpec(a.shape,
+                                       lambda i, j, r=a.ndim: (0,) * r,
+                                       memory_space=pltpu.VMEM)
+                          for a in seg_arrays],
+                out_specs=(
+                    pl.BlockSpec((batch_tile, 1), lambda i, j: (i, 0),
+                                 memory_space=pltpu.VMEM),
+                    pl.BlockSpec((batch_tile, xi_pad), lambda i, j: (i, j),
+                                 memory_space=pltpu.VMEM)),
+                out_shape=(
+                    jax.ShapeDtypeStruct((local, 1), jnp.float32),
+                    jax.ShapeDtypeStruct((local, n_nodes * xi_pad),
+                                         jnp.float32)),
+                scratch_shapes=[pltpu.VMEM((batch_tile, nb), jnp.float32)],
+                interpret=interpret,
+                compiler_params=pltpu.CompilerParams(
+                    vmem_limit_bytes=100 * 1024 * 1024),
+            )(pmat, *stream_consts, *fixed_consts)
+
+    const_arrays = stream_arrays + seg_arrays
+    if mesh is not None:
+        from jax.sharding import PartitionSpec as P
+        n_dp = mesh.shape[batch_axis]
+        sharded_kernel = jax.shard_map(
+            run_kernel, mesh=mesh,
+            in_specs=(P(batch_axis),) + (P(),) * len(const_arrays),
+            out_specs=(P(batch_axis), P(batch_axis)),
+            check_vma=False)
+    else:
+        n_dp = 1
+        sharded_kernel = run_kernel
+
+    inv = np.asarray(cfg["row_inv_perm"])
+    unpermute = not np.array_equal(inv, np.arange(n_xi))
+
+    def predict_batch(params):
+        any_param = next(iter(params.values()))
+        batch = any_param.shape[0]
+        quantum = batch_tile * n_dp
+        padded = -(-batch // quantum) * quantum
+        pmat = jnp.stack(
+            [jnp.pad(jnp.asarray(params[k], jnp.float32),
+                     (0, padded - batch), constant_values=1.0)
+             for k in names], axis=1)
+        pmat = jnp.pad(pmat, ((0, 0), (0, 128 - n_names)))
+
+        total, xi = sharded_kernel(pmat, *const_arrays)
+        xi = xi[:batch].reshape(batch, n_nodes, xi_pad)[:, :, :n_xi]
+        if unpermute:
+            xi = xi[:, :, inv]
+        return total[:batch, 0], xi
+
+    return jax.jit(predict_batch)
+
+
+def _grid_common_passes(dense_nodes, error_model, tol=1e-6, margin=30.0):
+    """Common MXU pass classes across grid nodes (max per row position;
+    'scaled' budgets normalized to each node's own peak).  Returns
+    (groups, row_perm, row_inv_perm) with the shared permutation making
+    pass groups contiguous within every node's block."""
+    n_xi = dense_nodes.shape[1]
+    if error_model == "scaled":
+        passes = np.zeros(n_xi, np.int64)
+        for j in range(dense_nodes.shape[0]):
+            passes = np.maximum(
+                passes, _row_pass_classes(dense_nodes[j], tol / margin))
+    elif error_model == "elementwise":
+        passes = np.full(n_xi, 6, np.int64)
+    else:
+        raise ValueError(f"Unknown accuracy contract: {error_model!r}")
+    row_perm = np.argsort(-passes, kind="stable")
+    groups = tuple((p, int(np.sum(passes == p))) for p in (6, 3, 1)
+                   if np.any(passes == p))
+    return groups, row_perm, np.argsort(row_perm)
+
+
+def _make_grid_packed_predictor(table: TableData, n_nodes, occupation_cen,
+                                occupation_sat, param_names,
+                                batch_tile=GRID_TILE, interpret=False,
+                                precision="highest",
+                                accuracy="elementwise", mesh=None,
+                                batch_axis="dp", node_block=None,
+                                tol=1e-6, margin=30.0):
+    """Packed-layout streamed grid kernel (see make_fused_grid_predictor).
+
+    Auto mode contracts in packed symmetric storage: host-side the
+    (2 - delta_ij)-weighted upper triangle of each node's dense matrix
+    becomes one K = (nb^2+nb)/2 column per statistic row; in-kernel the
+    matching pair weights w_p = n_i n_j (i <= j, np.triu_indices order)
+    are expanded into VMEM scratch once per batch tile.  Cross mode
+    uses w := ngal directly (K = nb).  Each node step is then one MXU
+    dot per pass class, a row scale, and a store.
+    """
+    auto = table.mode == AUTO
+    nbr = table.n_bins
+    nb_pad = -(-nbr // 128) * 128
+    total_rows = table.tpcf_dense.shape[0]
+    if total_rows % n_nodes:
+        raise ValueError("Stacked row count must be divisible by n_nodes.")
+    n_xi = total_rows // n_nodes
+    dense = np.asarray(table.tpcf_dense, np.float32)
+    dense = dense.reshape((n_nodes, n_xi) + dense.shape[1:])
+    groups, row_perm, row_inv_perm = _grid_common_passes(
+        dense, accuracy, tol=tol, margin=margin)
+
+    if auto:
+        idx_i, idx_j = np.triu_indices(nbr)
+        npair = idx_i.shape[0]
+        k_pad = -(-npair // 128) * 128
+        prefac = np.where(idx_i == idx_j, 1.0, 2.0).astype(np.float32)
+        packed = dense[:, :, idx_i, idx_j] * prefac     # (nodes, n_xi, np)
+    else:
+        npair = nbr
+        k_pad = nb_pad
+        packed = dense                                  # (nodes, n_xi, nb)
+
+    # Node block: bigger blocks mean bigger MXU dots (measured on v5e at
+    # the 64-node 'default' shape: 8.6e5/s at 8 nodes, 1.43e6 at 32,
+    # 1.49e6 fully resident), so prefer the whole grid resident when its
+    # packed constants fit a generous VMEM share, else the largest
+    # divisor of n_nodes whose double-buffered step blocks do.
+    if node_block is None:
+        per_node = sum(k_pad * count * (4 if p == 6 else 4 if p == 3 else 2)
+                       for p, count in groups)
+        if n_nodes * per_node <= 26 * 2 ** 20:
+            node_block = n_nodes
+        else:
+            target = max(1, (13 * 2 ** 20) // max(per_node, 1))
+            node_block = max(d for d in range(1, n_nodes + 1)
+                             if n_nodes % d == 0 and d <= target)
+    if n_nodes % node_block:
+        raise ValueError("node_block must divide n_nodes.")
+    n_blocks = n_nodes // node_block
+
+    # Per class: one stacked array (k_pad, n_blocks * w_gb); within a
+    # block the columns are node-major (node jj's rows of that class at
+    # jj*count..(jj+1)*count) in the common row permutation.
+    stream_arrays, class_widths = [], []
+    row0 = 0
+    for p, count in groups:
+        w_gb = -(-(count * node_block) // 128) * 128
+        big = np.zeros((k_pad, n_blocks * w_gb), np.float32)
+        rows = row_perm[row0:row0 + count]
+        for b in range(n_blocks):
+            for jj in range(node_block):
+                node = b * node_block + jj
+                c0 = b * w_gb + jj * count
+                big[:npair, c0:c0 + count] = packed[node, rows].T
+        if p == 6:
+            stream_arrays.append(jnp.asarray(big))
+        elif p == 3:
+            hi = big.astype(jnp.bfloat16)
+            lo = (big - np.asarray(hi, np.float32)).astype(jnp.bfloat16)
+            stream_arrays += [jnp.asarray(hi), jnp.asarray(lo)]
+        else:
+            stream_arrays.append(jnp.asarray(big.astype(jnp.bfloat16)))
+        class_widths.append(w_gb)
+        row0 += count
+
+    nc = table.n_centrals
+    seg_c = _quad_segment_constants(table, 0, nc, nb_pad)
+    seg_s = _quad_segment_constants(table, nc, nbr, nb_pad)
+    seg_arrays = seg_c + seg_s
+    names = tuple(param_names)
+    n_names = len(names)
+    if n_names > 128:
+        raise ValueError("At most 128 parameters supported.")
+    n_stream = len(stream_arrays)
+    # Block width per streamed array (3-pass classes carry two arrays).
+    block_widths = []
+    for (p, _), w in zip(groups, class_widths):
+        block_widths += [w, w] if p == 3 else [w]
+    need_split = any(p in (3, 1) for p, _ in groups)
+    pair_offs = (np.concatenate([[0], np.cumsum(nbr - np.arange(nbr))])
+                 if auto else None)
+
+    def quad_segment_sum(occ, w_row, sel):
+        t = occ * w_row
+        t_hi = t.astype(jnp.bfloat16)
+        r1 = t - t_hi.astype(jnp.float32)
+        t_mid = r1.astype(jnp.bfloat16)
+        t_lo = (r1 - t_mid.astype(jnp.float32)).astype(jnp.bfloat16)
+        return (jnp.dot(t_hi, sel, preferred_element_type=jnp.float32) +
+                jnp.dot(t_mid, sel, preferred_element_type=jnp.float32) +
+                jnp.dot(t_lo, sel, preferred_element_type=jnp.float32))
+
+    def kernel(params_ref, *rest):
+        stream_refs = rest[:n_stream]
+        (logm_c, logmres_c, sec_c, w_c, sel_c,
+         logm_s, logmres_s, sec_s, w_s, sel_s) = rest[n_stream:
+                                                      n_stream + 10]
+        total_out = rest[n_stream + 10]
+        class_outs = rest[n_stream + 11:n_stream + 11 + len(groups)]
+        w_scr = rest[n_stream + 11 + len(groups)]
+        tot_scr = rest[n_stream + 12 + len(groups)]
+        j = pl.program_id(1)
+
+        @pl.when(j == 0)
+        def _():
+            p = params_ref[:]
+            params = {name: p[:, i:i + 1]
+                      for i, name in enumerate(names)}
+            occ_c = occupation_with_residual(
+                occupation_cen, params, logm_c[:], logmres_c[:], sec_c[:])
+            occ_s = occupation_with_residual(
+                occupation_sat, params, logm_s[:], logmres_s[:], sec_s[:])
+            ngal = (quad_segment_sum(occ_c, w_c[:], sel_c[:]) +
+                    quad_segment_sum(occ_s, w_s[:], sel_s[:]))
+            total = jnp.sum(ngal, axis=-1)
+            total_out[:] = total[:, None]
+            tot_scr[:, 0:1] = total[:, None]
+            if auto:
+                # Packed pair weights w_p = n_i n_j, (i, j >= i) in
+                # np.triu_indices order; the (2 - delta) prefactor lives
+                # in the streamed matrix.
+                for i in range(nbr):
+                    o = int(pair_offs[i])
+                    w_scr[:, o:o + nbr - i] = (ngal[:, i:i + 1] *
+                                               ngal[:, i:nbr])
+                if k_pad > npair:
+                    w_scr[:, npair:] = jnp.zeros(
+                        (ngal.shape[0], k_pad - npair), jnp.float32)
+            else:
+                w_scr[:] = ngal
+
+        w = w_scr[:]
+        total = tot_scr[:, 0]
+        denom = (total * total if auto else total)[:, None]
+        if need_split:
+            w_hi = w.astype(jnp.bfloat16)
+            w_lo = (w - w_hi.astype(jnp.float32)).astype(jnp.bfloat16)
+        at = 0
+        for ci, (p, count) in enumerate(groups):
+            if p == 6:
+                t = jnp.dot(w, stream_refs[at][:],
+                            preferred_element_type=jnp.float32,
+                            precision=jax.lax.Precision.HIGHEST)
+                at += 1
+            elif p == 3:
+                hi = stream_refs[at][:]
+                lo = stream_refs[at + 1][:]
+                at += 2
+                t = (jnp.dot(w_hi, hi,
+                             preferred_element_type=jnp.float32) +
+                     jnp.dot(w_hi, lo,
+                             preferred_element_type=jnp.float32) +
+                     jnp.dot(w_lo, hi,
+                             preferred_element_type=jnp.float32))
+            else:
+                t = jnp.dot(w_hi, stream_refs[at][:],
+                            preferred_element_type=jnp.float32)
+                at += 1
+            class_outs[ci][:] = t / denom
+
+    def run_kernel(pmat, *consts):
+        local = pmat.shape[0]
+        stream_consts = consts[:n_stream]
+        fixed_consts = consts[n_stream:]
+        with backend.pallas_lowering():
+            return pl.pallas_call(
+                kernel,
+                grid=(local // batch_tile, n_blocks),
+                in_specs=[pl.BlockSpec((batch_tile, 128),
+                                       lambda i, j: (i, 0),
+                                       memory_space=pltpu.VMEM)] +
+                         [pl.BlockSpec((k_pad, w), lambda i, j: (0, j),
+                                       memory_space=pltpu.VMEM)
+                          for w in block_widths] +
+                         [pl.BlockSpec(a.shape,
+                                       lambda i, j, r=a.ndim: (0,) * r,
+                                       memory_space=pltpu.VMEM)
+                          for a in seg_arrays],
+                out_specs=(
+                    pl.BlockSpec((batch_tile, 1), lambda i, j: (i, 0),
+                                 memory_space=pltpu.VMEM),) + tuple(
+                    pl.BlockSpec((batch_tile, w), lambda i, j: (i, j),
+                                 memory_space=pltpu.VMEM)
+                    for w in class_widths),
+                out_shape=(
+                    jax.ShapeDtypeStruct((local, 1), jnp.float32),) + tuple(
+                    jax.ShapeDtypeStruct((local, n_blocks * w),
+                                         jnp.float32)
+                    for w in class_widths),
+                scratch_shapes=[
+                    pltpu.VMEM((batch_tile, k_pad), jnp.float32),
+                    pltpu.VMEM((batch_tile, 128), jnp.float32)],
+                interpret=interpret,
+                compiler_params=pltpu.CompilerParams(
+                    vmem_limit_bytes=100 * 1024 * 1024),
+            )(pmat, *stream_consts, *fixed_consts)
+
+    const_arrays = tuple(stream_arrays) + seg_arrays
+    if mesh is not None:
+        from jax.sharding import PartitionSpec as P
+        n_dp = mesh.shape[batch_axis]
+        sharded_kernel = jax.shard_map(
+            run_kernel, mesh=mesh,
+            in_specs=(P(batch_axis),) + (P(),) * len(const_arrays),
+            out_specs=(P(batch_axis),) * (1 + len(groups)),
+            check_vma=False)
+    else:
+        n_dp = 1
+        sharded_kernel = run_kernel
+
+    inv = np.asarray(row_inv_perm)
+    unpermute = not np.array_equal(inv, np.arange(n_xi))
+
+    def predict_batch(params):
+        any_param = next(iter(params.values()))
+        batch = any_param.shape[0]
+        quantum = batch_tile * n_dp
+        padded = -(-batch // quantum) * quantum
+        pmat = jnp.stack(
+            [jnp.pad(jnp.asarray(params[k], jnp.float32),
+                     (0, padded - batch), constant_values=1.0)
+             for k in names], axis=1)
+        pmat = jnp.pad(pmat, ((0, 0), (0, 128 - n_names)))
+
+        out = sharded_kernel(pmat, *const_arrays)
+        total = out[0][:batch, 0]
+        parts = []
+        for ci, ((p, count), w_gb) in enumerate(zip(groups, class_widths)):
+            o = out[1 + ci][:batch].reshape(batch, n_blocks, w_gb)
+            o = o[:, :, :node_block * count]
+            parts.append(o.reshape(batch, n_nodes, count))
+        xi = parts[0] if len(parts) == 1 else jnp.concatenate(parts,
+                                                              axis=-1)
+        if unpermute:
+            xi = xi[:, :, inv]
+        return total, xi
 
     return jax.jit(predict_batch)

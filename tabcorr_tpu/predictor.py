@@ -236,21 +236,37 @@ def _interpolator_fused_predict_fn(interp, model, n_gauss, dtype,
         # Flagship route: the whole stacked grid — in-kernel occupation
         # quadrature AND every node's contraction — runs as ONE bundle
         # kernel per batch tile (no HBM occupation intermediate), then
-        # the grid spline reduces the per-node outputs.
-        from .ops.fused import make_fused_bundle_predictor
-        node_fn = make_fused_bundle_predictor(
-            [stacked], occ_cen, occ_sat,
-            tuple(model.param_dict.keys()),
-            accuracy=[accuracy], scale_block_rows=[n_xi],
-            mesh=mesh, batch_axis=batch_axis)
+        # the grid spline reduces the per-node outputs.  Grids whose
+        # stacked constants exceed the VMEM budget (the published
+        # 'default' 4x4x4 = 64-node wp/xi tables) run the node-STREAMED
+        # variant of the same kernel instead: one node slab resident at
+        # a time, double-buffered HBM->VMEM by the Pallas pipeline
+        # (ops.fused.make_fused_grid_predictor).
+        if _fused_constants_fit_vmem(interp, n_gauss):
+            from .ops.fused import make_fused_bundle_predictor
+            bundle_fn = make_fused_bundle_predictor(
+                [stacked], occ_cen, occ_sat,
+                tuple(model.param_dict.keys()),
+                accuracy=[accuracy], scale_block_rows=[n_xi],
+                mesh=mesh, batch_axis=batch_axis)
+
+            def node_fn(params):
+                [(total, xi_nodes)] = bundle_fn(params)
+                batch = xi_nodes.shape[0]
+                return total, xi_nodes.reshape(batch, n_nodes, n_xi)
+        else:
+            from .ops.fused import make_fused_grid_predictor
+            node_fn = make_fused_grid_predictor(
+                stacked, n_nodes, occ_cen, occ_sat,
+                tuple(model.param_dict.keys()), accuracy=accuracy,
+                mesh=mesh, batch_axis=batch_axis)
 
         @jax.jit
         def predict_batch(params):
             params = {k: jnp.asarray(v, dtype=dtype)
                       for k, v in params.items()}
             batch = next(iter(params.values())).shape[0]
-            [(total, xi_nodes)] = node_fn(params)
-            xi_nodes = xi_nodes.reshape(batch, n_nodes, n_xi)
+            total, xi_nodes = node_fn(params)
 
             def spline_one(p, xi_n):
                 return _spline_over_grid(p, keys, xp_dev, a_dev,
@@ -307,12 +323,14 @@ def _interpolator_fused_predict_fn(interp, model, n_gauss, dtype,
 def _fused_constants_fit_vmem(obj, n_gauss, budget_bytes=64 * 2 ** 20):
     """Conservative VMEM estimate for the fused engine's kernel constants.
 
-    The Pallas kernels keep every dense matrix (plus bf16 pass splits,
-    ~1.5x) resident in VMEM; a large Interpolator grid (e.g. the
+    The resident Pallas kernels keep every dense matrix (plus bf16 pass
+    splits, ~1.5x) in VMEM; a large Interpolator grid (e.g. the
     'default' config's 4x4x4 = 64 phase-space nodes) stacks n_nodes *
-    n_xi rows and can exceed the chip's ~128 MB.  engine='auto' falls
-    back to XLA beyond ``budget_bytes``; an explicit engine='fused' is
-    honored (and fails loudly in the Mosaic compiler if oversized).
+    n_xi rows and can exceed the chip's ~128 MB.  Beyond
+    ``budget_bytes`` the fused Interpolator path switches to the
+    node-streamed grid kernel (one node slab resident at a time —
+    ops.fused.make_fused_grid_predictor); plain-TabCorr engine='auto'
+    falls back to XLA.
     """
     if isinstance(obj, Interpolator):
         tables = [obj.tabcorr_list[int(i)]
@@ -391,9 +409,15 @@ def make_predictor(obj, model, n_gauss=10, dtype=jnp.float32,
                        (isinstance(obj, Interpolator) and
                         len(obj.unique_gal_type_index) == 1)))
     if engine == "auto":
+        # Interpolator grids are always fused-eligible on TPU: grids too
+        # large for the VMEM-resident bundle run the node-streamed
+        # kernel (see _interpolator_fused_predict_fn).  A single TabCorr
+        # exceeding the budget (no production table does) falls back to
+        # XLA.
         engine = ("fused" if fused_eligible and
                   jax.default_backend() == "tpu" and
-                  _fused_constants_fit_vmem(obj, n_gauss) else "xla")
+                  (isinstance(obj, Interpolator) or
+                   _fused_constants_fit_vmem(obj, n_gauss)) else "xla")
     if engine == "fused":
         if not fused_eligible:
             raise ValueError(

@@ -1,0 +1,218 @@
+"""Node-streamed Interpolator grid engine (ops.fused.make_fused_grid_predictor).
+
+The published 'default' database grids (4x4x4 = 64 phase-space nodes,
+reference: tabcorr/database.py:56-59) exceed the VMEM-resident bundle's
+budget; the streamed kernel runs them through the flagship path one node
+block at a time.  These tests check both layouts ('packed' symmetric
+contraction and the 'slab' fallback) against the float64 host path in
+interpret mode, the end-to-end Interpolator routing (including the
+auto-switch when the resident bundle would not fit), and dp-mesh
+sharding of the streamed kernel.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+import tabcorr_tpu as tt
+from tabcorr_tpu.io import ColumnTable
+from tabcorr_tpu.ops.fused import make_fused_grid_predictor
+from tabcorr_tpu.ops.predict import TableData
+from tabcorr_tpu.predictor import (make_predictor, occupation_functions,
+                                   params_batch)
+
+from test_bundle_shapes import synthetic_tabcorr
+
+
+def _grid_tabs(n_nodes, n_prim, n_sec, n_xi, mode, seed=42):
+    """n_nodes synthetic TabCorr objects sharing ONE halo binning, with
+    node-dependent matrices (what an Interpolator grid looks like)."""
+    tabs = []
+    for j in range(n_nodes):
+        t = synthetic_tabcorr(np.random.default_rng(seed), n_prim, n_sec,
+                              n_xi, mode)
+        r2 = np.random.default_rng(1000 * seed + j)
+        t.tpcf_matrix = t.tpcf_matrix * (
+            1.0 + 0.1 * r2.normal(size=t.tpcf_matrix.shape))
+        tabs.append(t)
+    return tabs
+
+
+def _stack(tabs, n_gauss=10):
+    tables = [t.table_data(n_gauss=n_gauss, dtype=jnp.float32)
+              for t in tabs]
+    base = tables[0]
+    n_nodes = len(tabs)
+    n_xi = base.tpcf_dense.shape[0]
+    return TableData(
+        tpcf_dense=jnp.concatenate([t.tpcf_dense for t in tables], axis=0),
+        n_h=base.n_h, log_prim_quad=base.log_prim_quad,
+        quad_weight=base.quad_weight, sec_perc=base.sec_perc,
+        mode=base.mode, tpcf_shape=(n_nodes * n_xi,),
+        n_centrals=base.n_centrals,
+        log_prim_quad_lo=base.log_prim_quad_lo)
+
+
+@pytest.mark.parametrize("mode", ["auto", "cross"])
+@pytest.mark.parametrize("accuracy", ["elementwise", "scaled"])
+@pytest.mark.parametrize("layout", ["packed", "slab"])
+def test_grid_stream_matches_host(mode, accuracy, layout):
+    if layout == "slab" and mode == "cross" and accuracy == "scaled":
+        pytest.skip("covered by the packed variant (same cross path)")
+    n_nodes, n_xi = 5, 7
+    tabs = _grid_tabs(n_nodes, 12, 2, n_xi, mode)
+    stacked = _stack(tabs)
+    model = tt.Zheng07Model(threshold=-20, redshift=0.0)
+    f = make_fused_grid_predictor(
+        stacked, n_nodes, *occupation_functions(model),
+        tuple(model.param_dict.keys()), batch_tile=8, interpret=True,
+        accuracy=accuracy, layout=layout, sub_tiles=4)
+    params = params_batch(
+        model, {"logM1": model.param_dict["logM1"] +
+                0.1 * np.random.default_rng(7).normal(size=8)},
+        (8,), dtype=jnp.float32)
+    total, xi = f(params)
+    assert xi.shape == (8, n_nodes, n_xi)
+    for i in [0, 5]:
+        m = tt.Zheng07Model(threshold=-20, redshift=0.0)
+        m.param_dict["logM1"] = float(params["logM1"][i])
+        for j in range(n_nodes):
+            ng_h, xi_h = tabs[j].predict(m, check_consistency=False)
+            assert np.isclose(float(total[i]), ng_h, rtol=1e-5)
+            got = np.asarray(xi[i, j], np.float64).ravel()
+            want = xi_h.ravel()
+            if accuracy == "scaled":
+                err = np.max(np.abs(got - want)) / np.max(np.abs(want))
+                assert err < 1e-6, (mode, layout, j, err)
+            else:
+                rel = np.max(np.abs(got / want - 1))
+                assert rel < 2e-5, (mode, layout, j, rel)
+
+
+def test_grid_stream_node_blocks_and_uneven_batch():
+    """node_block > 1 streams multi-node column blocks; a batch that is
+    not a tile multiple pads internally."""
+    n_nodes, n_xi = 6, 5
+    tabs = _grid_tabs(n_nodes, 10, 1, n_xi, "auto", seed=3)
+    stacked = _stack(tabs)
+    model = tt.Zheng07Model(threshold=-20, redshift=0.0)
+    outs = []
+    for nb in (1, 2, 3, 6):
+        f = make_fused_grid_predictor(
+            stacked, n_nodes, *occupation_functions(model),
+            tuple(model.param_dict.keys()), batch_tile=8, interpret=True,
+            accuracy="scaled", layout="packed", node_block=nb)
+        params = params_batch(
+            model, {"logM1": model.param_dict["logM1"] +
+                    0.1 * np.random.default_rng(5).normal(size=5)},
+            (5,), dtype=jnp.float32)
+        total, xi = f(params)
+        assert xi.shape == (5, n_nodes, n_xi)
+        outs.append((np.asarray(total), np.asarray(xi)))
+    for t, x in outs[1:]:
+        # Identical arithmetic per node regardless of the block split.
+        np.testing.assert_array_equal(t, outs[0][0])
+        np.testing.assert_array_equal(x, outs[0][1])
+    with pytest.raises(ValueError):
+        make_fused_grid_predictor(
+            stacked, n_nodes, *occupation_functions(model),
+            tuple(model.param_dict.keys()), interpret=True,
+            layout="packed", node_block=4)
+
+
+def _make_interpolator(n_nodes=4, n_xi=6, mode="auto"):
+    tabs = _grid_tabs(n_nodes, 10, 1, n_xi, mode, seed=9)
+    pt = ColumnTable()
+    pt["log_eta"] = np.linspace(-0.4, 0.4, n_nodes)
+    return tt.Interpolator(tabs, pt), tabs
+
+
+def test_interpolator_fused_streaming_route_matches_xla(monkeypatch):
+    """When the stacked constants exceed the VMEM budget, the fused
+    Interpolator path routes to the streamed kernel and matches the XLA
+    engine."""
+    import tabcorr_tpu.predictor as pred_mod
+
+    interp, _ = _make_interpolator()
+    model = tt.Zheng07Model(threshold=-20, redshift=0.0)
+    model.param_dict["log_eta"] = 0.0
+
+    # Force the streaming route regardless of actual size.
+    monkeypatch.setattr(pred_mod, "_fused_constants_fit_vmem",
+                        lambda *a, **k: False)
+    f_stream = make_predictor(interp, model, engine="fused",
+                              accuracy="scaled")
+    f_xla = make_predictor(interp, model, engine="xla",
+                           dtype=jnp.float32)
+    params = params_batch(
+        model, {"logM1": model.param_dict["logM1"] +
+                0.05 * np.random.default_rng(3).normal(size=6),
+                "log_eta": np.random.default_rng(4).uniform(-0.3, 0.3, 6)},
+        (6,), dtype=jnp.float32)
+    ng_s, xi_s = f_stream(params)
+    ng_x, xi_x = f_xla(params)
+    np.testing.assert_allclose(np.asarray(ng_s), np.asarray(ng_x),
+                               rtol=2e-5)
+    scale = float(np.max(np.abs(np.asarray(xi_x))))
+    assert np.max(np.abs(np.asarray(xi_s) - np.asarray(xi_x))) < 2e-5 * scale
+
+
+def test_interpolator_auto_engine_covers_oversized_grids(monkeypatch):
+    """engine='auto' on a TPU backend picks 'fused' for Interpolators
+    even when the resident bundle would not fit (the streamed kernel
+    takes over); a plain TabCorr that does not fit falls back to XLA."""
+    import tabcorr_tpu.predictor as pred_mod
+
+    interp, tabs = _make_interpolator()
+    model = tt.Zheng07Model(threshold=-20, redshift=0.0)
+    model.param_dict["log_eta"] = 0.0
+    monkeypatch.setattr(pred_mod.jax, "default_backend", lambda: "tpu")
+    monkeypatch.setattr(pred_mod, "_fused_constants_fit_vmem",
+                        lambda *a, **k: False)
+    captured = {}
+
+    def fake_interp_fused(*args, **kwargs):
+        captured["called"] = True
+        return lambda params: None
+
+    monkeypatch.setattr(pred_mod, "_interpolator_fused_predict_fn",
+                        fake_interp_fused)
+    make_predictor(interp, model, engine="auto")
+    assert captured.get("called")
+
+    # Plain TabCorr beyond the budget still routes to XLA under 'auto'.
+    f = make_predictor(tabs[0], model, engine="auto")
+    assert f is not None  # xla path built without touching Pallas
+
+
+def test_grid_stream_dp_mesh_sharding():
+    """The streamed kernel shard_maps over a dp mesh with identical
+    numerics to the unsharded run."""
+    from jax.sharding import Mesh
+
+    n_nodes, n_xi = 4, 5
+    tabs = _grid_tabs(n_nodes, 10, 1, n_xi, "auto", seed=11)
+    stacked = _stack(tabs)
+    model = tt.Zheng07Model(threshold=-20, redshift=0.0)
+    mesh = Mesh(np.array(jax.devices()[:4]), ("dp",))
+    f_mesh = make_fused_grid_predictor(
+        stacked, n_nodes, *occupation_functions(model),
+        tuple(model.param_dict.keys()), batch_tile=4, interpret=True,
+        accuracy="scaled", layout="packed", mesh=mesh)
+    f_plain = make_fused_grid_predictor(
+        stacked, n_nodes, *occupation_functions(model),
+        tuple(model.param_dict.keys()), batch_tile=4, interpret=True,
+        accuracy="scaled", layout="packed")
+    params = params_batch(
+        model, {"logM1": model.param_dict["logM1"] +
+                0.1 * np.random.default_rng(2).normal(size=16)},
+        (16,), dtype=jnp.float32)
+    t_m, x_m = f_mesh(params)
+    t_p, x_p = f_plain(params)
+    # Same per-row arithmetic; CPU interpret mode may vary reduction
+    # order across the shard boundary by an ulp.
+    np.testing.assert_allclose(np.asarray(t_m), np.asarray(t_p),
+                               rtol=1e-6)
+    np.testing.assert_allclose(np.asarray(x_m), np.asarray(x_p),
+                               rtol=1e-5, atol=1e-12)

@@ -322,3 +322,59 @@ def test_tinker13_occupations_match_halotools():
         want = sats_ref.mean_occupation(prim_haloprop=prim)
         got = mod.mean_occupation_satellites(prim_haloprop=prim)
         np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-12)
+
+
+def test_param_dict_defaults_match_halotools_key_by_key():
+    """Defaults parity, not just functional-form parity: every parameter
+    the repo's SHMR/CLF/quiescent-split families seed must equal
+    halotools' prebuilt defaults key by key (halotools seeds tinker13
+    and cacciato09 from its own Leauthaud11/WMAP3 constants; the repo
+    documents that seeding and must track it exactly)."""
+    from halotools.empirical_models import (
+        Cacciato09Cens, Cacciato09Sats, Leauthaud11Cens, Leauthaud11Sats,
+        Tinker13ActiveSats, Tinker13Cens, Tinker13QuiescentSats,
+        ZuMandelbaum15Cens, ZuMandelbaum15Sats)
+
+    def merged(*components):
+        ref = {}
+        for comp in components:
+            ref.update(comp.param_dict)
+        return ref
+
+    cases = {
+        "leauthaud11": (
+            tt.Leauthaud11Model(threshold=10.5, redshift=0.0).param_dict,
+            merged(Leauthaud11Cens(threshold=10.5, redshift=0.0),
+                   Leauthaud11Sats(threshold=10.5, redshift=0.0))),
+        "zu_mandelbaum15": (
+            tt.ZuMandelbaum15Model(threshold=10.5).param_dict,
+            merged(ZuMandelbaum15Cens(threshold=10.5),
+                   ZuMandelbaum15Sats(threshold=10.5))),
+        "cacciato09": (
+            tt.Cacciato09Model(threshold=9.8).param_dict,
+            merged(Cacciato09Cens(threshold=9.8),
+                   Cacciato09Sats(threshold=9.8))),
+    }
+
+    # Tinker13: the central component carries the per-population
+    # ('_active'/'_quiescent') suffixed SMHM keys; each satellite
+    # component's keys gain its population suffix if halotools has not
+    # already applied one.
+    ref_t13 = dict(Tinker13Cens(threshold=10.5, redshift=0.0).param_dict)
+    for sats, sfr in ((Tinker13QuiescentSats(threshold=10.5,
+                                             redshift=0.0), "quiescent"),
+                      (Tinker13ActiveSats(threshold=10.5,
+                                          redshift=0.0), "active")):
+        for key, value in sats.param_dict.items():
+            ref_t13[key if key.endswith(sfr) else f"{key}_{sfr}"] = value
+    cases["tinker13"] = (
+        tt.Tinker13Model(threshold=10.5, redshift=0.0).param_dict,
+        ref_t13)
+
+    for family, (ours, ref) in cases.items():
+        missing = sorted(set(ours) - set(ref))
+        assert not missing, (family, missing)
+        for key, value in ours.items():
+            np.testing.assert_allclose(
+                float(value), float(ref[key]), rtol=1e-12,
+                err_msg=f"{family}:{key}")
