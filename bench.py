@@ -245,7 +245,13 @@ def main():
         from tabcorr_tpu.mcmc import (ensemble_step,
                                       make_gaussian_logpost_batched)
         from tabcorr_tpu.predictor import make_multi_predictor
-        n_walkers = 65536
+        # Headline-scale ensemble: each stretch-move step runs TWO
+        # half-ensemble posterior launches, so walker-steps/s tracks the
+        # predict rate at batch n_walkers/2 (a fixed ~1 ms per-launch
+        # cost makes smaller batches proportionally slower — see
+        # docs/performance.md's batch-size table); the bookkeeping
+        # itself measures <2%.
+        n_walkers = 262144
         names = tuple(model.param_dict.keys())
         f_bundle = make_multi_predictor(
             [wp_tab, xi_tab], model, engine="bundle",

@@ -29,6 +29,8 @@ def main():
     ap.add_argument("--warmup", type=int, default=3)
     ap.add_argument("--cpu", action="store_true",
                     help="pin the host CPU backend")
+    ap.add_argument("--families", default=None,
+                    help="comma-separated family subset (default: all)")
     ap.add_argument("--engines", default="bundle,fused,xla",
                     help="comma-separated engine subset (the Pallas "
                          "engines run in interpret mode on CPU hosts, "
@@ -40,6 +42,10 @@ def main():
     import jax
     if args.cpu:
         jax.config.update("jax_platforms", "cpu")
+    # Persistent compilation cache: at production batch a full sweep is
+    # ~18 kernel compiles; reruns then measure, not compile.
+    jax.config.update("jax_compilation_cache_dir", "/tmp/tabcorr_jax_cache")
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
     import jax.numpy as jnp
     import numpy as np
 
@@ -57,8 +63,9 @@ def main():
         ("zu_mandelbaum15",
          tt.ZuMandelbaum15Model(threshold=10.5,
                                 prim_haloprop_key="halo_mvir")),
-        # CLF: no Mosaic lowering for igammac -> xla engine only (the
-        # bundle/fused attempts are skipped by the ValueError guard).
+        # CLF: bundle-eligible since the Mosaic-safe incomplete-gamma /
+        # arctan hybrids (utils.special / utils.backend) replaced
+        # igammac and atan under pallas_lowering.
         ("cacciato09",
          tt.Cacciato09Model(threshold=9.5, redshift=z,
                             prim_haloprop_key="halo_mvir")),
@@ -67,6 +74,9 @@ def main():
         ("tinker13", tt.Tinker13Model(threshold=10.5, redshift=z)),
     ]
     platform = jax.default_backend()
+    if args.families:
+        keep = set(args.families.split(","))
+        families = [f for f in families if f[0] in keep]
 
     for name, model in families:
         for engine in engines:

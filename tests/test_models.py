@@ -953,25 +953,92 @@ def test_cacciato09_vectorized_predictor_matches_host(wp_tabcorr):
     assert float(ngal[1]) != float(ngal[0])
 
 
-def test_cacciato09_engine_gating(wp_tabcorr):
-    # The incomplete gamma cannot lower in Mosaic: the model declares
-    # supports_fused_engine=False, so explicit fused/bundle requests
-    # raise and engine='auto' composes the XLA predictor.
+def test_cacciato09_through_bundle_engine(wp_tabcorr):
+    # Under pallas_lowering the incomplete gamma swaps to the branchless
+    # Temme-series / continued-fraction hybrid and arctan to its odd
+    # polynomial, making the CLF family bundle-eligible; the traced
+    # kernel occupation must be gather-free and the interpret-mode
+    # bundle must match the XLA engine at the family's float32 contract
+    # (looser than zheng07's in the satellite cutoff region — see
+    # test_cacciato09_float32_device_path_accuracy).
+    import jax
     import jax.numpy as jnp
-    from tabcorr_tpu.predictor import make_multi_predictor
+    from tabcorr_tpu.predictor import (make_multi_predictor,
+                                       occupation_functions, params_batch)
+    from tabcorr_tpu.utils.backend import pallas_lowering
+
     model = tt.Cacciato09Model(threshold=9.5,
                                prim_haloprop_key="halo_mvir")
-    assert not model.supports_fused_engine
-    with pytest.raises(ValueError, match="supports_fused_engine"):
-        wp_tabcorr.make_predictor(model, vectorized=True, engine="fused",
-                                  dtype=jnp.float32)
-    with pytest.raises(ValueError, match="supports_fused_engine"):
-        make_multi_predictor([wp_tabcorr], model, engine="bundle")
-    pred = wp_tabcorr.make_predictor(model, vectorized=True,
-                                     engine="auto", dtype=jnp.float64)
-    batch = {k: np.full(2, v) for k, v in model.param_dict.items()}
-    ngal, _ = pred(batch)
-    assert np.all(np.asarray(ngal) > 0)
+    assert model.supports_fused_engine
+
+    occ_c, occ_s = occupation_functions(model)
+    logm = jnp.linspace(11.0, 15.0, 32, dtype=jnp.float32)
+    sec = jnp.full_like(logm, 0.5)
+    p32 = {k: jnp.asarray(v, dtype=jnp.float32)
+           for k, v in model.param_dict.items()}
+    with pallas_lowering():
+        jaxpr = jax.make_jaxpr(lambda p: occ_s(p, logm, sec))(p32)
+    prims = {eqn.primitive.name for eqn in jaxpr.eqns}
+    for banned in ("gather", "dynamic_slice", "igammac", "atan", "expm1"):
+        assert banned not in prims, (banned, sorted(prims))
+
+    f_b = make_multi_predictor([wp_tabcorr], model, engine="bundle",
+                               batch_tile=8)
+    f_x = make_multi_predictor([wp_tabcorr], model, engine="xla")
+    params = params_batch(
+        model, {"log_M_1": model.param_dict["log_M_1"] +
+                0.1 * np.random.default_rng(0).normal(size=8)},
+        (8,), dtype=jnp.float32)
+    [(ng_b, xi_b)] = f_b(params)
+    [(ng_x, xi_x)] = f_x(params)
+    np.testing.assert_allclose(np.asarray(ng_b), np.asarray(ng_x),
+                               rtol=5e-4)
+    np.testing.assert_allclose(
+        np.asarray(xi_b), np.asarray(xi_x), rtol=5e-4,
+        atol=1e-5 * float(np.max(np.abs(np.asarray(xi_x)))))
+
+
+def test_lowerable_gamma_matches_mpmath():
+    # The Mosaic-safe hybrid vs mpmath over the full (a, x) domain the
+    # CLF family reaches (VERDICT r3 #5): float64 < 1e-7 relative,
+    # float32 < 1e-5, and d/da through the truncated arithmetic agrees
+    # with high-precision finite differences.
+    import jax
+    import jax.numpy as jnp
+    from tabcorr_tpu.utils.special import _gamma_upper_lowerable
+    mpmath = pytest.importorskip("mpmath")
+
+    rng = np.random.default_rng(0)
+    aa = np.concatenate([rng.uniform(3e-3, 3.0, 40),
+                         [3e-3, 0.5, 1.0, 1.00001, 2.0, 2.00001, 3.0]])
+    xx = np.concatenate([10.0 ** rng.uniform(-25, 2.0, 40),
+                         [1e-35, 0.5, 1.0, 3.9, 50.0]])
+    for dtype, tol, floor in ((jnp.float64, 1e-7, 1e-280),
+                              (jnp.float32, 1e-5, 1e-30)):
+        a_g, x_g = np.meshgrid(aa, xx)
+        got = np.asarray(_gamma_upper_lowerable(
+            jnp.asarray(a_g.ravel(), dtype),
+            jnp.asarray(x_g.ravel(), dtype), jnp), np.float64)
+        worst = 0.0
+        for g, a, x in zip(got, a_g.ravel(), x_g.ravel()):
+            want = float(mpmath.gammainc(float(np.asarray(a, dtype)),
+                                         float(np.asarray(x, dtype)),
+                                         mpmath.inf))
+            if abs(want) < floor or not np.isfinite(want):
+                continue
+            worst = max(worst, abs(g - want) / abs(want))
+        assert worst < tol, (dtype, worst)
+
+    # d/da: grad through the fixed-iteration arithmetic vs mpmath
+    # central differences (the truncations are converged, so their
+    # derivative is too).
+    for a0, x0 in [(0.3, 0.7), (0.8, 2.5), (1.7, 0.9), (0.05, 5.0)]:
+        g = float(jax.grad(lambda a: _gamma_upper_lowerable(
+            a, jnp.float64(x0), jnp))(jnp.float64(a0)))
+        eps = 1e-6
+        fd = float((mpmath.gammainc(a0 + eps, x0, mpmath.inf) -
+                    mpmath.gammainc(a0 - eps, x0, mpmath.inf)) / (2 * eps))
+        np.testing.assert_allclose(g, fd, rtol=1e-5, err_msg=(a0, x0))
 
 
 def test_cacciato09_through_interpolator(ds_interpolator):
