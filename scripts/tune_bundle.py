@@ -47,6 +47,11 @@ def main(argv=None):
     parser.add_argument("--tiles", type=int, nargs="+", default=[512])
     parser.add_argument("--sub-tiles", type=int, nargs="+",
                         default=[1, 2, 4])
+    parser.add_argument("--pipeline", type=int, nargs="+",
+                        default=[0, 1],
+                        help="cross-tile software pipeline on/off")
+    parser.add_argument("--fuse", type=int, nargs="+", default=[0, 1],
+                        help="fuse_occupation values to sweep")
     parser.add_argument("--quick", action="store_true",
                         help="tiny CPU interpret-mode smoke sweep")
     args = parser.parse_args(argv)
@@ -85,12 +90,13 @@ def main(argv=None):
                       "accuracy": list(accuracy)}), flush=True)
     results = []
     ref = None
-    for fuse, sub, tile in itertools.product(
-            (False, True), args.sub_tiles, args.tiles):
+    for fuse, sub, tile, pipe in itertools.product(
+            [bool(v) for v in args.fuse], args.sub_tiles, args.tiles,
+            [bool(v) for v in args.pipeline]):
         f = make_fused_bundle_predictor(
             tables, occ_c, occ_s, names, accuracy=accuracy,
             batch_tile=tile, fuse_occupation=fuse, sub_tiles=sub,
-            interpret="auto")
+            pipeline=pipe, interpret="auto")
         out = f(params)
         jax.block_until_ready(out)
         # The knobs must not change results: guard against regressions.
@@ -109,13 +115,15 @@ def main(argv=None):
             rates.append(args.batch * args.iters /
                          (time.perf_counter() - t0))
         rate = float(np.median(rates))
-        results.append(((fuse, sub, tile), rate))
+        results.append(((fuse, sub, tile, pipe), rate))
         print(json.dumps({"fuse_occupation": fuse, "sub_tiles": sub,
-                          "batch_tile": tile, "rate": rate}), flush=True)
+                          "batch_tile": tile, "pipeline": pipe,
+                          "rate": rate}), flush=True)
 
-    (fuse, sub, tile), rate = max(results, key=lambda x: x[1])
+    (fuse, sub, tile, pipe), rate = max(results, key=lambda x: x[1])
     print(json.dumps({"best": {"fuse_occupation": fuse, "sub_tiles": sub,
-                               "batch_tile": tile, "rate": rate}}))
+                               "batch_tile": tile, "pipeline": pipe,
+                               "rate": rate}}))
 
 
 if __name__ == "__main__":

@@ -477,7 +477,8 @@ def make_fused_bundle_predictor(tables, occupation_cen, occupation_sat,
                                 interpret="auto", precision="highest",
                                 accuracy=None, mesh=None, batch_axis="dp",
                                 scale_block_rows=None, pack_slabs=True,
-                                sub_tiles=4, fuse_occupation=False):
+                                sub_tiles=1, fuse_occupation=True,
+                                pipeline=True):
     """One-kernel multi-statistic predictor (the flagship hot path).
 
     Parameters
@@ -516,9 +517,13 @@ def make_fused_bundle_predictor(tables, occupation_cen, occupation_sat,
         block's occupation (VPU) against the previous block's dense
         contractions (MXU) so the two hardware queues overlap (see the
         kernel comment).  Must divide ``batch_tile`` (silently falls
-        back to 1 otherwise).  Default 4 — measured ~30% faster than 1
-        on v5e at the production bundle shape (autotuned via
-        scripts/tune_bundle.py; sub_tiles=8 ties, 2 sits halfway).
+        back to 1 otherwise).  Default 1: with the cross-tile
+        ``pipeline`` (below) the queues already overlap across tiles
+        and finer intra-tile staggering no longer pays (v5e autotune
+        via scripts/tune_bundle.py: pipelined sub_tiles=1 1.29e7/s vs
+        sub_tiles=4 1.24e7/s; UNpipelined the ordering flips and
+        sub_tiles=4 is ~30% faster than 1 — set 4 if you disable the
+        pipeline).
     fuse_occupation : bool, optional
         Evaluate every table's occupation quadrature in ONE VPU pass per
         galaxy type: the tables' (already 128-lane-aligned) node rows are
@@ -528,7 +533,26 @@ def make_fused_bundle_predictor(tables, occupation_cen, occupation_sat,
         the vector-unit instruction count.  The per-table segment-sum
         matmuls then read lane-aligned slices of the shared expansion.
         Bit-identical results to the unfused path (the same node values
-        flow through the same arithmetic).  Default False.
+        flow through the same arithmetic).  Default True: under the
+        cross-tile pipeline the combined occupation pass lengthens the
+        VPU stretch the MXU hides behind, measured +4.6% on v5e
+        (1.287e7 vs 1.230e7/s; without the pipeline it was a wash —
+        the autotune table in docs/performance.md has the full sweep).
+    pipeline : bool, optional
+        Software-pipeline the kernel ACROSS batch tiles: each tile's
+        per-bin densities are parked in a ping-pong VMEM scratch and its
+        dense contractions + epilogues run during the NEXT grid step,
+        interleaved sub-block by sub-block with that step's occupation
+        quadrature.  The per-tile exposed prologue (the first block's
+        occupation with an idle MXU) and tail (the last block's
+        contraction + epilogue with an idle VPU) disappear — the two
+        hardware queues stay fed across tile boundaries, and the only
+        non-overlapped work is one tile's occupation at kernel start and
+        one tile's contraction at kernel end, amortized over the whole
+        batch.  Bit-identical results to the unpipelined kernel (the
+        same arithmetic in a different issue order).  Default True;
+        ``False`` keeps the single-step kernel (the ablation baseline —
+        measured numbers in docs/performance.md).
 
     Returns
     -------
@@ -603,10 +627,13 @@ def make_fused_bundle_predictor(tables, occupation_cen, occupation_sat,
                 jnp.dot(t_mid, sel, preferred_element_type=jnp.float32) +
                 jnp.dot(t_lo, sel, preferred_element_type=jnp.float32))
 
+    n_outs = 2 * len(configs)
+
     def kernel(params_ref, *rest):
         n_const = len(const_arrays)
         crefs = rest[:n_const]
-        outs = rest[n_const:]
+        outs = rest[n_const:n_const + n_outs]
+        scrs = rest[n_const + n_outs:]
         p = params_ref[:]
 
         # The VPU and MXU execute from independent hardware queues in
@@ -704,19 +731,11 @@ def make_fused_bundle_predictor(tables, occupation_cen, occupation_sat,
         n_sub = sub_tiles if tb % sub_tiles == 0 else 1
         step = tb // n_sub
         blocks = [slice(k * step, (k + 1) * step) for k in range(n_sub)]
-        ngals_k, ts_k = [], []
-        for k, rows in enumerate(blocks):
-            if k > 0:
-                ts_k.append(dots_phase(ngals_k[k - 1]))
-            ngals_k.append(occ_phase(rows))
-        ts_k.append(dots_phase(ngals_k[-1]))
 
-        # Epilogues (VPU) last: each waits only on its own dots, which
-        # have drained by the time the vector queue reaches them.
-        for k, rows in enumerate(blocks):
+        def epilogue(rows, ngals, ts):
             for j, cfg in enumerate(configs):
-                ngal, total = ngals_k[k][j]
-                t = ts_k[k][j]
+                ngal, total = ngals[j]
+                t = ts[j]
                 outs[2 * j][rows] = total[:, None]
                 if cfg["auto"]:
                     xi = _auto_quadratic_cols(t, ngal, cfg["groups"],
@@ -726,16 +745,84 @@ def make_fused_bundle_predictor(tables, occupation_cen, occupation_sat,
                 else:
                     outs[2 * j + 1][rows] = t / total[:, None]
 
+        if not pipeline:
+            ngals_k, ts_k = [], []
+            for k, rows in enumerate(blocks):
+                if k > 0:
+                    ts_k.append(dots_phase(ngals_k[k - 1]))
+                ngals_k.append(occ_phase(rows))
+            ts_k.append(dots_phase(ngals_k[-1]))
+
+            # Epilogues (VPU) last: each waits only on its own dots,
+            # which have drained by the time the vector queue reaches
+            # them.
+            for k, rows in enumerate(blocks):
+                epilogue(rows, ngals_k[k], ts_k[k])
+            return
+
+        # Cross-tile software pipeline.  Grid step i runs tile i-1's
+        # dense contractions (reading its densities from the ping-pong
+        # VMEM scratch) interleaved sub-block by sub-block with tile i's
+        # occupation quadrature, and tile i-1's epilogues lag one block
+        # behind their contractions so the vector queue never stalls on
+        # an in-flight MXU dot.  Output windows address tile i-1
+        # (out index max(i-1, 0)); step 0's contraction of uninitialized
+        # scratch writes garbage that step 1 fully overwrites before the
+        # window flushes, and the extra step at i = n_tiles recomputes
+        # the last tile's occupation into a never-read slot — both cost
+        # one tile of work per KERNEL, amortized over the whole batch,
+        # in exchange for removing the per-tile exposed prologue +
+        # epilogue of the unpipelined issue order.
+        i = pl.program_id(0)
+        cur = (i % 2) * tb
+        prv = tb - cur
+
+        def read_prev(k):
+            ngals = []
+            for j in range(len(configs)):
+                ngal = scrs[j][pl.dslice(prv + k * step, step), :]
+                ngals.append((ngal, jnp.sum(ngal, axis=-1)))
+            return ngals
+
+        def write_cur(k, ngals):
+            for j in range(len(configs)):
+                scrs[j][pl.dslice(cur + k * step, step), :] = ngals[j][0]
+
+        pend = None
+        for k, rows in enumerate(blocks):
+            ngals_prev = read_prev(k)
+            ts = dots_phase(ngals_prev)
+            write_cur(k, occ_phase(rows))
+            if pend is not None:
+                epilogue(blocks[pend[0]], pend[1], pend[2])
+            pend = (k, ngals_prev, ts)
+        epilogue(blocks[pend[0]], pend[1], pend[2])
+
     def run_kernel(pmat, *consts):
         # One pallas_call over the (local) batch; the grid follows the
         # operand shape so the same callable serves the single-device
-        # path and each shard_map shard.
+        # path and each shard_map shard.  The pipelined kernel runs one
+        # extra grid step (tile i's contractions happen at step i+1) and
+        # clamps the in/out window indices at the boundaries — the
+        # out-of-range steps' redundant work is documented in the kernel.
         local = pmat.shape[0]
+        nt = local // batch_tile
+        if pipeline:
+            grid = (nt + 1,)
+            in_idx = lambda i: (jnp.minimum(i, nt - 1), 0)
+            out_idx = lambda i: (jnp.maximum(i - 1, 0), 0)
+            scratch_shapes = [pltpu.VMEM((2 * batch_tile, c["nb"]),
+                                         jnp.float32) for c in configs]
+        else:
+            grid = (nt,)
+            in_idx = lambda i: (i, 0)
+            out_idx = lambda i: (i, 0)
+            scratch_shapes = []
         with backend.pallas_lowering():
             return pl.pallas_call(
                 kernel,
-                grid=(local // batch_tile,),
-                in_specs=[pl.BlockSpec((batch_tile, 128), lambda i: (i, 0),
+                grid=grid,
+                in_specs=[pl.BlockSpec((batch_tile, 128), in_idx,
                                        memory_space=pltpu.VMEM)] +
                          [pl.BlockSpec(
                              a.shape,
@@ -743,12 +830,13 @@ def make_fused_bundle_predictor(tables, occupation_cen, occupation_sat,
                              memory_space=pltpu.VMEM)
                           for a in const_arrays],
                 out_specs=tuple(
-                    pl.BlockSpec((batch_tile, w), lambda i: (i, 0),
+                    pl.BlockSpec((batch_tile, w), out_idx,
                                  memory_space=pltpu.VMEM)
                     for c in configs for w in (1, c["n_xi"])),
                 out_shape=tuple(
                     jax.ShapeDtypeStruct((local, w), jnp.float32)
                     for c in configs for w in (1, c["n_xi"])),
+                scratch_shapes=scratch_shapes,
                 interpret=interpret,
                 compiler_params=pltpu.CompilerParams(
                     vmem_limit_bytes=100 * 1024 * 1024),

@@ -456,7 +456,7 @@ def make_predictor(obj, model, n_gauss=10, dtype=jnp.float32,
 def make_multi_predictor(objs, model, n_gauss=10, dtype=jnp.float32,
                          jit=True, engine="auto", accuracy=None,
                          batch_tile=None, mesh=None, batch_axis="dp",
-                         interpret="auto", fuse_occupation=False):
+                         interpret="auto", fuse_occupation=True):
     """Joint predictor over several tabulations (e.g. wp + xi_0/2/4 + ds).
 
     Returns ``f(params dict of (B,)) -> list of (ngal, xi)`` evaluating all

@@ -173,6 +173,54 @@ def test_bundle_sub_tile_staggering_bit_identical(wp_tabcorr, bol_model):
         np.testing.assert_array_equal(np.asarray(xi), np.asarray(xi1))
 
 
+def test_bundle_cross_tile_pipeline_bit_identical(wp_tabcorr, ds_tabcorr,
+                                                  bol_model):
+    # pipeline=True software-pipelines the kernel ACROSS batch tiles
+    # (tile i's contractions run during grid step i+1 against tile
+    # i+1's occupation quadrature, densities parked in a ping-pong VMEM
+    # scratch).  Same arithmetic in a different issue order: outputs
+    # must be bit-identical to the single-step kernel, including the
+    # single-tile edge case (one real step + one boundary-clamped step)
+    # and the interplay with sub_tiles / fuse_occupation.
+    from tabcorr_tpu.ops.fused import make_fused_bundle_predictor
+
+    tables = [wp_tabcorr.table_data(dtype=jnp.float32),
+              ds_tabcorr.table_data(dtype=jnp.float32)]
+    occ_c, occ_s = occupation_functions(bol_model)
+    names = tuple(bol_model.param_dict)
+    params = params_batch(
+        bol_model, {"logM1": bol_model.param_dict["logM1"] +
+                    np.linspace(-0.2, 0.2, 48)}, (48,))
+    kw = dict(batch_tile=16, interpret=True,
+              accuracy=["elementwise", "scaled"])
+    for fuse in (False, True):
+        for sub in (1, 2):
+            ref = make_fused_bundle_predictor(
+                [*tables], occ_c, occ_s, names, pipeline=False,
+                fuse_occupation=fuse, sub_tiles=sub, **kw)(params)
+            got = make_fused_bundle_predictor(
+                [*tables], occ_c, occ_s, names, pipeline=True,
+                fuse_occupation=fuse, sub_tiles=sub, **kw)(params)
+            for (ng_r, xi_r), (ng_g, xi_g) in zip(ref, got):
+                np.testing.assert_array_equal(np.asarray(ng_g),
+                                              np.asarray(ng_r))
+                np.testing.assert_array_equal(np.asarray(xi_g),
+                                              np.asarray(xi_r))
+    # Single-tile batch: the pipelined grid is (2,) with both the input
+    # window clamp (step 1 re-reads tile 0) and the output window clamp
+    # (step 0 writes garbage that step 1 overwrites) active at once.
+    params1 = params_batch(
+        bol_model, {"logM1": bol_model.param_dict["logM1"] +
+                    np.linspace(-0.1, 0.1, 16)}, (16,))
+    ref = make_fused_bundle_predictor(
+        [*tables], occ_c, occ_s, names, pipeline=False, **kw)(params1)
+    got = make_fused_bundle_predictor(
+        [*tables], occ_c, occ_s, names, pipeline=True, **kw)(params1)
+    for (ng_r, xi_r), (ng_g, xi_g) in zip(ref, got):
+        np.testing.assert_array_equal(np.asarray(ng_g), np.asarray(ng_r))
+        np.testing.assert_array_equal(np.asarray(xi_g), np.asarray(xi_r))
+
+
 def test_bundle_fused_occupation_bit_identical(wp_tabcorr, ds_tabcorr,
                                                bol_model):
     # fuse_occupation concatenates the tables' (128-aligned) node rows so
