@@ -55,6 +55,14 @@ timeout 1200 python scripts/bench_sweep.py --strategy matmul || true
 echo "== 2c. per-family engine bench =="
 timeout 1800 python scripts/bench_models.py || true
 
+echo "== 2d. streamed-grid engine bench (64-node published shape) =="
+# Also the on-chip numerics gate for the folded grid spline: interpret
+# mode runs XLA CPU dots at full f32 and cannot catch TPU-default bf16
+# matmul truncation (measured 1.7e-3 scaled error before the HIGHEST
+# fix on the nw @ E dot) — check scaled_err_streamed < 1e-6 here.
+timeout 1800 python scripts/bench_grid.py --json || true
+timeout 1800 python scripts/bench_grid_resident.py || true
+
 if [ "${1:-}" != "quick" ]; then
     echo "== 3. slow golden suite on the real chip =="
     TABCORR_TEST_ACCELERATOR=1 timeout 3600 \

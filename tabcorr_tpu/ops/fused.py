@@ -997,7 +997,7 @@ def make_fused_grid_predictor(table: TableData, n_nodes, occupation_cen,
                               precision="highest", accuracy="elementwise",
                               mesh=None, batch_axis="dp", sub_tiles=8,
                               pack_slabs=True, layout="auto",
-                              node_block=None):
+                              node_block=None, fold_spline=False):
     """Node-streamed bundle predictor for stacked Interpolator grids.
 
     The one-kernel bundle keeps every dense matrix resident in VMEM,
@@ -1053,18 +1053,19 @@ def make_fused_grid_predictor(table: TableData, n_nodes, occupation_cen,
             platform = jax.default_backend()
         interpret = platform != "tpu"
     if layout == "auto":
-        nbr = table.n_bins
-        npair_pad = -(-(nbr * (nbr + 1) // 2) // 128) * 128
-        layout = ("packed" if table.mode != AUTO or npair_pad <= 8192
-                  else "slab")
+        layout = grid_layout_for(table)
     if layout == "packed":
         return _make_grid_packed_predictor(
             table, n_nodes, occupation_cen, occupation_sat, param_names,
             batch_tile=batch_tile, interpret=interpret,
             precision=precision, accuracy=accuracy, mesh=mesh,
-            batch_axis=batch_axis, node_block=node_block)
+            batch_axis=batch_axis, node_block=node_block,
+            fold_spline=fold_spline)
     if layout != "slab":
         raise ValueError(f"Unknown layout: {layout!r}")
+    if fold_spline:
+        raise ValueError("fold_spline requires the 'packed' layout "
+                         "(check grid_layout_for(table) first).")
     cfg = _grid_stream_constants(table, n_nodes, error_model=accuracy,
                                  pack_slabs=pack_slabs)
     nb = cfg["nb"]
@@ -1239,13 +1240,33 @@ def _grid_common_passes(dense_nodes, error_model, tol=1e-6, margin=30.0):
     return groups, row_perm, np.argsort(row_perm)
 
 
+def grid_layout_for(table: TableData):
+    """Streamed-grid layout the 'auto' mode would pick for ``table``:
+    'packed' symmetric contraction where the packed pair count fits the
+    scratch row (every published table), else the 'slab' fallback."""
+    nbr = table.n_bins
+    npair_pad = -(-(nbr * (nbr + 1) // 2) // 128) * 128
+    return "packed" if table.mode != AUTO or npair_pad <= 8192 else "slab"
+
+
+def _accumulate_block(ref, val, j):
+    """Initialize a revisited output block at grid step 0, else add."""
+    @pl.when(j == 0)
+    def _():
+        ref[:] = val
+
+    @pl.when(j != 0)
+    def _():
+        ref[:] = ref[:] + val
+
+
 def _make_grid_packed_predictor(table: TableData, n_nodes, occupation_cen,
                                 occupation_sat, param_names,
                                 batch_tile=GRID_TILE, interpret=False,
                                 precision="highest",
                                 accuracy="elementwise", mesh=None,
                                 batch_axis="dp", node_block=None,
-                                tol=1e-6, margin=30.0):
+                                tol=1e-6, margin=30.0, fold_spline=False):
     """Packed-layout streamed grid kernel (see make_fused_grid_predictor).
 
     Auto mode contracts in packed symmetric storage: host-side the
@@ -1255,6 +1276,26 @@ def _make_grid_packed_predictor(table: TableData, n_nodes, occupation_cen,
     are expanded into VMEM scratch once per batch tile.  Cross mode
     uses w := ngal directly (K = nb).  Each node step is then one MXU
     dot per pass class, a row scale, and a store.
+
+    ``fold_spline=True`` folds the Interpolator's grid-spline reduction
+    into the kernel: the returned function takes an extra
+    ``node_weights`` argument of shape (B, n_nodes) (the multi-axis
+    spline is LINEAR in the node ordinates, so its action is a
+    per-sample weight vector — predictor._grid_node_weights) and the
+    kernel accumulates ``sum_n w[b, n] xi_n[b, :]`` across node steps
+    into a (B, n_xi) output.  This removes the (B, n_nodes, n_xi)
+    per-node HBM intermediate (~n_nodes x more output bytes than the
+    answer) that the unfolded path writes for the XLA-side spline — at
+    the 64-node production shape that intermediate dominates end-to-end
+    time (kernel 1.49e6/s vs 1.05e6/s through the XLA spline).
+    In-kernel the weighting is two small MXU dots per class per node
+    step against fixed 0/1 maps: ``wexp = nw @ E`` broadcasts each
+    node's weight across its column block and ``(t * wexp) @ R``
+    reduces node blocks onto statistic columns (both 128-lane aligned;
+    a direct strided reduce would need misaligned lane slices).
+    NaN weights (extrapolate=False outside the grid) propagate through
+    both dots, preserving the unfolded path's NaN-outside-grid
+    semantics.
     """
     auto = table.mode == AUTO
     nbr = table.n_bins
@@ -1331,6 +1372,24 @@ def _make_grid_packed_predictor(table: TableData, n_nodes, occupation_cen,
     if n_names > 128:
         raise ValueError("At most 128 parameters supported.")
     n_stream = len(stream_arrays)
+
+    # Spline-fold constants: per class, E broadcasts the node-weight
+    # lanes over that node's column block and R reduces node blocks onto
+    # statistic columns (fixed 0/1 maps, resident in VMEM).
+    nw_pad = -(-node_block // 128) * 128
+    fold_arrays = []
+    count_pads = []
+    if fold_spline:
+        for (p, count), w_gb in zip(groups, class_widths):
+            count_pad = -(-count // 128) * 128
+            count_pads.append(count_pad)
+            e_map = np.zeros((nw_pad, w_gb), np.float32)
+            r_map = np.zeros((w_gb, count_pad), np.float32)
+            for jj in range(node_block):
+                e_map[jj, jj * count:(jj + 1) * count] = 1.0
+                r_map[jj * count:(jj + 1) * count, :count] = np.eye(
+                    count, dtype=np.float32)
+            fold_arrays += [jnp.asarray(e_map), jnp.asarray(r_map)]
     # Block width per streamed array (3-pass classes carry two arrays).
     block_widths = []
     for (p, _), w in zip(groups, class_widths):
@@ -1350,14 +1409,19 @@ def _make_grid_packed_predictor(table: TableData, n_nodes, occupation_cen,
                 jnp.dot(t_lo, sel, preferred_element_type=jnp.float32))
 
     def kernel(params_ref, *rest):
+        if fold_spline:
+            nw_ref = rest[0]
+            rest = rest[1:]
         stream_refs = rest[:n_stream]
+        at = n_stream
+        fold_refs = rest[at:at + len(fold_arrays)]
+        at += len(fold_arrays)
         (logm_c, logmres_c, sec_c, w_c, sel_c,
-         logm_s, logmres_s, sec_s, w_s, sel_s) = rest[n_stream:
-                                                      n_stream + 10]
-        total_out = rest[n_stream + 10]
-        class_outs = rest[n_stream + 11:n_stream + 11 + len(groups)]
-        w_scr = rest[n_stream + 11 + len(groups)]
-        tot_scr = rest[n_stream + 12 + len(groups)]
+         logm_s, logmres_s, sec_s, w_s, sel_s) = rest[at:at + 10]
+        total_out = rest[at + 10]
+        class_outs = rest[at + 11:at + 11 + len(groups)]
+        w_scr = rest[at + 11 + len(groups)]
+        tot_scr = rest[at + 12 + len(groups)]
         j = pl.program_id(1)
 
         @pl.when(j == 0)
@@ -1415,10 +1479,50 @@ def _make_grid_packed_predictor(table: TableData, n_nodes, occupation_cen,
                 t = jnp.dot(w_hi, stream_refs[at][:],
                             preferred_element_type=jnp.float32)
                 at += 1
-            class_outs[ci][:] = t / denom
+            if not fold_spline:
+                class_outs[ci][:] = t / denom
+                continue
+            # Weighted node reduce: this step's node weights broadcast
+            # over column blocks (nw @ E), scale the per-node results,
+            # and fold onto statistic columns ((.) @ R), accumulating
+            # in the revisited (i, 0) output block across node steps.
+            # HIGHEST: default TPU matmul precision truncates the
+            # weights to bfloat16 (measured 1.7e-3 scaled error); with
+            # the full-f32 passes the 0/1 map makes this dot exact.
+            wexp = jnp.dot(nw_ref[:], fold_refs[2 * ci][:],
+                           preferred_element_type=jnp.float32,
+                           precision=jax.lax.Precision.HIGHEST)
+            val = jnp.dot((t / denom) * wexp, fold_refs[2 * ci + 1][:],
+                          preferred_element_type=jnp.float32,
+                          precision=jax.lax.Precision.HIGHEST)
+            _accumulate_block(class_outs[ci], val, j)
 
-    def run_kernel(pmat, *consts):
+    def run_kernel(pmat, *rest):
         local = pmat.shape[0]
+        if fold_spline:
+            nw_padded, consts = rest[0], rest[1:]
+            nw_inputs = (nw_padded,)
+            nw_specs = [pl.BlockSpec((batch_tile, nw_pad),
+                                     lambda i, j: (i, j),
+                                     memory_space=pltpu.VMEM)]
+            out_specs_xi = tuple(
+                pl.BlockSpec((batch_tile, cp), lambda i, j: (i, 0),
+                             memory_space=pltpu.VMEM)
+                for cp in count_pads)
+            out_shape_xi = tuple(
+                jax.ShapeDtypeStruct((local, cp), jnp.float32)
+                for cp in count_pads)
+        else:
+            consts = rest
+            nw_inputs = ()
+            nw_specs = []
+            out_specs_xi = tuple(
+                pl.BlockSpec((batch_tile, w), lambda i, j: (i, j),
+                             memory_space=pltpu.VMEM)
+                for w in class_widths)
+            out_shape_xi = tuple(
+                jax.ShapeDtypeStruct((local, n_blocks * w), jnp.float32)
+                for w in class_widths)
         stream_consts = consts[:n_stream]
         fixed_consts = consts[n_stream:]
         with backend.pallas_lowering():
@@ -1428,39 +1532,36 @@ def _make_grid_packed_predictor(table: TableData, n_nodes, occupation_cen,
                 in_specs=[pl.BlockSpec((batch_tile, 128),
                                        lambda i, j: (i, 0),
                                        memory_space=pltpu.VMEM)] +
+                         nw_specs +
                          [pl.BlockSpec((k_pad, w), lambda i, j: (0, j),
                                        memory_space=pltpu.VMEM)
                           for w in block_widths] +
                          [pl.BlockSpec(a.shape,
                                        lambda i, j, r=a.ndim: (0,) * r,
                                        memory_space=pltpu.VMEM)
-                          for a in seg_arrays],
+                          for a in fold_arrays + list(seg_arrays)],
                 out_specs=(
                     pl.BlockSpec((batch_tile, 1), lambda i, j: (i, 0),
-                                 memory_space=pltpu.VMEM),) + tuple(
-                    pl.BlockSpec((batch_tile, w), lambda i, j: (i, j),
-                                 memory_space=pltpu.VMEM)
-                    for w in class_widths),
+                                 memory_space=pltpu.VMEM),) + out_specs_xi,
                 out_shape=(
-                    jax.ShapeDtypeStruct((local, 1), jnp.float32),) + tuple(
-                    jax.ShapeDtypeStruct((local, n_blocks * w),
-                                         jnp.float32)
-                    for w in class_widths),
+                    jax.ShapeDtypeStruct((local, 1),
+                                         jnp.float32),) + out_shape_xi,
                 scratch_shapes=[
                     pltpu.VMEM((batch_tile, k_pad), jnp.float32),
                     pltpu.VMEM((batch_tile, 128), jnp.float32)],
                 interpret=interpret,
                 compiler_params=pltpu.CompilerParams(
                     vmem_limit_bytes=100 * 1024 * 1024),
-            )(pmat, *stream_consts, *fixed_consts)
+            )(pmat, *nw_inputs, *stream_consts, *fixed_consts)
 
-    const_arrays = tuple(stream_arrays) + seg_arrays
+    const_arrays = tuple(stream_arrays) + tuple(fold_arrays) + seg_arrays
     if mesh is not None:
         from jax.sharding import PartitionSpec as P
         n_dp = mesh.shape[batch_axis]
         sharded_kernel = jax.shard_map(
             run_kernel, mesh=mesh,
-            in_specs=(P(batch_axis),) + (P(),) * len(const_arrays),
+            in_specs=((P(batch_axis),) * (2 if fold_spline else 1) +
+                      (P(),) * len(const_arrays)),
             out_specs=(P(batch_axis),) * (1 + len(groups)),
             check_vma=False)
     else:
@@ -1470,7 +1571,7 @@ def _make_grid_packed_predictor(table: TableData, n_nodes, occupation_cen,
     inv = np.asarray(row_inv_perm)
     unpermute = not np.array_equal(inv, np.arange(n_xi))
 
-    def predict_batch(params):
+    def _pad_params(params):
         any_param = next(iter(params.values()))
         batch = any_param.shape[0]
         quantum = batch_tile * n_dp
@@ -1479,8 +1580,30 @@ def _make_grid_packed_predictor(table: TableData, n_nodes, occupation_cen,
             [jnp.pad(jnp.asarray(params[k], jnp.float32),
                      (0, padded - batch), constant_values=1.0)
              for k in names], axis=1)
-        pmat = jnp.pad(pmat, ((0, 0), (0, 128 - n_names)))
+        return jnp.pad(pmat, ((0, 0), (0, 128 - n_names))), batch, padded
 
+    if fold_spline:
+        def predict_batch(params, node_weights):
+            pmat, batch, padded = _pad_params(params)
+            nw = jnp.pad(jnp.asarray(node_weights, jnp.float32),
+                         ((0, padded - batch), (0, 0)))
+            nw = nw.reshape(padded, n_blocks, node_block)
+            nw = jnp.pad(nw, ((0, 0), (0, 0), (0, nw_pad - node_block)))
+            out = sharded_kernel(pmat, nw.reshape(padded, -1),
+                                 *const_arrays)
+            total = out[0][:batch, 0]
+            parts = [out[1 + ci][:batch, :count]
+                     for ci, (p, count) in enumerate(groups)]
+            xi = parts[0] if len(parts) == 1 else jnp.concatenate(
+                parts, axis=-1)
+            if unpermute:
+                xi = xi[:, inv]
+            return total, xi
+
+        return jax.jit(predict_batch)
+
+    def predict_batch(params):
+        pmat, batch, padded = _pad_params(params)
         out = sharded_kernel(pmat, *const_arrays)
         total = out[0][:batch, 0]
         parts = []

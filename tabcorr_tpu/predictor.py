@@ -192,6 +192,34 @@ def _spline_over_grid(params, keys, xp_dev, a_dev, grid_shape, values,
     return y
 
 
+def _grid_node_weights(params, keys, xp_dev, a_dev, extrapolate=True):
+    """Per-sample node weights of the multi-axis grid spline.
+
+    Each ``spline_eval`` pass is linear in its ordinates, so the whole
+    grid reduction is a weight vector per sample: the axis-k weights are
+    the spline applied to an identity ordinate matrix, and the node
+    weights are their outer product flattened in C (grid) order —
+    ``_spline_over_grid(values) == node_weights @ values`` exactly (up
+    to f32 summation order).  NaN (extrapolate=False outside the grid)
+    appears in every weight of the offending sample, preserving the
+    NaN-outside-grid contract.  Cost is O(B * sum(len(xp_k)^2)) —
+    negligible next to the contraction — and folding these weights into
+    the streamed grid kernel removes its (B, n_nodes, n_xi) HBM
+    intermediate (see ops.fused._make_grid_packed_predictor).
+    """
+    import jax
+
+    w = None
+    for key, xp, a in zip(keys, xp_dev, a_dev):
+        eye = jnp.eye(xp.shape[0], dtype=xp.dtype)
+        wk = jax.vmap(
+            lambda x, xp=xp, a=a, eye=eye: spline_eval(
+                x, xp, a, eye, extrapolate=extrapolate))(params[key])
+        w = wk if w is None else (
+            w[:, :, None] * wk[:, None, :]).reshape(w.shape[0], -1)
+    return w
+
+
 def _interpolator_fused_predict_fn(interp, model, n_gauss, dtype,
                                    extrapolate, accuracy="elementwise",
                                    mesh=None, batch_axis="dp"):
@@ -255,11 +283,32 @@ def _interpolator_fused_predict_fn(interp, model, n_gauss, dtype,
                 batch = xi_nodes.shape[0]
                 return total, xi_nodes.reshape(batch, n_nodes, n_xi)
         else:
-            from .ops.fused import make_fused_grid_predictor
+            from .ops.fused import grid_layout_for, make_fused_grid_predictor
+            # Packed layout (every published grid): fold the grid spline
+            # into the kernel as per-sample node weights — no per-node
+            # HBM intermediate.  Slab fallback keeps the XLA spline.
+            folded = grid_layout_for(stacked) == "packed"
             node_fn = make_fused_grid_predictor(
                 stacked, n_nodes, occ_cen, occ_sat,
                 tuple(model.param_dict.keys()), accuracy=accuracy,
-                mesh=mesh, batch_axis=batch_axis)
+                mesh=mesh, batch_axis=batch_axis, fold_spline=folded)
+
+            if folded:
+                @jax.jit
+                def predict_batch(params):
+                    params = {k: jnp.asarray(v, dtype=dtype)
+                              for k, v in params.items()}
+                    batch = next(iter(params.values())).shape[0]
+                    nw = _grid_node_weights(params, keys, xp_dev, a_dev,
+                                            extrapolate)
+                    total, xi = node_fn(params, nw)
+                    xi = xi.reshape((batch,) + tuple(base.tpcf_shape))
+                    # ngal is node-independent for a shared binning; the
+                    # reference's grid spline of equal values returns the
+                    # same.
+                    return total, xi
+
+                return predict_batch
 
         @jax.jit
         def predict_batch(params):

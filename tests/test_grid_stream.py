@@ -121,6 +121,118 @@ def test_grid_stream_node_blocks_and_uneven_batch():
             layout="packed", node_block=4)
 
 
+@pytest.mark.parametrize("mode", ["auto", "cross"])
+@pytest.mark.parametrize("accuracy", ["elementwise", "scaled"])
+def test_grid_stream_fold_spline_matches_manual_reduce(mode, accuracy):
+    """fold_spline=True accumulates sum_n w[b, n] xi_n[b, :] in-kernel;
+    it must match the unfolded per-node output reduced host-side, and
+    NaN weights must poison exactly the offending samples."""
+    n_nodes, n_xi = 6, 7
+    tabs = _grid_tabs(n_nodes, 12, 2, n_xi, mode, seed=13)
+    stacked = _stack(tabs)
+    model = tt.Zheng07Model(threshold=-20, redshift=0.0)
+    common = dict(batch_tile=8, interpret=True, accuracy=accuracy,
+                  layout="packed", node_block=3)
+    f_nodes = make_fused_grid_predictor(
+        stacked, n_nodes, *occupation_functions(model),
+        tuple(model.param_dict.keys()), **common)
+    f_fold = make_fused_grid_predictor(
+        stacked, n_nodes, *occupation_functions(model),
+        tuple(model.param_dict.keys()), fold_spline=True, **common)
+    rng = np.random.default_rng(21)
+    params = params_batch(
+        model, {"logM1": model.param_dict["logM1"] +
+                0.1 * rng.normal(size=5)}, (5,), dtype=jnp.float32)
+    nw = rng.normal(size=(5, n_nodes)).astype(np.float32)
+    nw[3] = np.nan
+    t_n, xi_n = f_nodes(params)
+    t_f, xi_f = f_fold(params, jnp.asarray(nw))
+    np.testing.assert_array_equal(np.asarray(t_f), np.asarray(t_n))
+    want = np.einsum("bn,bnk->bk", nw, np.asarray(xi_n, np.float64))
+    got = np.asarray(xi_f, np.float64)
+    assert got.shape == (5, n_xi)
+    assert np.all(np.isnan(got[3]))
+    scale = np.max(np.abs(want[[0, 1, 2, 4]]))
+    np.testing.assert_allclose(got[[0, 1, 2, 4]], want[[0, 1, 2, 4]],
+                               atol=2e-6 * scale, rtol=2e-5)
+
+
+def test_grid_stream_fold_requires_packed_layout():
+    n_nodes, n_xi = 2, 3
+    tabs = _grid_tabs(n_nodes, 8, 1, n_xi, "auto", seed=1)
+    stacked = _stack(tabs)
+    model = tt.Zheng07Model(threshold=-20, redshift=0.0)
+    with pytest.raises(ValueError, match="packed"):
+        make_fused_grid_predictor(
+            stacked, n_nodes, *occupation_functions(model),
+            tuple(model.param_dict.keys()), interpret=True,
+            layout="slab", fold_spline=True)
+
+
+def test_grid_node_weights_reproduce_spline():
+    """_grid_node_weights @ values == _spline_over_grid(values) on a
+    multi-axis grid, including NaN outside the grid when
+    extrapolate=False."""
+    from tabcorr_tpu.predictor import (_grid_node_weights,
+                                       _spline_over_grid)
+    from tabcorr_tpu.interpolator import spline_interpolation_matrix
+
+    rng = np.random.default_rng(8)
+    xps = [np.linspace(-0.4, 0.4, 4), np.linspace(0.0, 1.0, 5)]
+    a_dev = [jnp.asarray(spline_interpolation_matrix(xp), jnp.float32)
+             for xp in xps]
+    xp_dev = [jnp.asarray(xp, jnp.float32) for xp in xps]
+    keys = ["p0", "p1"]
+    grid_shape = (4, 5)
+    values = rng.normal(size=(20, 5)).astype(np.float32)
+    for extrapolate in (True, False):
+        params = {"p0": jnp.asarray([-0.2, 0.13, 0.6], jnp.float32),
+                  "p1": jnp.asarray([0.4, 0.77, 0.5], jnp.float32)}
+        nw = _grid_node_weights(params, keys, xp_dev, a_dev, extrapolate)
+        got = np.asarray(nw, np.float64) @ values.astype(np.float64)
+        want = np.stack([np.asarray(_spline_over_grid(
+            {k: v[i] for k, v in params.items()}, keys, xp_dev, a_dev,
+            grid_shape, jnp.asarray(values), extrapolate), np.float64)
+            for i in range(3)])
+        if extrapolate:
+            np.testing.assert_allclose(got, want, rtol=2e-5, atol=1e-6)
+        else:
+            assert np.all(np.isnan(got[2])) and np.all(np.isnan(want[2]))
+            np.testing.assert_allclose(got[:2], want[:2], rtol=2e-5,
+                                       atol=1e-6)
+
+
+def test_grid_stream_fold_dp_mesh_sharding():
+    """The folded kernel shard_maps over a dp mesh with the extra
+    node-weight operand batch-sharded."""
+    from jax.sharding import Mesh
+
+    n_nodes, n_xi = 4, 5
+    tabs = _grid_tabs(n_nodes, 10, 1, n_xi, "auto", seed=17)
+    stacked = _stack(tabs)
+    model = tt.Zheng07Model(threshold=-20, redshift=0.0)
+    mesh = Mesh(np.array(jax.devices()[:4]), ("dp",))
+    common = dict(batch_tile=4, interpret=True, accuracy="scaled",
+                  layout="packed", fold_spline=True)
+    f_mesh = make_fused_grid_predictor(
+        stacked, n_nodes, *occupation_functions(model),
+        tuple(model.param_dict.keys()), mesh=mesh, **common)
+    f_plain = make_fused_grid_predictor(
+        stacked, n_nodes, *occupation_functions(model),
+        tuple(model.param_dict.keys()), **common)
+    rng = np.random.default_rng(2)
+    params = params_batch(
+        model, {"logM1": model.param_dict["logM1"] +
+                0.1 * rng.normal(size=16)}, (16,), dtype=jnp.float32)
+    nw = jnp.asarray(rng.normal(size=(16, n_nodes)), jnp.float32)
+    t_m, x_m = f_mesh(params, nw)
+    t_p, x_p = f_plain(params, nw)
+    np.testing.assert_allclose(np.asarray(t_m), np.asarray(t_p),
+                               rtol=1e-6)
+    np.testing.assert_allclose(np.asarray(x_m), np.asarray(x_p),
+                               rtol=1e-5, atol=1e-12)
+
+
 def _make_interpolator(n_nodes=4, n_xi=6, mode="auto"):
     tabs = _grid_tabs(n_nodes, 10, 1, n_xi, mode, seed=9)
     pt = ColumnTable()
