@@ -1045,6 +1045,12 @@ def make_fused_grid_predictor(table: TableData, n_nodes, occupation_cen,
 
     Returns ``f(params dict of (B,)) -> (ngal (B,), xi (B, n_nodes,
     n_xi))`` with the node axis leading the statistic axis (grid order).
+    With ``fold_spline=True`` (packed layout only) the returned callable
+    instead takes ``f(params, node_weights (B, n_nodes))`` and returns
+    ``(ngal (B,), xi (B, n_xi))`` — the per-node outputs are reduced
+    in-kernel by the spline's node weights (see
+    :func:`~tabcorr_tpu.predictor._grid_node_weights`), so no
+    (B, n_nodes, n_xi) intermediate ever reaches HBM.
     """
     if interpret == "auto":
         if mesh is not None:

@@ -303,9 +303,16 @@ def _interpolator_fused_predict_fn(interp, model, n_gauss, dtype,
                                             extrapolate)
                     total, xi = node_fn(params, nw)
                     xi = xi.reshape((batch,) + tuple(base.tpcf_shape))
-                    # ngal is node-independent for a shared binning; the
-                    # reference's grid spline of equal values returns the
-                    # same.
+                    # ngal is node-independent for a shared binning; for
+                    # IN-GRID samples the reference's grid spline of equal
+                    # values returns the same value, so total passes
+                    # through exactly (no spline rounding).  Out-of-grid
+                    # samples (extrapolate=False -> NaN node weights) must
+                    # poison ngal too, matching the XLA engine, which
+                    # splines ngal over the grid (reference:
+                    # interpolator.py:196-205).
+                    total = jnp.where(jnp.isnan(jnp.sum(nw, axis=-1)),
+                                      jnp.nan, total)
                     return total, xi
 
                 return predict_batch
@@ -323,8 +330,15 @@ def _interpolator_fused_predict_fn(interp, model, n_gauss, dtype,
 
             xi = jax.vmap(spline_one)(params, xi_nodes)
             xi = xi.reshape((batch,) + tuple(base.tpcf_shape))
-            # ngal is node-independent for a shared binning; the
-            # reference's grid spline of equal values returns the same.
+            # ngal is node-independent for a shared binning; for in-grid
+            # samples the reference's grid spline of equal values returns
+            # the same value, so total passes through exactly.
+            # Out-of-grid samples (extrapolate=False -> NaN spline
+            # weights, visible as all-NaN xi rows) poison ngal too,
+            # matching the XLA engine's splined ngal.
+            total = jnp.where(
+                jnp.isnan(jnp.sum(xi.reshape(batch, -1), axis=-1)),
+                jnp.nan, total)
             return total, xi
 
         return predict_batch
@@ -362,9 +376,14 @@ def _interpolator_fused_predict_fn(interp, model, n_gauss, dtype,
 
         xi = jax.vmap(spline_one)(params_padded, xi_nodes)
         xi = xi[:batch].reshape((batch,) + tuple(base.tpcf_shape))
-        # ngal is node-independent for a shared binning; the reference's
-        # grid spline of equal values returns the same value.
-        return total[:batch], xi
+        # ngal is node-independent for a shared binning; in-grid the
+        # reference's grid spline of equal values returns the same value.
+        # Out-of-grid samples (all-NaN xi rows) poison ngal too, matching
+        # the XLA engine's splined ngal.
+        total = jnp.where(
+            jnp.isnan(jnp.sum(xi.reshape(batch, -1), axis=-1)),
+            jnp.nan, total[:batch])
+        return total, xi
 
     return predict_batch
 

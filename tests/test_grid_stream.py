@@ -270,6 +270,37 @@ def test_interpolator_fused_streaming_route_matches_xla(monkeypatch):
     assert np.max(np.abs(np.asarray(xi_s) - np.asarray(xi_x))) < 2e-5 * scale
 
 
+@pytest.mark.parametrize("route", ["resident", "streamed"])
+def test_interpolator_fused_ngal_nan_outside_grid(monkeypatch, route):
+    """extrapolate=False poisons ngal (not just xi) for out-of-grid
+    samples on every fused Interpolator route, matching the XLA engine,
+    which splines ngal over the grid (reference splines ngal too:
+    interpolator.py:196-205)."""
+    import tabcorr_tpu.predictor as pred_mod
+
+    interp, _ = _make_interpolator()
+    model = tt.Zheng07Model(threshold=-20, redshift=0.0)
+    model.param_dict["log_eta"] = 0.0
+    if route == "streamed":
+        monkeypatch.setattr(pred_mod, "_fused_constants_fit_vmem",
+                            lambda *a, **k: False)
+    f_fused = make_predictor(interp, model, engine="fused",
+                             accuracy="scaled", extrapolate=False)
+    f_xla = make_predictor(interp, model, engine="xla",
+                           dtype=jnp.float32, extrapolate=False)
+    # Sample 1 sits outside the log_eta grid [-0.4, 0.4].
+    params = params_batch(
+        model, {"log_eta": np.array([0.1, 0.9, -0.2], np.float32)},
+        (3,), dtype=jnp.float32)
+    for f in (f_fused, f_xla):
+        ngal, xi = f(params)
+        ngal = np.asarray(ngal)
+        xi = np.asarray(xi).reshape(3, -1)
+        assert np.isnan(ngal[1]) and np.all(np.isnan(xi[1]))
+        assert np.all(np.isfinite(ngal[[0, 2]]))
+        assert np.all(np.isfinite(xi[[0, 2]]))
+
+
 def test_interpolator_auto_engine_covers_oversized_grids(monkeypatch):
     """engine='auto' on a TPU backend picks 'fused' for Interpolators
     even when the resident bundle would not fit (the streamed kernel
