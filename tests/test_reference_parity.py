@@ -324,6 +324,124 @@ def test_tinker13_occupations_match_halotools():
         np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-12)
 
 
+def test_tinker13_custom_abscissa_fq_matches_halotools():
+    """f_q parity beyond the default 3-point abscissa: a 5-point grid
+    (degree-4 spline) asserted strictly, and a 7-point grid — the
+    degree cap k = min(n - 1, 5) with MULTIPLE polynomial segments, the
+    branch tinker13.py:213-221 selects with the where-chain — asserted
+    when halotools' custom_spline accepts it (skip with the reason
+    otherwise, so the in-environment scipy-oracle test in
+    test_tinker13.py remains that branch's coverage).
+
+    Both populations share one SMHM (quiescent params copied to active)
+    so f_q is recoverable from public occupations alone:
+    fq = <Ncen_q> / (<Ncen_q> + <Ncen_a>).
+    """
+    from halotools.empirical_models import Tinker13Cens
+
+    redshift = 0.5
+    rng = np.random.default_rng(19)
+    prim = np.logspace(11.2, 15.6, 181)   # between AND beyond controls
+    for n_pts, log_absc in ((5, (11.8, 12.6, 13.3, 14.1, 15.0)),
+                            (7, (11.5, 12.1, 12.7, 13.3, 13.9, 14.6,
+                                 15.3))):
+        ords = rng.uniform(0.05, 0.95, n_pts)
+        try:
+            cens_ref = Tinker13Cens(
+                threshold=10.5, redshift=redshift,
+                quiescent_fraction_abscissa=[10.0 ** x for x in log_absc],
+                quiescent_fraction_ordinates=list(ords))
+            want_q = cens_ref.mean_occupation(prim_haloprop=prim,
+                                              sfr_designation="quiescent")
+            want_a = cens_ref.mean_occupation(prim_haloprop=prim,
+                                              sfr_designation="active")
+        except Exception as exc:
+            if n_pts == 7:
+                pytest.skip(f"halotools custom_spline rejects a 7-point "
+                            f"abscissa here: {exc!r}")
+            raise
+        model_q = tt.Tinker13Model(threshold=10.5, redshift=redshift,
+                                   sfr_designation="quiescent",
+                                   quiescent_fraction_abscissa=log_absc)
+        model_a = tt.Tinker13Model(threshold=10.5, redshift=redshift,
+                                   sfr_designation="active",
+                                   quiescent_fraction_abscissa=log_absc)
+        for m in (model_q, model_a):
+            for i, o in enumerate(ords):
+                m.param_dict[
+                    f"quiescent_fraction_ordinates_param{i + 1}"] = o
+        got_q = model_q.mean_occupation_centrals(prim_haloprop=prim)
+        got_a = model_a.mean_occupation_centrals(prim_haloprop=prim)
+        np.testing.assert_allclose(got_q, want_q, rtol=1e-5, atol=1e-12)
+        np.testing.assert_allclose(got_a, want_a, rtol=1e-5, atol=1e-12)
+
+
+def test_assembias_tinker13_central_ceiling_vs_halotools():
+    """The decorated single-population central occupation is bounded by
+    the population's OWN ceiling — f_q(Mh) for quiescent, 1 - f_q(Mh)
+    for active (models/assembias.py:196-212) — with f_q taken from
+    halotools' Tinker13Cens via the shared-SMHM decomposition
+    fq = <Ncen_q> / (<Ncen_q> + <Ncen_a>).  At strength 1 above the
+    split, the decoration saturates the ceiling wherever the baseline
+    sits deep in the boost regime; below the split it stays >= 0.  The
+    mean-preservation identity vs the undecorated halotools baseline is
+    asserted at every strength.
+    """
+    from halotools.empirical_models import Tinker13Cens
+
+    redshift = 0.5
+    cens_ref = Tinker13Cens(threshold=10.5, redshift=redshift)
+    # Shared SMHM so halotools' two populations decompose f_q exactly.
+    prim = np.logspace(12.2, 15.2, 61)
+    ref_q = cens_ref.mean_occupation(prim_haloprop=prim,
+                                     sfr_designation="quiescent")
+    ref_a = cens_ref.mean_occupation(prim_haloprop=prim,
+                                     sfr_designation="active")
+
+    model = tt.AssembiasTinker13Model(threshold=10.5, redshift=redshift,
+                                      sfr_designation="quiescent")
+    # Mirror the shared-SMHM choice in our model: copy quiescent keys
+    # onto the active population so the halotools decomposition applies.
+    for k in list(model.param_dict):
+        if k.endswith("_quiescent"):
+            model.param_dict[k.replace("_quiescent", "_active")] = \
+                model.param_dict[k]
+    cens_shared = Tinker13Cens(threshold=10.5, redshift=redshift)
+    for k, v in model.param_dict.items():
+        if k in cens_shared.param_dict:
+            cens_shared.param_dict[k] = v
+    sq = cens_shared.mean_occupation(prim_haloprop=prim,
+                                     sfr_designation="quiescent")
+    sa = cens_shared.mean_occupation(prim_haloprop=prim,
+                                     sfr_designation="active")
+    fq_halotools = sq / (sq + sa)
+
+    base = model.param_dict.copy()
+    for strength in (-1.0, -0.4, 0.6, 1.0):
+        model.param_dict.update(base)
+        model.param_dict[
+            "mean_occupation_centrals_assembias_param1"] = strength
+        hi = model.mean_occupation_centrals(
+            prim_haloprop=prim,
+            sec_haloprop_percentile=np.full_like(prim, 0.75))
+        lo = model.mean_occupation_centrals(
+            prim_haloprop=prim,
+            sec_haloprop_percentile=np.full_like(prim, 0.25))
+        # Per-population ceiling and floor from the halotools oracle.
+        assert np.all(hi <= fq_halotools + 1e-10)
+        assert np.all(lo >= -1e-12)
+        # Mean preservation: 0.5 hi + 0.5 lo equals the undecorated
+        # halotools quiescent occupation (shared-SMHM instance).
+        np.testing.assert_allclose(0.5 * hi + 0.5 * lo, sq,
+                                   rtol=1e-6, atol=1e-12)
+    # Saturation at strength 1: where the baseline is within 10% of the
+    # ceiling, the boosted branch must touch it.
+    tight = sq >= 0.9 * fq_halotools
+    assert np.any(tight)
+    np.testing.assert_allclose(hi[tight], fq_halotools[tight],
+                               rtol=1e-6, atol=1e-10)
+
+
 def test_param_dict_defaults_match_halotools_key_by_key():
     """Defaults parity, not just functional-form parity: every parameter
     the repo's SHMR/CLF/quiescent-split families seed must equal

@@ -64,6 +64,27 @@ def test_quiescent_fraction_spline_matches_scipy():
     got5 = tinker13_quiescent_fraction(p5, logm, abscissa=absc5)
     np.testing.assert_allclose(got5, want5, rtol=0, atol=1e-13)
 
+    # 8 points -> degree capped at 5 with THREE polynomial segments:
+    # exercises the multi-segment where-chain selection and the
+    # degree-5 Horner loop (n <= 6 gives a single segment, so this is
+    # the only in-environment coverage of that branch).
+    absc8 = (10.8, 11.5, 12.1, 12.8, 13.4, 14.0, 14.7, 15.4)
+    ords8 = rng.uniform(0.05, 0.95, 8)
+    p8 = dict(params)
+    for i, o in enumerate(ords8):
+        p8[f"quiescent_fraction_ordinates_param{i + 1}"] = o
+    spl8 = InterpolatedUnivariateSpline(np.asarray(absc8), ords8, k=5)
+    want8 = np.clip(spl8(logm), 0.0, 1.0)
+    got8 = tinker13_quiescent_fraction(p8, logm, abscissa=absc8)
+    np.testing.assert_allclose(got8, want8, rtol=0, atol=1e-12)
+    # The residual shift stays exact across the multi-segment path.
+    res = 3e-9
+    got8r = tinker13_quiescent_fraction(p8, logm, abscissa=absc8,
+                                        log_prim_res=np.full_like(logm,
+                                                                  res))
+    want8r = np.clip(spl8(logm + res), 0.0, 1.0)
+    np.testing.assert_allclose(got8r, want8r, rtol=0, atol=1e-12)
+
     # Out-of-range spline values are clipped to [0, 1] (the default
     # ordinates overshoot below zero left of the abscissa).
     assert np.all(got >= 0.0) and np.all(got <= 1.0)
@@ -251,6 +272,40 @@ def test_bundle_eligible_and_gather_free(wp_tabcorr):
     np.testing.assert_allclose(
         np.asarray(xi_b), np.asarray(xi_x), rtol=1e-4,
         atol=2e-6 * float(np.max(np.abs(np.asarray(xi_x)))))
+
+
+def test_assembias_tinker13_single_population_ceiling():
+    """Single-SFR decorated centrals honor the population's OWN ceiling
+    (f_q resp. 1 - f_q, models/assembias.py:196-212): bounded at every
+    strength, mean-preserving, and SATURATING the ceiling at strength 1
+    wherever the baseline sits in the boost-limited regime (base >=
+    ceiling/2 for the symmetric 0.5 split).  The armed halotools twin is
+    tests/test_reference_parity.py::
+    test_assembias_tinker13_central_ceiling_vs_halotools."""
+    from tabcorr_tpu.models import AssembiasTinker13Model
+    logm = np.linspace(12.0, 15.3, 61)
+    for sfr in ("quiescent", "active"):
+        model = AssembiasTinker13Model(threshold=10.5, redshift=0.5,
+                                       sfr_designation=sfr)
+        base_model = tt.Tinker13Model(threshold=10.5, redshift=0.5,
+                                      sfr_designation=sfr)
+        fq = tinker13_quiescent_fraction(model.param_dict, logm)
+        ceiling = fq if sfr == "quiescent" else 1.0 - fq
+        base = base_model.occupation(base_model.param_dict, "centrals",
+                                     logm, 0.5)
+        for strength in (-1.0, -0.3, 0.5, 1.0):
+            model.param_dict[
+                "mean_occupation_centrals_assembias_param1"] = strength
+            params = dict(model.param_dict)
+            hi = model.occupation(params, "centrals", logm, 0.75)
+            lo = model.occupation(params, "centrals", logm, 0.25)
+            assert np.all(hi <= ceiling + 1e-12), (sfr, strength)
+            assert np.all(lo <= ceiling + 1e-12), (sfr, strength)
+            assert np.all(hi >= -1e-14) and np.all(lo >= -1e-14)
+            np.testing.assert_allclose(0.5 * (hi + lo), base, rtol=1e-10)
+        tight = base >= 0.5 * ceiling + 1e-9
+        assert np.any(tight)
+        np.testing.assert_allclose(hi[tight], ceiling[tight], rtol=1e-10)
 
 
 def test_assembias_tinker13_mean_preservation():
