@@ -282,6 +282,59 @@ def main():
         jax.block_until_ready((w, lp))
         ensemble_rate = n_walkers * n_steps / (time.perf_counter() - t0)
 
+    # BASELINE config #4 — the published-database 64-node grid workload:
+    # the node-streamed packed kernel with the in-kernel spline fold,
+    # through the public Interpolator make_predictor entry point, at the
+    # 'default' 4x4x4 grid geometry real users load
+    # (reference: tabcorr/database.py:56-59).  Accuracy carries the same
+    # 16-probe discipline as the flagship: max scaled error vs the
+    # float64 host path at the float32 parameter values received.
+    grid_rate = None
+    grid_err = 0.0
+    if kernel_path == "pallas_bundle":
+        sys.path.insert(0, str(Path(__file__).absolute().parent / "tests"))
+        sys.path.insert(0, str(Path(__file__).absolute().parent / "scripts"))
+        from bench_grid import build_interpolator
+        from tabcorr_tpu.predictor import make_predictor
+        interp64 = build_interpolator()
+        gmodel = tt.Zheng07Model(threshold=-20, redshift=0.0)
+        for k, v in dict(alpha_c=0.2, alpha_s=1.0, log_eta=0.0).items():
+            gmodel.param_dict[k] = v
+        grng = np.random.default_rng(11)
+        gB = BATCH
+        gparams = params_batch(
+            gmodel,
+            {"logM1": gmodel.param_dict["logM1"] +
+             0.1 * grng.normal(size=gB),
+             "alpha_c": grng.uniform(0.05, 0.35, gB),
+             "log_eta": grng.uniform(-0.3, 0.3, gB)},
+            (gB,), dtype=jnp.float32)
+        f_grid = make_predictor(interp64, gmodel, engine="fused",
+                                accuracy="scaled")
+        g_out = f_grid(gparams)
+        jax.block_until_ready(g_out)
+        g_rates = []
+        for _ in range(N_WINDOWS):
+            t0 = time.perf_counter()
+            for _ in range(2):
+                g_out = f_grid(gparams)
+            jax.block_until_ready(g_out)
+            g_rates.append(gB * 2 / (time.perf_counter() - t0))
+        grid_rate = float(np.median(g_rates))
+        # Reference: the host-numpy float64 Interpolator.predict path
+        # (device "float64" arrays would silently truncate to f32 with
+        # x64 disabled), at the float32 parameter values the kernel
+        # actually received — the flagship probe's "kernel error"
+        # contract.
+        for i in range(N_PROBE):
+            for k, v in gparams.items():
+                gmodel.param_dict[k] = float(np.float32(v[i]))
+            _, xi_h = interp64.predict(gmodel, check_consistency=False)
+            scale = float(np.max(np.abs(xi_h)))
+            grid_err = max(grid_err, float(np.max(np.abs(
+                np.asarray(g_out[1][i], np.float64).ravel() -
+                xi_h.ravel()))) / scale)
+
     # Accuracy vs the float64 host parity path, max over N_PROBE random
     # parameter points.  Two contracts per statistic (see module
     # docstring): kernel error at the float32 parameter values actually
@@ -324,6 +377,9 @@ def main():
            if elementwise_rate else {}),
         **({"ensemble_walker_steps_per_sec": float(ensemble_rate)}
            if ensemble_rate else {}),
+        **({"grid64_predictions_per_sec": grid_rate,
+            "grid64_f32_scaled_err_vs_f64": grid_err}
+           if grid_rate else {}),
         "n_accuracy_probes": N_PROBE,
         "wp_f32_max_rel_err_vs_f64": err["wp_kernel"],
         "xi_ell_f32_scaled_err_vs_f64": err["xi_kernel"],

@@ -102,8 +102,8 @@ def main():
     print(f"# shape: {n_nodes} nodes x {n_xi} rows x {nbr} bins "
           f"(npair={npair}, k_pad={k_pad}); classes {groups}")
     print(f"# contraction: {macs_contract / 1e6:.2f}M bf16 MACs/sample "
-          f"-> {macs_contract / 98.5e6:.0f} ns at v5e bf16 peak "
-          f"({98.5e6 * 1e3 / macs_contract:.2f}e6/s MXU bound)")
+          f"-> {macs_contract / 98.5e3:.0f} ns at v5e bf16 peak "
+          f"({98.5e6 / macs_contract:.2f}e6/s MXU bound)")
 
     def rate(f, fargs):
         jax.block_until_ready(f(*fargs))

@@ -55,6 +55,41 @@ def _pack_geometry(n_bins, nb_pad, pack_slabs):
     return 1, nb_pad, nb_pad
 
 
+def _exact_split3(x):
+    """Exact 3-term bfloat16 decomposition of a float32 array
+    (x == hi + mid + lo bit-for-bit: each residual subtraction is
+    exactly representable and 3 x 8 significand bits cover float32's
+    24)."""
+    hi = x.astype(jnp.bfloat16)
+    r1 = x - hi.astype(jnp.float32)
+    mid = r1.astype(jnp.bfloat16)
+    lo = (r1 - mid.astype(jnp.float32)).astype(jnp.bfloat16)
+    return hi, mid, lo
+
+
+def _exact_gather_dot(parts, sel):
+    """sum_k parts_k @ sel — exact f32 gather/segment-sum for a 0/1
+    bfloat16 ``sel`` (the 0/1 entries are bf16-exact, so each pass is a
+    plain single-pass bf16 MXU dot with no operand error)."""
+    return sum(jnp.dot(p, sel[:], preferred_element_type=jnp.float32)
+               for p in parts)
+
+
+def _lane_replicated(ngal, pack, nb_sub, slab_w, total_w):
+    """ngal replicated across ``total_w`` slab lanes: the per-slab
+    pattern (``pack`` copies of the first ``nb_sub`` bins, zero-padded
+    to ``slab_w``) tiled over every slab group, so one aligned VPU
+    multiply applies ngal to the whole grouped-contraction output."""
+    if pack > 1:
+        rep = [ngal[:, :nb_sub]] * pack
+        pad_w = slab_w - pack * nb_sub
+        if pad_w:
+            rep.append(jnp.zeros((ngal.shape[0], pad_w), ngal.dtype))
+    else:
+        rep = [ngal]
+    return jnp.concatenate(rep * (total_w // slab_w), axis=-1)
+
+
 def _auto_quadratic_cols(t, ngal, groups, pack, nb_sub, slab_w):
     """Per-statistic quadratic-form columns from the grouped contraction.
 
@@ -390,7 +425,7 @@ def _quad_segment_constants(table: TableData, seg_lo, seg_hi, nb):
 
 def _bundle_table_constants(table: TableData, error_model="elementwise",
                             tol=1e-6, margin=30.0, scale_block_rows=None,
-                            pack_slabs=True):
+                            pack_slabs=True, mxu_epilogue=False):
     """Per-table device constants for the bundle kernel.
 
     * ``f2``: the dense matrices stacked for the one-matmul contraction,
@@ -462,14 +497,38 @@ def _bundle_table_constants(table: TableData, error_model="elementwise",
     seg_c = _quad_segment_constants(table, 0, nc, nb)
     seg_s = _quad_segment_constants(table, nc, nb_real, nb)
     flat_blocks = _split_f_blocks(f2, groups, auto, nb, widths=widths)
+
+    # Optional MXU-epilogue reduce map (auto tables): lane
+    # (group, g, s, k) of the slab product u = t * n_rep maps to
+    # statistic column row_ptr + g * pack + s — a 0/1 bf16 matrix that
+    # replaces the per-statistic VPU lane reduces + column stack with
+    # exact-split MXU dots (see make_fused_bundle_predictor's
+    # auto_epilogue).
+    r_reduce = None
+    if auto and mxu_epilogue:
+        n_xi_pad = -(-n_xi // 128) * 128
+        r_np = np.zeros((sum(widths), n_xi_pad), np.float32)
+        col = row_ptr = 0
+        for (_, count), w in zip(groups, widths):
+            for idx in range(count):
+                g, s = divmod(idx, pack)
+                c0 = col + g * slab_w + s * nb_sub
+                r_np[c0:c0 + nb_real, row_ptr + idx] = 1.0
+            row_ptr += count
+            col += w
+        r_reduce = jnp.asarray(r_np, dtype=jnp.bfloat16)
+
+    extra = (r_reduce,) if r_reduce is not None else ()
     return dict(nb=nb, n_xi=n_xi, auto=auto,
                 tpcf_shape=tuple(table.tpcf_shape),
                 groups=tuple(groups),
                 pack=pack, nb_sub=nb_sub, slab_w=slab_w,
                 row_inv_perm=row_inv_perm,
                 n_f_arrays=len(flat_blocks),
-                f_arrays=flat_blocks, seg_c=seg_c, seg_s=seg_s,
-                arrays=flat_blocks + seg_c + seg_s)
+                n_extra=len(extra),
+                f_arrays=flat_blocks + extra,
+                seg_c=seg_c, seg_s=seg_s,
+                arrays=flat_blocks + extra + seg_c + seg_s)
 
 
 def make_fused_bundle_predictor(tables, occupation_cen, occupation_sat,
@@ -478,7 +537,8 @@ def make_fused_bundle_predictor(tables, occupation_cen, occupation_sat,
                                 accuracy=None, mesh=None, batch_axis="dp",
                                 scale_block_rows=None, pack_slabs=True,
                                 sub_tiles=1, fuse_occupation=True,
-                                pipeline=True):
+                                pipeline=True, tol=1e-6, margin=30.0,
+                                auto_epilogue="vpu"):
     """One-kernel multi-statistic predictor (the flagship hot path).
 
     Parameters
@@ -583,9 +643,13 @@ def make_fused_bundle_predictor(tables, occupation_cen, occupation_sat,
     # the 'scaled' budget within each node's row block.
     if scale_block_rows is None:
         scale_block_rows = [None] * len(tables)
+    if auto_epilogue not in ("vpu", "mxu"):
+        raise ValueError(f"Unknown auto_epilogue: {auto_epilogue!r}")
     configs = [_bundle_table_constants(t, error_model=a,
                                        scale_block_rows=s,
-                                       pack_slabs=pack_slabs)
+                                       pack_slabs=pack_slabs,
+                                       tol=tol, margin=margin,
+                                       mxu_epilogue=auto_epilogue == "mxu")
                for t, a, s in zip(tables, accuracy, scale_block_rows)]
     fuse_occ = bool(fuse_occupation) and len(configs) > 1
     if fuse_occ:
@@ -603,9 +667,19 @@ def make_fused_bundle_predictor(tables, occupation_cen, occupation_sat,
                         for a in c["f_arrays"] + (c["seg_c"][4],
                                                   c["seg_s"][4])]
         const_arrays += list(fused_c) + list(fused_s)
-        n_table_consts = sum(c["n_f_arrays"] + 2 for c in configs)
+        n_table_consts = sum(c["n_f_arrays"] + c["n_extra"] + 2
+                             for c in configs)
     else:
         const_arrays = [a for c in configs for a in c["arrays"]]
+    # Static base offset of each table's consts in the flat list (the
+    # per-table block is f_arrays [contraction groups + optional
+    # MXU-epilogue reduce map] followed by 2 selector refs when the
+    # occupation is fused, else the 10 segment refs).
+    cfg_offsets = []
+    _at = 0
+    for c in configs:
+        cfg_offsets.append(_at)
+        _at += c["n_f_arrays"] + c["n_extra"] + (2 if fuse_occ else 10)
     names = tuple(param_names)
     n_names = len(names)
     if n_names > 128:
@@ -663,25 +737,21 @@ def make_fused_bundle_predictor(tables, occupation_cen, occupation_sat,
                 exp_s = _fused_expansion(occupation_sat, params,
                                          crefs[n_table_consts + 4:
                                                n_table_consts + 8])
-                at = 0
                 for j, cfg in enumerate(configs):
-                    nf = cfg["n_f_arrays"]
-                    sel_c = crefs[at + nf][:]
-                    sel_s = crefs[at + nf + 1][:]
-                    at += nf + 2
+                    at = cfg_offsets[j] + cfg["n_f_arrays"] + cfg["n_extra"]
+                    sel_c = crefs[at][:]
+                    sel_s = crefs[at + 1][:]
                     ngal = (_sliced_segment_sum(exp_c, offs_c[j],
                                                 offs_c[j + 1], sel_c) +
                             _sliced_segment_sum(exp_s, offs_s[j],
                                                 offs_s[j + 1], sel_s))
                     ngals.append((ngal, jnp.sum(ngal, axis=-1)))
                 return ngals
-            at = 0
-            for cfg in configs:
-                nf = cfg["n_f_arrays"]
+            for j, cfg in enumerate(configs):
+                at = cfg_offsets[j] + cfg["n_f_arrays"] + cfg["n_extra"]
                 (logm_c, logmres_c, sec_c, w_c, sel_c,
                  logm_s, logmres_s, sec_s, w_s, sel_s) = (
-                    r[:] for r in crefs[at + nf:at + nf + 10])
-                at += nf + 10
+                    r[:] for r in crefs[at:at + 10])
 
                 # Node-residual correction (the quadrature nodes are
                 # float32-rounded; occupation_with_residual restores the
@@ -714,12 +784,9 @@ def make_fused_bundle_predictor(tables, occupation_cen, occupation_sat,
 
         def dots_phase(ngals):
             ts = []
-            at = 0
-            stride_extra = 2 if fuse_occ else 10
             for j, cfg in enumerate(configs):
-                nf = cfg["n_f_arrays"]
-                f_arrays = [r[:] for r in crefs[at:at + nf]]
-                at += nf + stride_extra
+                at = cfg_offsets[j]
+                f_arrays = [r[:] for r in crefs[at:at + cfg["n_f_arrays"]]]
                 # One contraction per pass-count group (rows pre-permuted
                 # so equal-precision groups are lane-contiguous); see
                 # _split_f_blocks/_grouped_dots.
@@ -737,13 +804,26 @@ def make_fused_bundle_predictor(tables, occupation_cen, occupation_sat,
                 ngal, total = ngals[j]
                 t = ts[j]
                 outs[2 * j][rows] = total[:, None]
-                if cfg["auto"]:
+                if not cfg["auto"]:
+                    outs[2 * j + 1][rows] = t / total[:, None]
+                elif cfg["n_extra"]:
+                    # MXU epilogue (auto_epilogue='mxu'): the slab
+                    # product u = t * n_rep still multiplies on the VPU,
+                    # but the per-statistic lane reduces + column stack
+                    # run as exact-split dots against the 0/1 reduce map
+                    # (same machinery as the grid kernel's spline fold).
+                    r_ref = crefs[cfg_offsets[j] + cfg["n_f_arrays"]]
+                    u = t * _lane_replicated(ngal, cfg["pack"],
+                                             cfg["nb_sub"], cfg["slab_w"],
+                                             t.shape[-1])
+                    xi = _exact_gather_dot(_exact_split3(u), r_ref)
+                    outs[2 * j + 1][rows] = (
+                        xi[:, :cfg["n_xi"]] / (total * total)[:, None])
+                else:
                     xi = _auto_quadratic_cols(t, ngal, cfg["groups"],
                                               cfg["pack"], cfg["nb_sub"],
                                               cfg["slab_w"])
                     outs[2 * j + 1][rows] = xi / (total * total)[:, None]
-                else:
-                    outs[2 * j + 1][rows] = t / total[:, None]
 
         if not pipeline:
             ngals_k, ts_k = [], []
@@ -993,7 +1073,7 @@ def _grid_stream_constants(table: TableData, n_nodes,
 
 def make_fused_grid_predictor(table: TableData, n_nodes, occupation_cen,
                               occupation_sat, param_names,
-                              batch_tile=GRID_TILE, interpret="auto",
+                              batch_tile="auto", interpret="auto",
                               precision="highest", accuracy="elementwise",
                               mesh=None, batch_axis="dp", sub_tiles=8,
                               pack_slabs=True, layout="auto",
@@ -1069,6 +1149,8 @@ def make_fused_grid_predictor(table: TableData, n_nodes, occupation_cen,
             fold_spline=fold_spline)
     if layout != "slab":
         raise ValueError(f"Unknown layout: {layout!r}")
+    if batch_tile == "auto":
+        batch_tile = GRID_TILE
     if fold_spline:
         raise ValueError("fold_spline requires the 'packed' layout "
                          "(check grid_layout_for(table) first).")
@@ -1343,6 +1425,14 @@ def _make_grid_packed_predictor(table: TableData, n_nodes, occupation_cen,
     if n_nodes % node_block:
         raise ValueError("node_block must divide n_nodes.")
     n_blocks = n_nodes // node_block
+    if batch_tile == "auto":
+        # Grid-resident kernels take the larger tile (v5e autotune at the
+        # 64-node 'default' shape: 2048 is +4% over 1024 and the largest
+        # that compiles); the node-STREAMED variant keeps GRID_TILE —
+        # at 2048 its per-step liveness pushes Mosaic's register
+        # allocator ~25 MB past the VMEM ceiling (measured spill-slot
+        # failure), and the workload is MXU-bound at 1024 anyway.
+        batch_tile = 2048 if n_blocks == 1 else GRID_TILE
 
     # Per class: one stacked array (k_pad, n_blocks * w_gb); within a
     # block the columns are node-major (node jj's rows of that class at
@@ -1426,25 +1516,11 @@ def _make_grid_packed_predictor(table: TableData, n_nodes, occupation_cen,
     else:
         pair_sel_arrays = ()
 
-    def exact_split3(x):
-        """Exact 3-term bfloat16 decomposition of a float32 array."""
-        hi = x.astype(jnp.bfloat16)
-        r1 = x - hi.astype(jnp.float32)
-        mid = r1.astype(jnp.bfloat16)
-        lo = (r1 - mid.astype(jnp.float32)).astype(jnp.bfloat16)
-        return hi, mid, lo
-
-    def exact_gather_dot(parts, sel):
-        """sum_k parts_k @ sel — exact f32 gather for one-hot sel."""
-        return sum(jnp.dot(p, sel[:], preferred_element_type=jnp.float32)
-                   for p in parts)
+    exact_split3 = _exact_split3
+    exact_gather_dot = _exact_gather_dot
 
     def quad_segment_sum(occ, w_row, sel):
-        t = occ * w_row
-        t_hi, t_mid, t_lo = exact_split3(t)
-        return (jnp.dot(t_hi, sel, preferred_element_type=jnp.float32) +
-                jnp.dot(t_mid, sel, preferred_element_type=jnp.float32) +
-                jnp.dot(t_lo, sel, preferred_element_type=jnp.float32))
+        return _exact_gather_dot(_exact_split3(occ * w_row), sel)
 
     def kernel(params_ref, *rest):
         if fold_spline:

@@ -343,6 +343,76 @@ def test_bundle_scaled_accuracy_contract(bol_model):
     assert np.max(np.abs(np.asarray(xi[0]) - xi_h)) < 1e-6 * scale
 
 
+def test_bundle_mxu_epilogue_matches_vpu(bol_model):
+    # auto_epilogue='mxu' replaces the per-statistic VPU lane reduces
+    # with exact-split dots against a 0/1 reduce map.  The summation
+    # ORDER differs (pairwise within the dot vs sequential lane adds) so
+    # bit identity is not expected, but both epilogues must land within
+    # the same 1e-6-scaled budget of the f64 host path.  (Measured on
+    # v5e the MXU epilogue is ~40% SLOWER — kept as a documented
+    # negative result; see docs/performance.md.)
+    import tabcorr_tpu as tt
+    from tabcorr_tpu.ops.fused import make_fused_bundle_predictor
+    from tabcorr_tpu.predictor import occupation_functions, params_batch
+
+    path = (Path(__file__).absolute().parent / "data" / "examples" /
+            "synthetic_xi_ell.hdf5")
+    xi_tab = tt.TabCorr.read(path)
+    model = tt.Zheng07Model(threshold=-18,
+                            redshift=xi_tab.attrs["redshift"])
+    table = xi_tab.table_data(n_gauss=10, dtype=jnp.float32)
+    names = tuple(model.param_dict.keys())
+    occ = occupation_functions(model)
+    params = params_batch(model, {}, (8,), dtype=jnp.float32)
+
+    outs = {}
+    for epi in ("vpu", "mxu"):
+        f = make_fused_bundle_predictor(
+            [table], *occ, names, batch_tile=8, interpret=True,
+            accuracy=("scaled",), auto_epilogue=epi)
+        [(ngal, xi)] = f(params)
+        outs[epi] = (np.asarray(ngal), np.asarray(xi))
+
+    np.testing.assert_array_equal(outs["mxu"][0], outs["vpu"][0])
+    ngal_h, xi_h = xi_tab.predict(model, check_consistency=False)
+    scale = float(np.max(np.abs(xi_h)))
+    for epi in ("vpu", "mxu"):
+        assert np.max(np.abs(outs[epi][1][0] - xi_h)) < 1e-6 * scale
+    np.testing.assert_allclose(outs["mxu"][1], outs["vpu"][1],
+                               atol=1e-7 * scale)
+
+    with pytest.raises(ValueError, match="auto_epilogue"):
+        make_fused_bundle_predictor([table], *occ, names, batch_tile=8,
+                                    interpret=True, accuracy=("scaled",),
+                                    auto_epilogue="dma")
+
+
+def test_scaled_margin_knob_controls_pass_classes():
+    # The 'scaled' contract's safety margin is a real knob: a huge margin
+    # forces every row to full 6-pass float32; the default 30x margin
+    # demotes the low-amplitude rows.  (Margin 10 was MEASURED to break
+    # the 1e-6 budget on the production xi table — the 30x margin is
+    # load-bearing, not slack; see docs/performance.md.)
+    import tabcorr_tpu as tt
+    from tabcorr_tpu.ops.fused import _bundle_table_constants
+
+    path = (Path(__file__).absolute().parent / "data" / "examples" /
+            "synthetic_xi_ell.hdf5")
+    table = tt.TabCorr.read(path).table_data(n_gauss=10,
+                                             dtype=jnp.float32)
+    strict = _bundle_table_constants(table, error_model="scaled",
+                                     margin=1e12)
+    assert strict["groups"] == ((6, strict["n_xi"]),)
+    default = _bundle_table_constants(table, error_model="scaled")
+    assert len(default["groups"]) >= 2
+    # Monotonicity: a looser margin can only demote more rows.
+    loose = _bundle_table_constants(table, error_model="scaled",
+                                    margin=1.0)
+    def n_low(cfg):
+        return sum(c for p, c in cfg["groups"] if p < 6)
+    assert n_low(loose) >= n_low(default) > n_low(strict)
+
+
 def test_cross_mode_scaled_contract(ds_tabcorr, bol_model):
     # 'scaled' on a CROSS-mode table (matvec contraction) engages the
     # pass-class machinery too — row k contracts against its own matrix
