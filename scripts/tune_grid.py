@@ -116,25 +116,29 @@ def main():
         return B / np.median(ts)
 
     results = []
-    for tile, nb_blk, fold in itertools.product(
-            args.tiles, args.node_blocks, (True, False)):
+    for tile, nb_blk, fold, pipe in itertools.product(
+            args.tiles, args.node_blocks, (True, False), (True, False)):
         if n_nodes % nb_blk:
             continue
+        if pipe and nb_blk != n_nodes:
+            continue   # pipeline requires the grid resident
         try:
             f = make_fused_grid_predictor(
                 stacked, n_nodes, occ_c, occ_s, names,
                 batch_tile=tile, accuracy=args.accuracy,
-                node_block=nb_blk, fold_spline=fold)
+                node_block=nb_blk, fold_spline=fold, pipeline=pipe)
             fargs = (params, nw) if fold else (params,)
             r = rate(f, fargs)
         except Exception as exc:
-            print(f"tile={tile} node_block={nb_blk} fold={fold}: "
+            print(f"tile={tile} node_block={nb_blk} fold={fold} "
+                  f"pipe={pipe}: "
                   f"FAILED {type(exc).__name__}: {str(exc)[:120]}")
             continue
         results.append({"batch_tile": tile, "node_block": nb_blk,
-                        "fold_spline": fold, "rate": r})
+                        "fold_spline": fold, "pipeline": pipe,
+                        "rate": r})
         print(f"tile={tile:5d} node_block={nb_blk:3d} fold={int(fold)} "
-              f"-> {r / 1e6:.3f}e6/s")
+              f"pipe={int(pipe)} -> {r / 1e6:.3f}e6/s")
 
     best = max(results, key=lambda r: r["rate"])
     out = {"metric": "grid64_kernel_sweep", "batch": B,

@@ -1077,7 +1077,8 @@ def make_fused_grid_predictor(table: TableData, n_nodes, occupation_cen,
                               precision="highest", accuracy="elementwise",
                               mesh=None, batch_axis="dp", sub_tiles=8,
                               pack_slabs=True, layout="auto",
-                              node_block=None, fold_spline=False):
+                              node_block=None, fold_spline=False,
+                              pipeline="auto"):
     """Node-streamed bundle predictor for stacked Interpolator grids.
 
     The one-kernel bundle keeps every dense matrix resident in VMEM,
@@ -1121,7 +1122,13 @@ def make_fused_grid_predictor(table: TableData, n_nodes, occupation_cen,
     for the resident bundle).  ``sub_tiles`` bounds the slab layout's
     contraction intermediate; ``node_block`` (packed layout) sets how
     many nodes stream per step (default: sized so each step's block is
-    a few MB and class padding is amortized).
+    a few MB and class padding is amortized).  ``pipeline`` enables the
+    cross-tile software pipeline when the whole grid is VMEM-resident
+    (``node_block == n_nodes``): tile i's occupation quadrature fills
+    one ping-pong scratch half while tile i-1's contraction + fold read
+    the other (the bundle kernel's scheme); 'auto' turns it on exactly
+    for resident packed kernels, and results are bit-identical either
+    way.
 
     Returns ``f(params dict of (B,)) -> (ngal (B,), xi (B, n_nodes,
     n_xi))`` with the node axis leading the statistic axis (grid order).
@@ -1146,9 +1153,12 @@ def make_fused_grid_predictor(table: TableData, n_nodes, occupation_cen,
             batch_tile=batch_tile, interpret=interpret,
             precision=precision, accuracy=accuracy, mesh=mesh,
             batch_axis=batch_axis, node_block=node_block,
-            fold_spline=fold_spline)
+            fold_spline=fold_spline, pipeline=pipeline)
     if layout != "slab":
         raise ValueError(f"Unknown layout: {layout!r}")
+    if pipeline is True:
+        raise ValueError("pipeline requires the 'packed' layout "
+                         "(check grid_layout_for(table) first).")
     if batch_tile == "auto":
         batch_tile = GRID_TILE
     if fold_spline:
@@ -1354,7 +1364,8 @@ def _make_grid_packed_predictor(table: TableData, n_nodes, occupation_cen,
                                 precision="highest",
                                 accuracy="elementwise", mesh=None,
                                 batch_axis="dp", node_block=None,
-                                tol=1e-6, margin=30.0, fold_spline=False):
+                                tol=1e-6, margin=30.0, fold_spline=False,
+                                pipeline="auto"):
     """Packed-layout streamed grid kernel (see make_fused_grid_predictor).
 
     Auto mode contracts in packed symmetric storage: host-side the
@@ -1433,6 +1444,18 @@ def _make_grid_packed_predictor(table: TableData, n_nodes, occupation_cen,
         # allocator ~25 MB past the VMEM ceiling (measured spill-slot
         # failure), and the workload is MXU-bound at 1024 anyway.
         batch_tile = 2048 if n_blocks == 1 else GRID_TILE
+    # Cross-tile software pipeline (the bundle kernel's ping-pong-scratch
+    # scheme, make_fused_bundle_predictor): tile i's occupation + pair
+    # weights compute into one scratch half while tile i-1's contraction
+    # + fold read the other, so the per-tile occupation VPU stretch hides
+    # under the previous tile's MXU dots.  Grid-RESIDENT kernels only:
+    # with node streaming the contraction spans n_blocks grid steps and
+    # the scratch halves would alias across the node axis.
+    if pipeline == "auto":
+        pipeline = n_blocks == 1
+    elif pipeline and n_blocks != 1:
+        raise ValueError("pipeline requires the whole grid resident "
+                         "(node_block == n_nodes).")
 
     # Per class: one stacked array (k_pad, n_blocks * w_gb); within a
     # block the columns are node-major (node jj's rows of that class at
@@ -1522,6 +1545,8 @@ def _make_grid_packed_predictor(table: TableData, n_nodes, occupation_cen,
     def quad_segment_sum(occ, w_row, sel):
         return _exact_gather_dot(_exact_split3(occ * w_row), sel)
 
+    tb = batch_tile
+
     def kernel(params_ref, *rest):
         if fold_spline:
             nw_ref = rest[0]
@@ -1540,8 +1565,9 @@ def _make_grid_packed_predictor(table: TableData, n_nodes, occupation_cen,
         tot_scr = rest[at + 12 + len(groups)]
         j = pl.program_id(1)
 
-        @pl.when(j == 0)
-        def _():
+        def occ_phase(off):
+            """Occupation quadrature + contraction operand for the tile
+            in params_ref, parked in the scratch rows at ``off``."""
             p = params_ref[:]
             params = {name: p[:, i:i + 1]
                       for i, name in enumerate(names)}
@@ -1552,8 +1578,7 @@ def _make_grid_packed_predictor(table: TableData, n_nodes, occupation_cen,
             ngal = (quad_segment_sum(occ_c, w_c[:], sel_c[:]) +
                     quad_segment_sum(occ_s, w_s[:], sel_s[:]))
             total = jnp.sum(ngal, axis=-1)
-            total_out[:] = total[:, None]
-            tot_scr[:, 0:1] = total[:, None]
+            tot_scr[pl.dslice(off, tb), 0:1] = total[:, None]
             if auto:
                 # Packed pair weights w_p = n_i n_j, (i, j >= i) in
                 # np.triu_indices order; the (2 - delta) prefactor lives
@@ -1563,66 +1588,125 @@ def _make_grid_packed_predictor(table: TableData, n_nodes, occupation_cen,
                 parts = exact_split3(ngal)
                 gi = exact_gather_dot(parts, pair_sel_refs[0])
                 gj = exact_gather_dot(parts, pair_sel_refs[1])
-                w_scr[:] = gi * gj
+                w_scr[pl.dslice(off, tb), :] = gi * gj
             else:
-                w_scr[:] = ngal
+                w_scr[pl.dslice(off, tb), :] = ngal
 
-        w = w_scr[:]
-        total = tot_scr[:, 0]
+        def class_dots(w):
+            """One contraction per pass class against the streamed (or
+            resident) node-block constants."""
+            if need_split:
+                w_hi = w.astype(jnp.bfloat16)
+                w_lo = (w - w_hi.astype(jnp.float32)).astype(jnp.bfloat16)
+            ts = []
+            at = 0
+            for p, count in groups:
+                if p == 6:
+                    t = jnp.dot(w, stream_refs[at][:],
+                                preferred_element_type=jnp.float32,
+                                precision=jax.lax.Precision.HIGHEST)
+                    at += 1
+                elif p == 3:
+                    hi = stream_refs[at][:]
+                    lo = stream_refs[at + 1][:]
+                    at += 2
+                    t = (jnp.dot(w_hi, hi,
+                                 preferred_element_type=jnp.float32) +
+                         jnp.dot(w_hi, lo,
+                                 preferred_element_type=jnp.float32) +
+                         jnp.dot(w_lo, hi,
+                                 preferred_element_type=jnp.float32))
+                else:
+                    t = jnp.dot(w_hi, stream_refs[at][:],
+                                preferred_element_type=jnp.float32)
+                    at += 1
+                ts.append(t)
+            return ts
+
+        def epilogue(ts, denom, nw_vals):
+            for ci, t in enumerate(ts):
+                if not fold_spline:
+                    class_outs[ci][:] = t / denom
+                    continue
+                # Weighted node reduce: this step's node weights
+                # broadcast over column blocks (nw @ E), scale the
+                # per-node results, and fold onto statistic columns
+                # ((.) @ R), accumulating in the revisited (i, 0) output
+                # block across node steps.  Exact 3-term splits of the
+                # f32 operand against the bf16-exact 0/1 maps:
+                # bit-identical to the HIGHEST 6-pass form (the three
+                # cross products against the map's zero mid/lo splits
+                # are exact zeros) at half the MXU passes.  Default
+                # single-pass bf16 would truncate the weights (measured
+                # 1.7e-3 scaled error), so the split is required.
+                wexp = exact_gather_dot(exact_split3(nw_vals),
+                                        fold_refs[2 * ci])
+                val = exact_gather_dot(exact_split3((t / denom) * wexp),
+                                       fold_refs[2 * ci + 1])
+                _accumulate_block(class_outs[ci], val, j)
+
+        if not pipeline:
+            @pl.when(j == 0)
+            def _():
+                occ_phase(0)
+                total_out[:] = tot_scr[:, 0:1]
+
+            total = tot_scr[:, 0]
+            denom = (total * total if auto else total)[:, None]
+            ts = class_dots(w_scr[:])
+            epilogue(ts, denom, nw_ref[:] if fold_spline else None)
+            return
+
+        # Cross-tile software pipeline (grid-resident, n_blocks == 1):
+        # step i contracts + folds tile i-1 from one ping-pong scratch
+        # half while tile i's occupation quadrature fills the other, so
+        # the occupation VPU stretch hides under the previous tile's MXU
+        # dots (issue order: prev dots -> cur occupation -> prev
+        # epilogue, the bundle kernel's proven ordering).  The params
+        # window addresses tile i (clamped), every OUTPUT window tile
+        # i-1 (clamped): step 0 contracts uninitialized scratch into the
+        # tile-0 windows, fully overwritten at step 1 before the windows
+        # flush, and the extra step i = n_tiles recomputes the last
+        # tile's occupation into a never-read scratch half — one tile of
+        # redundant work per kernel, amortized over the batch.
+        i = pl.program_id(0)
+        cur = (i % 2) * tb
+        prv = tb - cur
+        w = w_scr[pl.dslice(prv, tb), :]
+        total = tot_scr[pl.dslice(prv, tb), 0]
         denom = (total * total if auto else total)[:, None]
-        if need_split:
-            w_hi = w.astype(jnp.bfloat16)
-            w_lo = (w - w_hi.astype(jnp.float32)).astype(jnp.bfloat16)
-        at = 0
-        for ci, (p, count) in enumerate(groups):
-            if p == 6:
-                t = jnp.dot(w, stream_refs[at][:],
-                            preferred_element_type=jnp.float32,
-                            precision=jax.lax.Precision.HIGHEST)
-                at += 1
-            elif p == 3:
-                hi = stream_refs[at][:]
-                lo = stream_refs[at + 1][:]
-                at += 2
-                t = (jnp.dot(w_hi, hi,
-                             preferred_element_type=jnp.float32) +
-                     jnp.dot(w_hi, lo,
-                             preferred_element_type=jnp.float32) +
-                     jnp.dot(w_lo, hi,
-                             preferred_element_type=jnp.float32))
-            else:
-                t = jnp.dot(w_hi, stream_refs[at][:],
-                            preferred_element_type=jnp.float32)
-                at += 1
-            if not fold_spline:
-                class_outs[ci][:] = t / denom
-                continue
-            # Weighted node reduce: this step's node weights broadcast
-            # over column blocks (nw @ E), scale the per-node results,
-            # and fold onto statistic columns ((.) @ R), accumulating
-            # in the revisited (i, 0) output block across node steps.
-            # Exact 3-term splits of the f32 operand against the
-            # bf16-exact 0/1 maps: bit-identical to the HIGHEST 6-pass
-            # form (the three cross products against the map's zero
-            # mid/lo splits are exact zeros) at half the MXU passes.
-            # Default single-pass bf16 would truncate the weights
-            # (measured 1.7e-3 scaled error), so the split is required.
-            wexp = exact_gather_dot(exact_split3(nw_ref[:]),
-                                    fold_refs[2 * ci])
-            val = exact_gather_dot(exact_split3((t / denom) * wexp),
-                                   fold_refs[2 * ci + 1])
-            _accumulate_block(class_outs[ci], val, j)
+        nw_vals = nw_ref[:] if fold_spline else None
+        ts = class_dots(w)
+        occ_phase(cur)
+        total_out[:] = total[:, None]
+        epilogue(ts, denom, nw_vals)
 
     def run_kernel(pmat, *rest):
         local = pmat.shape[0]
+        nt = local // batch_tile
+        if pipeline:
+            # One extra grid step; tile i's contraction happens at step
+            # i + 1 (params window clamped forward, output + node-weight
+            # windows clamped back — they address the tile being
+            # CONTRACTED, not the one whose occupation is running).
+            grid = (nt + 1, n_blocks)
+            p_idx = lambda i, j: (jnp.minimum(i, nt - 1), 0)
+            o_idx = lambda i, j: (jnp.maximum(i - 1, 0), 0)
+            oj_idx = lambda i, j: (jnp.maximum(i - 1, 0), j)
+            scr_rows = 2 * batch_tile
+        else:
+            grid = (nt, n_blocks)
+            p_idx = lambda i, j: (i, 0)
+            o_idx = lambda i, j: (i, 0)
+            oj_idx = lambda i, j: (i, j)
+            scr_rows = batch_tile
         if fold_spline:
             nw_padded, consts = rest[0], rest[1:]
             nw_inputs = (nw_padded,)
-            nw_specs = [pl.BlockSpec((batch_tile, nw_pad),
-                                     lambda i, j: (i, j),
+            nw_specs = [pl.BlockSpec((batch_tile, nw_pad), oj_idx,
                                      memory_space=pltpu.VMEM)]
             out_specs_xi = tuple(
-                pl.BlockSpec((batch_tile, cp), lambda i, j: (i, 0),
+                pl.BlockSpec((batch_tile, cp), o_idx,
                              memory_space=pltpu.VMEM)
                 for cp in count_pads)
             out_shape_xi = tuple(
@@ -1633,7 +1717,7 @@ def _make_grid_packed_predictor(table: TableData, n_nodes, occupation_cen,
             nw_inputs = ()
             nw_specs = []
             out_specs_xi = tuple(
-                pl.BlockSpec((batch_tile, w), lambda i, j: (i, j),
+                pl.BlockSpec((batch_tile, w), oj_idx,
                              memory_space=pltpu.VMEM)
                 for w in class_widths)
             out_shape_xi = tuple(
@@ -1644,9 +1728,8 @@ def _make_grid_packed_predictor(table: TableData, n_nodes, occupation_cen,
         with backend.pallas_lowering():
             return pl.pallas_call(
                 kernel,
-                grid=(local // batch_tile, n_blocks),
-                in_specs=[pl.BlockSpec((batch_tile, 128),
-                                       lambda i, j: (i, 0),
+                grid=grid,
+                in_specs=[pl.BlockSpec((batch_tile, 128), p_idx,
                                        memory_space=pltpu.VMEM)] +
                          nw_specs +
                          [pl.BlockSpec((k_pad, w), lambda i, j: (0, j),
@@ -1658,14 +1741,14 @@ def _make_grid_packed_predictor(table: TableData, n_nodes, occupation_cen,
                           for a in (fold_arrays + list(pair_sel_arrays) +
                                     list(seg_arrays))],
                 out_specs=(
-                    pl.BlockSpec((batch_tile, 1), lambda i, j: (i, 0),
+                    pl.BlockSpec((batch_tile, 1), o_idx,
                                  memory_space=pltpu.VMEM),) + out_specs_xi,
                 out_shape=(
                     jax.ShapeDtypeStruct((local, 1),
                                          jnp.float32),) + out_shape_xi,
                 scratch_shapes=[
-                    pltpu.VMEM((batch_tile, k_pad), jnp.float32),
-                    pltpu.VMEM((batch_tile, 128), jnp.float32)],
+                    pltpu.VMEM((scr_rows, k_pad), jnp.float32),
+                    pltpu.VMEM((scr_rows, 128), jnp.float32)],
                 interpret=interpret,
                 compiler_params=pltpu.CompilerParams(
                     vmem_limit_bytes=100 * 1024 * 1024),

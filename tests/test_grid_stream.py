@@ -157,6 +157,44 @@ def test_grid_stream_fold_spline_matches_manual_reduce(mode, accuracy):
                                atol=2e-6 * scale, rtol=2e-5)
 
 
+def test_grid_stream_pipeline_bit_identity():
+    """The resident-grid cross-tile pipeline (ping-pong scratch, out
+    windows one step behind) is an issue-order change only: pipeline
+    True/False must agree bit-for-bit, fold and unfold, at nt == 1 and
+    nt > 1 (the clamped-window edges), and the knob must refuse the
+    node-streamed (n_blocks > 1) configuration."""
+    n_nodes, n_xi = 4, 5
+    tabs = _grid_tabs(n_nodes, 10, 1, n_xi, "auto", seed=9)
+    stacked = _stack(tabs)
+    model = tt.Zheng07Model(threshold=-20, redshift=0.0)
+    occ = occupation_functions(model)
+    names = tuple(model.param_dict.keys())
+    rng = np.random.default_rng(31)
+    for B in (8, 4):   # tile 4 -> two tiles, then the single-tile edge
+        params = params_batch(
+            model, {"logM1": model.param_dict["logM1"] +
+                    0.1 * rng.normal(size=B)}, (B,), dtype=jnp.float32)
+        nw = rng.dirichlet(np.ones(n_nodes), size=B).astype(np.float32)
+        for fold in (True, False):
+            kw = dict(batch_tile=4, interpret=True, accuracy="scaled",
+                      layout="packed", node_block=n_nodes,
+                      fold_spline=fold)
+            outs = []
+            for pipe in (False, True):
+                f = make_fused_grid_predictor(stacked, n_nodes, *occ,
+                                              names, pipeline=pipe, **kw)
+                outs.append(f(params, jnp.asarray(nw)) if fold
+                            else f(params))
+            for a, b in zip(*outs):
+                np.testing.assert_array_equal(np.asarray(a),
+                                              np.asarray(b))
+    with pytest.raises(ValueError, match="resident"):
+        make_fused_grid_predictor(stacked, n_nodes, *occ, names,
+                                  batch_tile=4, interpret=True,
+                                  layout="packed", node_block=2,
+                                  pipeline=True)
+
+
 def test_grid_stream_fold_requires_packed_layout():
     n_nodes, n_xi = 2, 3
     tabs = _grid_tabs(n_nodes, 8, 1, n_xi, "auto", seed=1)
