@@ -57,7 +57,11 @@ def main(argv=None):
                         "mxu produces reduce-order-different (not "
                         "bit-identical) results, so the equality guard "
                         "relaxes to 1e-6 scaled for those points")
-    parser.add_argument("--margins", type=float, nargs="+", default=[30.0],
+    parser.add_argument("--no-fiducial", action="store_true",
+                        help="use the legacy amplitude-ratio pass-class "
+                        "bound instead of the fiducial-density bound")
+    parser.add_argument("--margins", type=float, nargs="+",
+                        default=[None],
                         help="'scaled' pass-class margins to sweep; "
                         "non-default margins change the pass classes, "
                         "so the guard relaxes to the 1e-6 scaled budget "
@@ -108,7 +112,8 @@ def main(argv=None):
             tables, occ_c, occ_s, names, accuracy=accuracy,
             batch_tile=tile, fuse_occupation=fuse, sub_tiles=sub,
             pipeline=pipe, interpret="auto", auto_epilogue=epi,
-            margin=marg)
+            margin=marg, fiducial_params=None if args.no_fiducial
+            else dict(model.param_dict))
         out = f(params)
         jax.block_until_ready(out)
         # Layout/issue-order knobs must not change results; the epilogue

@@ -33,6 +33,11 @@ def main():
     ap.add_argument("--node-blocks", type=int, nargs="*",
                     default=[8, 16, 32, 64])
     ap.add_argument("--accuracy", default="scaled")
+    ap.add_argument("--margins", type=float, nargs="*", default=[None],
+                    help="'scaled' pass-class margins to sweep; each "
+                    "point's realized scaled error is probed against "
+                    "the float64 host Interpolator.predict path")
+    ap.add_argument("--probes", type=int, default=16)
     args = ap.parse_args()
 
     import jax
@@ -43,7 +48,8 @@ def main():
     from bench_grid import build_interpolator
 
     import tabcorr_tpu as tt
-    from tabcorr_tpu.ops.fused import (_grid_common_passes,
+    from tabcorr_tpu.ops.fused import (_fiducial_weight,
+                                       _grid_common_passes,
                                        make_fused_grid_predictor)
     from tabcorr_tpu.ops.predict import TableData
     from tabcorr_tpu.predictor import (_grid_node_weights,
@@ -91,19 +97,27 @@ def main():
 
     nw = jax.block_until_ready(node_w(params))
 
-    # Roofline bookkeeping at this shape.
+    # Roofline bookkeeping at this shape, per margin.
     dense = np.asarray(stacked.tpcf_dense, np.float32).reshape(
         n_nodes, n_xi, *stacked.tpcf_dense.shape[1:])
-    groups, _, _ = _grid_common_passes(dense, args.accuracy)
     nbr = stacked.n_bins
     npair = nbr * (nbr + 1) // 2
     k_pad = -(-npair // 128) * 128
-    macs_contract = k_pad * sum(p * c for p, c in groups) * n_nodes
     print(f"# shape: {n_nodes} nodes x {n_xi} rows x {nbr} bins "
-          f"(npair={npair}, k_pad={k_pad}); classes {groups}")
-    print(f"# contraction: {macs_contract / 1e6:.2f}M bf16 MACs/sample "
-          f"-> {macs_contract / 98.5e3:.0f} ns at v5e bf16 peak "
-          f"({98.5e6 / macs_contract:.2f}e6/s MXU bound)")
+          f"(npair={npair}, k_pad={k_pad})", flush=True)
+    w_fid = _fiducial_weight(stacked, occ_c, occ_s,
+                             dict(model.param_dict))
+    macs_contract = None
+    for marg in args.margins:
+        groups, _, _ = _grid_common_passes(dense, args.accuracy,
+                                           margin=marg, weight_vec=w_fid)
+        macs = k_pad * sum(p * c for p, c in groups) * n_nodes
+        if macs_contract is None:
+            macs_contract = macs
+        print(f"# margin={marg}: classes {groups}; "
+              f"{macs / 1e6:.2f}M bf16 MACs/sample "
+              f"-> {macs / 98.5e3:.0f} ns at v5e bf16 peak "
+              f"({98.5e6 / macs:.2f}e6/s MXU bound)", flush=True)
 
     def rate(f, fargs):
         jax.block_until_ready(f(*fargs))
@@ -115,9 +129,31 @@ def main():
             ts.append(time.perf_counter() - t0)
         return B / np.median(ts)
 
+    # Realized scaled error per margin (probed once per margin on a
+    # fold=True config — the tile/node_block/pipeline knobs are
+    # bit-identical layouts): kernel output at the float32 parameter
+    # values vs the float64 host Interpolator.predict path.
+    def probe_error(f, fold):
+        if not fold:
+            return None
+        out = f(params, nw)
+        jax.block_until_ready(out)
+        xi_dev = np.asarray(out[1][:args.probes], np.float64)
+        err = 0.0
+        for i in range(args.probes):
+            for k in params:
+                model.param_dict[k] = float(np.float32(params[k][i]))
+            _, xi_h = interp.predict(model, check_consistency=False)
+            scale = float(np.max(np.abs(xi_h)))
+            err = max(err, float(np.max(np.abs(
+                xi_dev[i].ravel() - xi_h.ravel()))) / scale)
+        return err
+
+    margin_err = {}
     results = []
-    for tile, nb_blk, fold, pipe in itertools.product(
-            args.tiles, args.node_blocks, (True, False), (True, False)):
+    for tile, nb_blk, fold, pipe, marg in itertools.product(
+            args.tiles, args.node_blocks, (True, False), (True, False),
+            args.margins):
         if n_nodes % nb_blk:
             continue
         if pipe and nb_blk != n_nodes:
@@ -126,19 +162,27 @@ def main():
             f = make_fused_grid_predictor(
                 stacked, n_nodes, occ_c, occ_s, names,
                 batch_tile=tile, accuracy=args.accuracy,
-                node_block=nb_blk, fold_spline=fold, pipeline=pipe)
+                node_block=nb_blk, fold_spline=fold, pipeline=pipe,
+                margin=marg, fiducial_params=dict(model.param_dict))
+            if fold and marg not in margin_err:
+                margin_err[marg] = probe_error(f, fold)
             fargs = (params, nw) if fold else (params,)
             r = rate(f, fargs)
         except Exception as exc:
             print(f"tile={tile} node_block={nb_blk} fold={fold} "
-                  f"pipe={pipe}: "
-                  f"FAILED {type(exc).__name__}: {str(exc)[:120]}")
+                  f"pipe={pipe} margin={marg}: "
+                  f"FAILED {type(exc).__name__}: {str(exc)[:120]}",
+                  flush=True)
             continue
         results.append({"batch_tile": tile, "node_block": nb_blk,
                         "fold_spline": fold, "pipeline": pipe,
-                        "rate": r})
+                        "margin": marg, "rate": r,
+                        "scaled_err": margin_err.get(marg)})
         print(f"tile={tile:5d} node_block={nb_blk:3d} fold={int(fold)} "
-              f"pipe={int(pipe)} -> {r / 1e6:.3f}e6/s")
+              f"pipe={int(pipe)} margin={marg} -> {r / 1e6:.3f}e6/s"
+              + (f" err={margin_err[marg]:.2e}"
+                 if fold and margin_err.get(marg) is not None else ""),
+              flush=True)
 
     best = max(results, key=lambda r: r["rate"])
     out = {"metric": "grid64_kernel_sweep", "batch": B,

@@ -266,45 +266,77 @@ def make_fused_predictor(table: TableData, occupation_cen, occupation_sat,
     return predict_batch
 
 
-# MXU pass-count tiers for float32 matmul operands, and conservative
-# per-pass relative-error constants measured against float64 on v5e
-# (single bf16 pass ~1e-3 relative, 3-pass split ~2.5e-6, 6-pass = full
-# float32).  The constants carry a 3-4x safety factor over the measured
-# values.
-_PASS_RELERR = ((1, 3e-3), (3, 1e-5), (6, 0.0))
+# MXU pass-count tiers for float32 matmul operands, and worst-case
+# per-pass relative-error constants (relative to the contraction's
+# UNSIGNED element mass — see _row_pass_classes).  Analytic bounds for
+# round-to-nearest bfloat16: a single pass drops w_lo*F + w*F_res terms
+# of ~2 x 2^-9 = 4e-3; the 3-pass hh+hl+lh form drops the three
+# two-term-split residual products of ~3 x 2^-18 = 1.1e-5; 6-pass
+# reproduces float32 exactly.  Measured realized errors (v5e, random
+# tables) run 2-4x below these bounds.
+_PASS_RELERR = ((1, 4e-3), (3, 1.2e-5), (6, 0.0))
 
 
-def _row_pass_classes(dense, tol, scale_block_rows=None):
+def _row_pass_classes(dense, tol, scale_block_rows=None, weight_vec=None):
     """Minimal MXU pass count per statistic row under a *scaled* error
-    budget: row k's scaled error is bounded by c_p * max|F_k|/max|F|
-    (the per-pass relative error applies to the row's own magnitude,
-    which the table's row-amplitude ratio bounds; verified against
-    float64 simulation on the production xi_0/2/4 tables).  ``tol`` is
-    the scaled-error budget per row (the caller passes target/margin).
+    budget.  ``tol`` is the scaled-error budget per row (the caller
+    passes target/margin).
 
-    ``scale_block_rows`` normalizes amplitudes within consecutive row
-    blocks of that size instead of globally — for stacked-node
-    Interpolator matrices, where each node's rows must honor the budget
-    relative to THAT node's own statistic peak (a low-amplitude grid
-    node dominates the spline-interpolated output near its corner of
-    parameter space).
+    Two bound models:
+
+    * ``weight_vec`` given (a fiducial per-bin density, e.g. ngal at
+      the model's default parameters): the RIGOROUS per-element
+      truncation bound.  A p-pass contraction's error is bounded by
+      c_p times the row's UNSIGNED contraction w^T|F_k|w (auto) /
+      |F_k| . w (cross) — bf16 truncation errors scale with element
+      magnitudes, never the signed sum — while the 'scaled' metric
+      normalizes by the largest SIGNED row value, so
+      m_k = unsigned_k / max_j |signed_j|.  This captures both output
+      cancellation (xi_2/xi_4 rows whose entries alternate sign) and
+      weight concentration (the density-weighted mass of a row sitting
+      on bins far from its peak amplitude) — measured factors of up to
+      ~60x on real multipole tables that the amplitude-ratio proxy
+      below misses entirely (v5e per-row probe, docs/performance.md).
+    * ``weight_vec`` None: the legacy amplitude-ratio proxy
+      m_k = max|F_k| / max|F|, which under-estimates the error by the
+      cancellation/concentration factor and therefore needs the large
+      default margin (30) to stay safe.
+
+    ``scale_block_rows`` normalizes within consecutive row blocks of
+    that size instead of globally — for stacked-node Interpolator
+    matrices, where each node's rows must honor the budget relative to
+    THAT node's own statistic peak (a low-amplitude grid node dominates
+    the spline-interpolated output near its corner of parameter space).
     """
-    row_amp = np.max(np.abs(np.asarray(dense)),
-                     axis=tuple(range(1, np.asarray(dense).ndim)))
-    if scale_block_rows is None:
-        m = row_amp / max(row_amp.max(), 1e-300)
+    dense = np.asarray(dense)
+    if weight_vec is not None:
+        w = np.asarray(weight_vec, np.float64)
+        F = np.asarray(dense, np.float64)
+        if F.ndim == 3:
+            unsigned = np.einsum("kij,i,j->k", np.abs(F), w, w)
+            signed = np.abs(np.einsum("kij,i,j->k", F, w, w))
+        else:
+            unsigned = np.abs(F) @ w
+            signed = np.abs(F @ w)
     else:
-        if len(row_amp) % scale_block_rows:
+        unsigned = np.max(np.abs(dense),
+                          axis=tuple(range(1, dense.ndim)))
+        signed = unsigned
+    if scale_block_rows is None:
+        m = unsigned / max(signed.max(), 1e-300)
+    else:
+        if len(unsigned) % scale_block_rows:
             raise ValueError("scale_block_rows must divide the row count.")
-        blocks = row_amp.reshape(-1, scale_block_rows)
-        m = (blocks / np.maximum(blocks.max(axis=1, keepdims=True),
-                                 1e-300)).ravel()
+        u = unsigned.reshape(-1, scale_block_rows)
+        s = signed.reshape(-1, scale_block_rows)
+        m = (u / np.maximum(s.max(axis=1, keepdims=True), 1e-300)).ravel()
     return np.array([min((p for p, c in _PASS_RELERR if c * mk <= tol),
                          default=6) for mk in m])
 
 
 def _pass_groups(dense, auto, error_model, precision="highest",
-                 tol=1e-6, margin=30.0, scale_block_rows=None):
+                 tol=1e-6, margin=None, scale_block_rows=None,
+                 weight_vec=None):
     """(passes, count) groups and the row permutation making them
     contiguous (6-pass rows first, then 3, then 1).
 
@@ -312,12 +344,19 @@ def _pass_groups(dense, auto, error_model, precision="highest",
     both, statistic row k contracts against its own matrix row/slab, so
     the per-pass relative error scales with that row's own amplitude.
     ``auto`` is accepted for signature symmetry but no longer gates the
-    scaled path.
+    scaled path.  ``margin=None`` resolves per bound model: 3 with a
+    fiducial ``weight_vec`` (the rigorous bound; margin covers only the
+    batch's density drift from the fiducial), 30 without (the legacy
+    amplitude-ratio proxy, whose unmodeled cancellation/concentration
+    factor was measured at up to ~60x — see _row_pass_classes).
     """
     del auto
+    if margin is None:
+        margin = 3.0 if weight_vec is not None else 30.0
     n_xi = dense.shape[0]
     if error_model == "scaled" and precision == "highest":
-        passes = _row_pass_classes(dense, tol / margin, scale_block_rows)
+        passes = _row_pass_classes(dense, tol / margin, scale_block_rows,
+                                   weight_vec=weight_vec)
     else:
         passes = np.full(n_xi, 6, dtype=np.int64)
     row_perm = np.argsort(-passes, kind="stable")
@@ -423,9 +462,36 @@ def _quad_segment_constants(table: TableData, seg_lo, seg_hi, nb):
             jnp.asarray(sel, dtype=jnp.bfloat16))
 
 
+def _fiducial_weight(table: TableData, occupation_cen, occupation_sat,
+                     fiducial_params):
+    """Fiducial per-bin density vector for the rigorous 'scaled'
+    pass-class bound (see :func:`_row_pass_classes`): ngal at the
+    model's fiducial (default) parameters, computed once on the host.
+    Returns None when no fiducial is given (legacy amplitude-ratio
+    bound with its large default margin)."""
+    if fiducial_params is None:
+        return None
+    from .predict import mean_occupation
+    try:
+        params = {k: jnp.asarray(v, jnp.float32)
+                  for k, v in fiducial_params.items()}
+        mo = mean_occupation(table, occupation_cen, occupation_sat,
+                             params)
+        w = (np.asarray(mo, np.float64) *
+             np.asarray(table.n_h, np.float64))
+    except Exception:
+        # A fiducial evaluation that cannot run on host (exotic model)
+        # falls back to the legacy bound rather than failing the build.
+        return None
+    if not np.all(np.isfinite(w)) or not np.any(w > 0):
+        return None
+    return w
+
+
 def _bundle_table_constants(table: TableData, error_model="elementwise",
-                            tol=1e-6, margin=30.0, scale_block_rows=None,
-                            pack_slabs=True, mxu_epilogue=False):
+                            tol=1e-6, margin=None, scale_block_rows=None,
+                            pack_slabs=True, mxu_epilogue=False,
+                            weight_vec=None):
     """Per-table device constants for the bundle kernel.
 
     * ``f2``: the dense matrices stacked for the one-matmul contraction,
@@ -470,7 +536,7 @@ def _bundle_table_constants(table: TableData, error_model="elementwise",
 
     groups, row_perm, row_inv_perm = _pass_groups(
         table.tpcf_dense, auto, error_model, tol=tol, margin=margin,
-        scale_block_rows=scale_block_rows)
+        scale_block_rows=scale_block_rows, weight_vec=weight_vec)
 
     pack, nb_sub, slab_w = _pack_geometry(nb_real, nb, pack_slabs and auto)
     widths = None
@@ -537,8 +603,9 @@ def make_fused_bundle_predictor(tables, occupation_cen, occupation_sat,
                                 accuracy=None, mesh=None, batch_axis="dp",
                                 scale_block_rows=None, pack_slabs=True,
                                 sub_tiles=1, fuse_occupation=True,
-                                pipeline=True, tol=1e-6, margin=30.0,
-                                auto_epilogue="vpu"):
+                                pipeline=True, tol=1e-6, margin=None,
+                                auto_epilogue="vpu",
+                                fiducial_params=None):
     """One-kernel multi-statistic predictor (the flagship hot path).
 
     Parameters
@@ -614,6 +681,18 @@ def make_fused_bundle_predictor(tables, occupation_cen, occupation_sat,
         ``False`` keeps the single-step kernel (the ablation baseline —
         measured numbers in docs/performance.md).
 
+    tol, margin, fiducial_params : optional
+        'scaled'-contract error budget controls.  ``fiducial_params``
+        (the model's default parameter values) switches the per-row MXU
+        pass-class assignment to the rigorous per-element truncation
+        bound evaluated at the fiducial density ngal(fiducial) — see
+        :func:`_row_pass_classes`; ``margin=None`` then resolves to 3
+        (covering only the batch's density drift from the fiducial).
+        Without a fiducial the legacy amplitude-ratio proxy applies and
+        margin resolves to 30 — measured necessary: the proxy misses a
+        cancellation/weight-concentration factor of up to ~60x on real
+        multipole tables (v5e per-row probe, docs/performance.md).
+
     Returns
     -------
     callable
@@ -649,7 +728,12 @@ def make_fused_bundle_predictor(tables, occupation_cen, occupation_sat,
                                        scale_block_rows=s,
                                        pack_slabs=pack_slabs,
                                        tol=tol, margin=margin,
-                                       mxu_epilogue=auto_epilogue == "mxu")
+                                       mxu_epilogue=auto_epilogue == "mxu",
+                                       weight_vec=_fiducial_weight(
+                                           t, occupation_cen,
+                                           occupation_sat,
+                                           fiducial_params)
+                                       if a == "scaled" else None)
                for t, a, s in zip(tables, accuracy, scale_block_rows)]
     fuse_occ = bool(fuse_occupation) and len(configs) > 1
     if fuse_occ:
@@ -978,7 +1062,8 @@ GRID_TILE = 1024
 
 def _grid_stream_constants(table: TableData, n_nodes,
                            error_model="elementwise", tol=1e-6,
-                           margin=30.0, pack_slabs=True):
+                           margin=None, pack_slabs=True,
+                           weight_vec=None):
     """Streamed per-node constants for the grid kernel.
 
     ``table`` is a stacked Interpolator grid (n_nodes * n_xi statistic
@@ -1006,10 +1091,13 @@ def _grid_stream_constants(table: TableData, n_nodes,
     dense = dense.reshape((n_nodes, n_xi) + dense.shape[1:])
 
     if error_model == "scaled":
+        if margin is None:
+            margin = 3.0 if weight_vec is not None else 30.0
         passes = np.zeros(n_xi, np.int64)
         for j in range(n_nodes):
             passes = np.maximum(
-                passes, _row_pass_classes(dense[j], tol / margin))
+                passes, _row_pass_classes(dense[j], tol / margin,
+                                          weight_vec=weight_vec))
     elif error_model == "elementwise":
         passes = np.full(n_xi, 6, np.int64)
     else:
@@ -1078,7 +1166,8 @@ def make_fused_grid_predictor(table: TableData, n_nodes, occupation_cen,
                               mesh=None, batch_axis="dp", sub_tiles=8,
                               pack_slabs=True, layout="auto",
                               node_block=None, fold_spline=False,
-                              pipeline="auto"):
+                              pipeline="auto", tol=1e-6, margin=None,
+                              fiducial_params=None):
     """Node-streamed bundle predictor for stacked Interpolator grids.
 
     The one-kernel bundle keeps every dense matrix resident in VMEM,
@@ -1126,9 +1215,26 @@ def make_fused_grid_predictor(table: TableData, n_nodes, occupation_cen,
     cross-tile software pipeline when the whole grid is VMEM-resident
     (``node_block == n_nodes``): tile i's occupation quadrature fills
     one ping-pong scratch half while tile i-1's contraction + fold read
-    the other (the bundle kernel's scheme); 'auto' turns it on exactly
-    for resident packed kernels, and results are bit-identical either
-    way.
+    the other (the bundle kernel's scheme); results are bit-identical
+    either way, but 'auto' currently resolves to False — every
+    pipelined-grid configuration fails the current Mosaic toolchain's
+    compile helper (see the resolution comment in
+    :func:`_make_grid_packed_predictor`).
+
+    ``margin`` divides the 'scaled' contract's per-row error budget
+    before pass classes are assigned (a row drops to p MXU passes when
+    c_p * m_row <= tol / margin).  With ``fiducial_params`` (the
+    model's default parameter values) the row measure m is the RIGOROUS
+    per-element truncation bound evaluated at the fiducial density —
+    see :func:`_row_pass_classes` — and ``margin=None`` resolves to 3,
+    covering only the batch's density drift from the fiducial; without
+    a fiducial the legacy amplitude-ratio proxy applies and margin
+    resolves to 30 (its unmodeled cancellation/concentration factor
+    was measured at up to ~60x on real multipole tables).  v5e sweep
+    at the published 64-node 'default' shape: 2.68e6 -> 3.4e6
+    predictions/s from the class tightening at realized scaled error
+    6.5e-7 (16-probe max vs the float64 host path;
+    scripts/tune_grid.py, docs/performance.md).
 
     Returns ``f(params dict of (B,)) -> (ngal (B,), xi (B, n_nodes,
     n_xi))`` with the node axis leading the statistic axis (grid order).
@@ -1153,7 +1259,8 @@ def make_fused_grid_predictor(table: TableData, n_nodes, occupation_cen,
             batch_tile=batch_tile, interpret=interpret,
             precision=precision, accuracy=accuracy, mesh=mesh,
             batch_axis=batch_axis, node_block=node_block,
-            fold_spline=fold_spline, pipeline=pipeline)
+            fold_spline=fold_spline, pipeline=pipeline,
+            tol=tol, margin=margin, fiducial_params=fiducial_params)
     if layout != "slab":
         raise ValueError(f"Unknown layout: {layout!r}")
     if pipeline is True:
@@ -1165,7 +1272,10 @@ def make_fused_grid_predictor(table: TableData, n_nodes, occupation_cen,
         raise ValueError("fold_spline requires the 'packed' layout "
                          "(check grid_layout_for(table) first).")
     cfg = _grid_stream_constants(table, n_nodes, error_model=accuracy,
-                                 pack_slabs=pack_slabs)
+                                 pack_slabs=pack_slabs, margin=margin,
+                                 weight_vec=_fiducial_weight(
+                                     table, occupation_cen,
+                                     occupation_sat, fiducial_params))
     nb = cfg["nb"]
     n_xi = cfg["n_xi"]
     auto = cfg["auto"]
@@ -1317,17 +1427,23 @@ def make_fused_grid_predictor(table: TableData, n_nodes, occupation_cen,
     return jax.jit(predict_batch)
 
 
-def _grid_common_passes(dense_nodes, error_model, tol=1e-6, margin=30.0):
+def _grid_common_passes(dense_nodes, error_model, tol=1e-6, margin=None,
+                        weight_vec=None):
     """Common MXU pass classes across grid nodes (max per row position;
     'scaled' budgets normalized to each node's own peak).  Returns
     (groups, row_perm, row_inv_perm) with the shared permutation making
-    pass groups contiguous within every node's block."""
+    pass groups contiguous within every node's block.  ``margin=None``
+    resolves as in :func:`_pass_groups` (3 with a fiducial
+    ``weight_vec``, 30 without)."""
+    if margin is None:
+        margin = 3.0 if weight_vec is not None else 30.0
     n_xi = dense_nodes.shape[1]
     if error_model == "scaled":
         passes = np.zeros(n_xi, np.int64)
         for j in range(dense_nodes.shape[0]):
             passes = np.maximum(
-                passes, _row_pass_classes(dense_nodes[j], tol / margin))
+                passes, _row_pass_classes(dense_nodes[j], tol / margin,
+                                          weight_vec=weight_vec))
     elif error_model == "elementwise":
         passes = np.full(n_xi, 6, np.int64)
     else:
@@ -1364,8 +1480,8 @@ def _make_grid_packed_predictor(table: TableData, n_nodes, occupation_cen,
                                 precision="highest",
                                 accuracy="elementwise", mesh=None,
                                 batch_axis="dp", node_block=None,
-                                tol=1e-6, margin=30.0, fold_spline=False,
-                                pipeline="auto"):
+                                tol=1e-6, margin=None, fold_spline=False,
+                                pipeline="auto", fiducial_params=None):
     """Packed-layout streamed grid kernel (see make_fused_grid_predictor).
 
     Auto mode contracts in packed symmetric storage: host-side the
@@ -1406,7 +1522,9 @@ def _make_grid_packed_predictor(table: TableData, n_nodes, occupation_cen,
     dense = np.asarray(table.tpcf_dense, np.float32)
     dense = dense.reshape((n_nodes, n_xi) + dense.shape[1:])
     groups, row_perm, row_inv_perm = _grid_common_passes(
-        dense, accuracy, tol=tol, margin=margin)
+        dense, accuracy, tol=tol, margin=margin,
+        weight_vec=_fiducial_weight(table, occupation_cen,
+                                    occupation_sat, fiducial_params))
 
     if auto:
         idx_i, idx_j = np.triu_indices(nbr)
@@ -1452,10 +1570,21 @@ def _make_grid_packed_predictor(table: TableData, n_nodes, occupation_cen,
     # with node streaming the contraction spans n_blocks grid steps and
     # the scratch halves would alias across the node axis.
     if pipeline == "auto":
-        pipeline = n_blocks == 1
+        # Default OFF: every pipelined-grid configuration (tiles 256-2048,
+        # fold and unfold, 1-D and 2-D grid forms) fails the current
+        # remote Mosaic toolchain's compile helper (opaque HTTP 500 /
+        # subprocess exit 1 — the unpipelined kernel with identical
+        # arithmetic compiles and runs at every swept point, so this is a
+        # toolchain limit, not a VMEM budget).  The knob stays for future
+        # toolchains; the interpret-mode tests keep the pipelined
+        # schedule's bit-identity covered.
+        pipeline = False
     elif pipeline and n_blocks != 1:
         raise ValueError("pipeline requires the whole grid resident "
                          "(node_block == n_nodes).")
+    # Grid-resident kernels run a 1-D Pallas grid (the node axis is
+    # degenerate); see run_kernel.
+    one_d = n_blocks == 1
 
     # Per class: one stacked array (k_pad, n_blocks * w_gb); within a
     # block the columns are node-major (node jj's rows of that class at
@@ -1563,7 +1692,10 @@ def _make_grid_packed_predictor(table: TableData, n_nodes, occupation_cen,
         class_outs = rest[at + 11:at + 11 + len(groups)]
         w_scr = rest[at + 11 + len(groups)]
         tot_scr = rest[at + 12 + len(groups)]
-        j = pl.program_id(1)
+        # Grid-resident kernels (n_blocks == 1) run a 1-D grid: the node
+        # axis is degenerate and folding it away keeps the output index
+        # maps monotone in the only real grid dimension.
+        j = 0 if one_d else pl.program_id(1)
 
         def occ_phase(off):
             """Occupation quadrature + contraction operand for the tile
@@ -1628,6 +1760,15 @@ def _make_grid_packed_predictor(table: TableData, n_nodes, occupation_cen,
                 if not fold_spline:
                     class_outs[ci][:] = t / denom
                     continue
+                if one_d:
+                    # Degenerate node axis: the fold is complete in one
+                    # step, no cross-step accumulation.
+                    wexp = exact_gather_dot(exact_split3(nw_vals),
+                                            fold_refs[2 * ci])
+                    class_outs[ci][:] = exact_gather_dot(
+                        exact_split3((t / denom) * wexp),
+                        fold_refs[2 * ci + 1])
+                    continue
                 # Weighted node reduce: this step's node weights
                 # broadcast over column blocks (nw @ E), scale the
                 # per-node results, and fold onto statistic columns
@@ -1646,10 +1787,14 @@ def _make_grid_packed_predictor(table: TableData, n_nodes, occupation_cen,
                 _accumulate_block(class_outs[ci], val, j)
 
         if not pipeline:
-            @pl.when(j == 0)
-            def _():
+            if one_d:
                 occ_phase(0)
                 total_out[:] = tot_scr[:, 0:1]
+            else:
+                @pl.when(j == 0)
+                def _():
+                    occ_phase(0)
+                    total_out[:] = tot_scr[:, 0:1]
 
             total = tot_scr[:, 0]
             denom = (total * total if auto else total)[:, None]
@@ -1684,22 +1829,36 @@ def _make_grid_packed_predictor(table: TableData, n_nodes, occupation_cen,
     def run_kernel(pmat, *rest):
         local = pmat.shape[0]
         nt = local // batch_tile
-        if pipeline:
-            # One extra grid step; tile i's contraction happens at step
-            # i + 1 (params window clamped forward, output + node-weight
-            # windows clamped back — they address the tile being
-            # CONTRACTED, not the one whose occupation is running).
-            grid = (nt + 1, n_blocks)
-            p_idx = lambda i, j: (jnp.minimum(i, nt - 1), 0)
-            o_idx = lambda i, j: (jnp.maximum(i - 1, 0), 0)
-            oj_idx = lambda i, j: (jnp.maximum(i - 1, 0), j)
-            scr_rows = 2 * batch_tile
+        if one_d:
+            # Grid-resident: the node axis is degenerate, so the Pallas
+            # grid is 1-D over batch tiles (matching the bundle kernel's
+            # proven pipelined structure; the 2-D (nt + 1, 1) form with
+            # clamped output maps crashes the Mosaic compiler).
+            if pipeline:
+                grid = (nt + 1,)
+                p_idx = lambda i: (jnp.minimum(i, nt - 1), 0)
+                o_idx = lambda i: (jnp.maximum(i - 1, 0), 0)
+                scr_rows = 2 * batch_tile
+            else:
+                grid = (nt,)
+                p_idx = lambda i: (i, 0)
+                o_idx = lambda i: (i, 0)
+                scr_rows = batch_tile
+            oj_idx = o_idx
         else:
+            # Node-streamed (pipeline is impossible here — it requires
+            # the grid resident, enforced above).
             grid = (nt, n_blocks)
             p_idx = lambda i, j: (i, 0)
             o_idx = lambda i, j: (i, 0)
             oj_idx = lambda i, j: (i, j)
             scr_rows = batch_tile
+        if one_d:
+            stream_idx = lambda i: (0, 0)
+            fixed_idx = lambda r: (lambda i: (0,) * r)
+        else:
+            stream_idx = lambda i, j: (0, j)
+            fixed_idx = lambda r: (lambda i, j: (0,) * r)
         if fold_spline:
             nw_padded, consts = rest[0], rest[1:]
             nw_inputs = (nw_padded,)
@@ -1732,11 +1891,10 @@ def _make_grid_packed_predictor(table: TableData, n_nodes, occupation_cen,
                 in_specs=[pl.BlockSpec((batch_tile, 128), p_idx,
                                        memory_space=pltpu.VMEM)] +
                          nw_specs +
-                         [pl.BlockSpec((k_pad, w), lambda i, j: (0, j),
+                         [pl.BlockSpec((k_pad, w), stream_idx,
                                        memory_space=pltpu.VMEM)
                           for w in block_widths] +
-                         [pl.BlockSpec(a.shape,
-                                       lambda i, j, r=a.ndim: (0,) * r,
+                         [pl.BlockSpec(a.shape, fixed_idx(a.ndim),
                                        memory_space=pltpu.VMEM)
                           for a in (fold_arrays + list(pair_sel_arrays) +
                                     list(seg_arrays))],

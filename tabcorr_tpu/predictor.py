@@ -276,7 +276,8 @@ def _interpolator_fused_predict_fn(interp, model, n_gauss, dtype,
                 [stacked], occ_cen, occ_sat,
                 tuple(model.param_dict.keys()),
                 accuracy=[accuracy], scale_block_rows=[n_xi],
-                mesh=mesh, batch_axis=batch_axis)
+                mesh=mesh, batch_axis=batch_axis,
+                fiducial_params=dict(model.param_dict))
 
             def node_fn(params):
                 [(total, xi_nodes)] = bundle_fn(params)
@@ -291,7 +292,8 @@ def _interpolator_fused_predict_fn(interp, model, n_gauss, dtype,
             node_fn = make_fused_grid_predictor(
                 stacked, n_nodes, occ_cen, occ_sat,
                 tuple(model.param_dict.keys()), accuracy=accuracy,
-                mesh=mesh, batch_axis=batch_axis, fold_spline=folded)
+                mesh=mesh, batch_axis=batch_axis, fold_spline=folded,
+                fiducial_params=dict(model.param_dict))
 
             if folded:
                 @jax.jit
@@ -580,7 +582,8 @@ def make_multi_predictor(objs, model, n_gauss=10, dtype=jnp.float32,
             tuple(model.param_dict.keys()),
             batch_tile=DEFAULT_TILE if batch_tile is None else batch_tile,
             accuracy=accuracy, mesh=mesh, batch_axis=batch_axis,
-            interpret=interpret, fuse_occupation=fuse_occupation)
+            interpret=interpret, fuse_occupation=fuse_occupation,
+            fiducial_params=dict(model.param_dict))
 
     fns = [make_predictor(obj, model, n_gauss=n_gauss, dtype=dtype,
                           jit=False) for obj in objs]

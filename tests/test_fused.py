@@ -389,10 +389,12 @@ def test_bundle_mxu_epilogue_matches_vpu(bol_model):
 
 def test_scaled_margin_knob_controls_pass_classes():
     # The 'scaled' contract's safety margin is a real knob: a huge margin
-    # forces every row to full 6-pass float32; the default 30x margin
-    # demotes the low-amplitude rows.  (Margin 10 was MEASURED to break
-    # the 1e-6 budget on the production xi table — the 30x margin is
-    # load-bearing, not slack; see docs/performance.md.)
+    # forces every row to full 6-pass float32; the default margin
+    # demotes the low-amplitude rows.  (Without a fiducial density the
+    # legacy amplitude-ratio bound applies, whose default margin 30 is
+    # load-bearing: margins 3-10 were MEASURED to break the 1e-6 budget
+    # on the production xi table via the unmodeled cancellation factor —
+    # see _row_pass_classes and docs/performance.md.)
     import tabcorr_tpu as tt
     from tabcorr_tpu.ops.fused import _bundle_table_constants
 
@@ -411,6 +413,80 @@ def test_scaled_margin_knob_controls_pass_classes():
     def n_low(cfg):
         return sum(c for p, c in cfg["groups"] if p < 6)
     assert n_low(loose) >= n_low(default) > n_low(strict)
+
+
+def test_fiducial_weight_bound_catches_cancellation():
+    # The rigorous fiducial-density bound (weight_vec path of
+    # _row_pass_classes) must classify rows by their UNSIGNED element
+    # mass relative to the largest SIGNED output: a row whose entries
+    # cancel under the weights (xi_2/xi_4-like sign structure) carries
+    # large truncation error relative to its tiny signed value, which
+    # the legacy amplitude-ratio proxy cannot see.  Measured on-chip:
+    # the proxy under-estimates such rows by up to ~60x
+    # (docs/performance.md).
+    from tabcorr_tpu.ops.fused import _row_pass_classes
+
+    rng = np.random.default_rng(3)
+    nb = 16
+    w = rng.uniform(0.5, 1.5, nb)
+    # Row 0: loud positive row (sets the output scale).  Row 1: same
+    # element MASS but alternating signs -> tiny signed value under w.
+    # Row 2: genuinely tiny row (1e-5 of row 0's amplitude).
+    base = rng.uniform(0.5, 1.0, (nb, nb))
+    base = 0.5 * (base + base.T)
+    sign = np.outer((-1.0) ** np.arange(nb), (-1.0) ** np.arange(nb))
+    dense = np.stack([base, base * sign, base * 1e-5])
+
+    # Legacy proxy: rows 0 and 1 have the same max amplitude -> same
+    # class; the cancelling row is invisibly misclassified as "loud".
+    legacy = _row_pass_classes(dense, 1e-6 / 30.0)
+    assert legacy[0] == legacy[1] == 6
+
+    # Fiducial bound: row 1's unsigned mass is ~row 0's, so it must ALSO
+    # stay 6-pass (its error budget is tight relative to its mass);
+    # row 2's unsigned mass is 1e-5 of the scale and may demote.
+    fid = _row_pass_classes(dense, 1e-6 / 3.0, weight_vec=w)
+    assert fid[0] == 6 and fid[1] == 6
+    assert fid[2] < 6
+
+    # The two models DIFFER when the SCALE-SETTING row cancels: the
+    # loudest-amplitude row's signed value collapses under w, so the
+    # true output scale is set by a much quieter row — every m inflates
+    # by the cancellation factor.  The proxy, blind to w, still
+    # normalizes by the loud row's amplitude and demotes the quiet row.
+    dense2 = np.stack([base * sign, base * 1e-3])
+    legacy2 = _row_pass_classes(dense2, 1e-6 / 3.0)
+    fid2 = _row_pass_classes(dense2, 1e-6 / 3.0, weight_vec=w)
+    assert legacy2[1] < 6          # proxy demotes the quiet row
+    assert fid2[1] == 6            # rigorous bound: it sets the scale
+
+
+def test_bundle_fiducial_params_build_and_match():
+    # fiducial_params switches the 'scaled' class model; the kernel must
+    # still build and agree with the float64 host path within the
+    # contract at interpret-mode tolerances.
+    import tabcorr_tpu as tt
+    from tabcorr_tpu.ops.fused import make_fused_bundle_predictor
+    from tabcorr_tpu.predictor import occupation_functions, params_batch
+
+    path = (Path(__file__).absolute().parent / "data" / "examples" /
+            "synthetic_xi_ell.hdf5")
+    tab = tt.TabCorr.read(path)
+    model = tt.Zheng07Model(threshold=-18,
+                            redshift=tab.attrs["redshift"])
+    table = tab.table_data(n_gauss=10, dtype=jnp.float32)
+    occ = occupation_functions(model)
+    names = tuple(model.param_dict.keys())
+    f = make_fused_bundle_predictor(
+        [table], *occ, names, batch_tile=8, interpret=True,
+        accuracy=("scaled",), fiducial_params=dict(model.param_dict))
+    params = params_batch(model, {}, (8,), dtype=jnp.float32)
+    [(ngal, xi)] = f(params)
+    ngal_h, xi_h = tab.predict(model, check_consistency=False)
+    assert np.isclose(float(ngal[0]), ngal_h, rtol=1e-5)
+    scale = float(np.max(np.abs(xi_h)))
+    assert np.max(np.abs(np.asarray(xi[0], np.float64).ravel() -
+                         np.asarray(xi_h).ravel())) < 2e-6 * scale
 
 
 def test_cross_mode_scaled_contract(ds_tabcorr, bol_model):
