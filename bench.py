@@ -291,7 +291,12 @@ def main():
     # float64 host path at the float32 parameter values received.
     grid_rate = None
     grid_err = 0.0
+    grid_error_msg = None
     if kernel_path == "pallas_bundle":
+      # The grid extra must never cost the headline: a grid-kernel
+      # compile failure (the toolchain moved) degrades to an error
+      # string in the JSON, not a dead bench.
+      try:
         sys.path.insert(0, str(Path(__file__).absolute().parent / "tests"))
         sys.path.insert(0, str(Path(__file__).absolute().parent / "scripts"))
         from bench_grid import build_interpolator
@@ -334,6 +339,9 @@ def main():
             grid_err = max(grid_err, float(np.max(np.abs(
                 np.asarray(g_out[1][i], np.float64).ravel() -
                 xi_h.ravel()))) / scale)
+      except Exception as exc:
+        grid_rate = None
+        grid_error_msg = f"{type(exc).__name__}: {exc}"[:200]
 
     # Accuracy vs the float64 host parity path, max over N_PROBE random
     # parameter points.  Two contracts per statistic (see module
@@ -380,6 +388,7 @@ def main():
         **({"grid64_predictions_per_sec": grid_rate,
             "grid64_f32_scaled_err_vs_f64": grid_err}
            if grid_rate else {}),
+        **({"grid64_error": grid_error_msg} if grid_error_msg else {}),
         "n_accuracy_probes": N_PROBE,
         "wp_f32_max_rel_err_vs_f64": err["wp_kernel"],
         "xi_ell_f32_scaled_err_vs_f64": err["xi_kernel"],

@@ -38,6 +38,8 @@ def main():
                     "point's realized scaled error is probed against "
                     "the float64 host Interpolator.predict path")
     ap.add_argument("--probes", type=int, default=16)
+    ap.add_argument("--sub-tiles", type=int, nargs="*", default=[1, 2, 4, 8],
+                    help="intra-tile stagger blocks (resident unpipelined)")
     args = ap.parse_args()
 
     import jax
@@ -151,35 +153,39 @@ def main():
 
     margin_err = {}
     results = []
-    for tile, nb_blk, fold, pipe, marg in itertools.product(
+    for tile, nb_blk, fold, pipe, marg, sub in itertools.product(
             args.tiles, args.node_blocks, (True, False), (True, False),
-            args.margins):
+            args.margins, args.sub_tiles):
         if n_nodes % nb_blk:
             continue
         if pipe and nb_blk != n_nodes:
             continue   # pipeline requires the grid resident
+        if sub != args.sub_tiles[0] and (pipe or nb_blk != n_nodes):
+            continue   # stagger applies to resident unpipelined only
         try:
             f = make_fused_grid_predictor(
                 stacked, n_nodes, occ_c, occ_s, names,
                 batch_tile=tile, accuracy=args.accuracy,
                 node_block=nb_blk, fold_spline=fold, pipeline=pipe,
-                margin=marg, fiducial_params=dict(model.param_dict))
+                margin=marg, fiducial_params=dict(model.param_dict),
+                sub_tiles=sub)
             if fold and marg not in margin_err:
                 margin_err[marg] = probe_error(f, fold)
             fargs = (params, nw) if fold else (params,)
             r = rate(f, fargs)
         except Exception as exc:
             print(f"tile={tile} node_block={nb_blk} fold={fold} "
-                  f"pipe={pipe} margin={marg}: "
+                  f"pipe={pipe} margin={marg} sub={sub}: "
                   f"FAILED {type(exc).__name__}: {str(exc)[:120]}",
                   flush=True)
             continue
         results.append({"batch_tile": tile, "node_block": nb_blk,
                         "fold_spline": fold, "pipeline": pipe,
-                        "margin": marg, "rate": r,
+                        "margin": marg, "sub_tiles": sub, "rate": r,
                         "scaled_err": margin_err.get(marg)})
         print(f"tile={tile:5d} node_block={nb_blk:3d} fold={int(fold)} "
-              f"pipe={int(pipe)} margin={marg} -> {r / 1e6:.3f}e6/s"
+              f"pipe={int(pipe)} margin={marg} sub={sub} "
+              f"-> {r / 1e6:.3f}e6/s"
               + (f" err={margin_err[marg]:.2e}"
                  if fold and margin_err.get(marg) is not None else ""),
               flush=True)

@@ -1163,7 +1163,7 @@ def make_fused_grid_predictor(table: TableData, n_nodes, occupation_cen,
                               occupation_sat, param_names,
                               batch_tile="auto", interpret="auto",
                               precision="highest", accuracy="elementwise",
-                              mesh=None, batch_axis="dp", sub_tiles=8,
+                              mesh=None, batch_axis="dp", sub_tiles="auto",
                               pack_slabs=True, layout="auto",
                               node_block=None, fold_spline=False,
                               pipeline="auto", tol=1e-6, margin=None,
@@ -1208,8 +1208,13 @@ def make_fused_grid_predictor(table: TableData, n_nodes, occupation_cen,
     Parameters match :func:`make_fused_bundle_predictor` where shared;
     ``accuracy`` is a single contract ('elementwise' or 'scaled' — the
     scaled budget is normalized per node, as scale_block_rows=n_xi does
-    for the resident bundle).  ``sub_tiles`` bounds the slab layout's
-    contraction intermediate; ``node_block`` (packed layout) sets how
+    for the resident bundle).  ``sub_tiles`` has a per-layout meaning:
+    for the slab layout it bounds the contraction intermediate; for the
+    grid-RESIDENT packed layout it is the intra-tile VPU/MXU stagger —
+    the tile is processed in that many row blocks with block k's
+    occupation issued after block k-1's class dots (bit-identical on
+    TPU; 'auto' resolves to 1 — measured a wash at the production
+    shape, see the resolution comment).  ``node_block`` (packed layout) sets how
     many nodes stream per step (default: sized so each step's block is
     a few MB and class padding is amortized).  ``pipeline`` enables the
     cross-tile software pipeline when the whole grid is VMEM-resident
@@ -1260,9 +1265,12 @@ def make_fused_grid_predictor(table: TableData, n_nodes, occupation_cen,
             precision=precision, accuracy=accuracy, mesh=mesh,
             batch_axis=batch_axis, node_block=node_block,
             fold_spline=fold_spline, pipeline=pipeline,
-            tol=tol, margin=margin, fiducial_params=fiducial_params)
+            tol=tol, margin=margin, fiducial_params=fiducial_params,
+            sub_tiles=sub_tiles)
     if layout != "slab":
         raise ValueError(f"Unknown layout: {layout!r}")
+    if sub_tiles == "auto":
+        sub_tiles = 8      # slab meaning: contraction-intermediate bound
     if pipeline is True:
         raise ValueError("pipeline requires the 'packed' layout "
                          "(check grid_layout_for(table) first).")
@@ -1481,7 +1489,8 @@ def _make_grid_packed_predictor(table: TableData, n_nodes, occupation_cen,
                                 accuracy="elementwise", mesh=None,
                                 batch_axis="dp", node_block=None,
                                 tol=1e-6, margin=None, fold_spline=False,
-                                pipeline="auto", fiducial_params=None):
+                                pipeline="auto", fiducial_params=None,
+                                sub_tiles="auto"):
     """Packed-layout streamed grid kernel (see make_fused_grid_predictor).
 
     Auto mode contracts in packed symmetric storage: host-side the
@@ -1585,6 +1594,27 @@ def _make_grid_packed_predictor(table: TableData, n_nodes, occupation_cen,
     # Grid-resident kernels run a 1-D Pallas grid (the node axis is
     # degenerate); see run_kernel.
     one_d = n_blocks == 1
+    # Intra-tile VPU/MXU staggering for the grid-RESIDENT unpipelined
+    # schedule (the bundle kernel's pre-pipeline trick): the batch tile
+    # is processed in row blocks, block k's occupation quadrature (VPU)
+    # emitted right after block k-1's class dots (MXU), so the two
+    # hardware queues overlap within the tile.  On TPU this is
+    # bit-identical — the MXU's per-row accumulation order does not
+    # depend on the operand's row count — but in interpret mode the CPU
+    # GEMM's shape-dependent blocking shifts last-ulp results.
+    # MEASURED NEGATIVE on v5e at the 64-node production shape: sub
+    # 1/2/4/8/16 all land in the same 2.90-3.11e6/s jitter band with no
+    # consistent ordering across sessions — the occupation VPU stretch
+    # is only ~9% of the tile (vs ~33% in the bundle kernel, where this
+    # same trick was worth +30%), and the row-blocked dots lose about
+    # what the overlap gains.  'auto' therefore resolves to 1; the knob
+    # stays for other shapes (a quiet-table grid with a heavier
+    # occupation would tip the balance).
+    if sub_tiles == "auto":
+        sub_tiles = 1
+    n_sub = sub_tiles if (one_d and not pipeline
+                          and batch_tile % sub_tiles == 0) else 1
+    sub_step = batch_tile // n_sub
 
     # Per class: one stacked array (k_pad, n_blocks * w_gb); within a
     # block the columns are node-major (node jj's rows of that class at
@@ -1697,10 +1727,12 @@ def _make_grid_packed_predictor(table: TableData, n_nodes, occupation_cen,
         # maps monotone in the only real grid dimension.
         j = 0 if one_d else pl.program_id(1)
 
-        def occ_phase(off):
-            """Occupation quadrature + contraction operand for the tile
-            in params_ref, parked in the scratch rows at ``off``."""
-            p = params_ref[:]
+        def occ_phase(off, r0=0, rlen=None):
+            """Occupation quadrature + contraction operand for rows
+            [r0, r0+rlen) of the tile in params_ref, parked in the
+            scratch rows at ``off + r0``."""
+            rlen = tb if rlen is None else rlen
+            p = params_ref[:][r0:r0 + rlen]
             params = {name: p[:, i:i + 1]
                       for i, name in enumerate(names)}
             occ_c = occupation_with_residual(
@@ -1710,7 +1742,7 @@ def _make_grid_packed_predictor(table: TableData, n_nodes, occupation_cen,
             ngal = (quad_segment_sum(occ_c, w_c[:], sel_c[:]) +
                     quad_segment_sum(occ_s, w_s[:], sel_s[:]))
             total = jnp.sum(ngal, axis=-1)
-            tot_scr[pl.dslice(off, tb), 0:1] = total[:, None]
+            tot_scr[pl.dslice(off + r0, rlen), 0:1] = total[:, None]
             if auto:
                 # Packed pair weights w_p = n_i n_j, (i, j >= i) in
                 # np.triu_indices order; the (2 - delta) prefactor lives
@@ -1720,9 +1752,9 @@ def _make_grid_packed_predictor(table: TableData, n_nodes, occupation_cen,
                 parts = exact_split3(ngal)
                 gi = exact_gather_dot(parts, pair_sel_refs[0])
                 gj = exact_gather_dot(parts, pair_sel_refs[1])
-                w_scr[pl.dslice(off, tb), :] = gi * gj
+                w_scr[pl.dslice(off + r0, rlen), :] = gi * gj
             else:
-                w_scr[pl.dslice(off, tb), :] = ngal
+                w_scr[pl.dslice(off + r0, rlen), :] = ngal
 
         def class_dots(w):
             """One contraction per pass class against the streamed (or
@@ -1755,17 +1787,17 @@ def _make_grid_packed_predictor(table: TableData, n_nodes, occupation_cen,
                 ts.append(t)
             return ts
 
-        def epilogue(ts, denom, nw_vals):
+        def epilogue(ts, denom, nw_vals, rows=slice(None)):
             for ci, t in enumerate(ts):
                 if not fold_spline:
-                    class_outs[ci][:] = t / denom
+                    class_outs[ci][rows] = t / denom
                     continue
                 if one_d:
                     # Degenerate node axis: the fold is complete in one
                     # step, no cross-step accumulation.
                     wexp = exact_gather_dot(exact_split3(nw_vals),
                                             fold_refs[2 * ci])
-                    class_outs[ci][:] = exact_gather_dot(
+                    class_outs[ci][rows] = exact_gather_dot(
                         exact_split3((t / denom) * wexp),
                         fold_refs[2 * ci + 1])
                     continue
@@ -1788,18 +1820,40 @@ def _make_grid_packed_predictor(table: TableData, n_nodes, occupation_cen,
 
         if not pipeline:
             if one_d:
-                occ_phase(0)
+                # Staggered schedule (n_sub row blocks): block k's
+                # occupation (VPU) issues right after block k-1's class
+                # dots (MXU), its epilogue after that — the bundle
+                # kernel's proven unpipelined interleaving.  n_sub == 1
+                # degenerates to occupation -> dots -> epilogue.
+                nw_all = nw_ref[:] if fold_spline else None
+
+                def block_args(k):
+                    r = slice(k * sub_step, (k + 1) * sub_step)
+                    tot = tot_scr[r, 0]
+                    den = (tot * tot if auto else tot)[:, None]
+                    return r, den, (nw_all[r] if fold_spline else None)
+
+                occ_phase(0, 0, sub_step)
+                for k in range(1, n_sub):
+                    r_prev = slice((k - 1) * sub_step, k * sub_step)
+                    ts_prev = class_dots(w_scr[r_prev, :])
+                    occ_phase(0, k * sub_step, sub_step)
+                    r, den, nwv = block_args(k - 1)
+                    epilogue(ts_prev, den, nwv, rows=r)
                 total_out[:] = tot_scr[:, 0:1]
+                r, den, nwv = block_args(n_sub - 1)
+                ts_last = class_dots(w_scr[r, :])
+                epilogue(ts_last, den, nwv, rows=r)
             else:
                 @pl.when(j == 0)
                 def _():
                     occ_phase(0)
                     total_out[:] = tot_scr[:, 0:1]
 
-            total = tot_scr[:, 0]
-            denom = (total * total if auto else total)[:, None]
-            ts = class_dots(w_scr[:])
-            epilogue(ts, denom, nw_ref[:] if fold_spline else None)
+                total = tot_scr[:, 0]
+                denom = (total * total if auto else total)[:, None]
+                ts = class_dots(w_scr[:])
+                epilogue(ts, denom, nw_ref[:] if fold_spline else None)
             return
 
         # Cross-tile software pipeline (grid-resident, n_blocks == 1):

@@ -157,6 +157,41 @@ def test_grid_stream_fold_spline_matches_manual_reduce(mode, accuracy):
                                atol=2e-6 * scale, rtol=2e-5)
 
 
+def test_grid_stream_sub_tile_stagger_matches():
+    """Intra-tile staggering (resident unpipelined schedule) reorders
+    issue only; results match the unstaggered kernel.  On TPU they are
+    bit-identical (row-count-independent MXU accumulation); interpret
+    mode's CPU GEMM blocking shifts last-ulp results, so the assert
+    here is tight-closeness.  'auto' resolves to 1 (measured a wash on
+    v5e at the production shape — see ops/fused.py), asserted via
+    bit-equality with the explicit 1."""
+    n_nodes, n_xi = 6, 5
+    tabs = _grid_tabs(n_nodes, 10, 2, n_xi, "auto", seed=31)
+    stacked = _stack(tabs)
+    model = tt.Zheng07Model(threshold=-20, redshift=0.0)
+    common = dict(batch_tile=8, interpret=True, accuracy="scaled",
+                  layout="packed", node_block=n_nodes, fold_spline=True)
+    rng = np.random.default_rng(33)
+    params = params_batch(
+        model, {"logM1": model.param_dict["logM1"] +
+                0.1 * rng.normal(size=8)}, (8,), dtype=jnp.float32)
+    nw = rng.dirichlet(np.ones(n_nodes), size=8).astype(np.float32)
+    outs = {}
+    for sub in (1, 2, 4, "auto"):
+        f = make_fused_grid_predictor(
+            stacked, n_nodes, *occupation_functions(model),
+            tuple(model.param_dict.keys()), sub_tiles=sub, **common)
+        t, xi = f(params, jnp.asarray(nw))
+        outs[sub] = (np.asarray(t), np.asarray(xi, np.float64))
+    # interpret-mode 'auto' is 1: bit-identical to the explicit 1.
+    np.testing.assert_array_equal(outs["auto"][1], outs[1][1])
+    scale = np.max(np.abs(outs[1][1]))
+    for sub in (2, 4):
+        np.testing.assert_array_equal(outs[sub][0], outs[1][0])
+        np.testing.assert_allclose(outs[sub][1], outs[1][1],
+                                   atol=1e-6 * scale, rtol=1e-5)
+
+
 def test_grid_stream_pipeline_bit_identity():
     """The resident-grid cross-tile pipeline (ping-pong scratch, out
     windows one step behind) is an issue-order change only: pipeline
